@@ -1,0 +1,200 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Core analytic query surface (scan/agg/join/window/as-of/session).
+  *
+  * Numeric policy: money/measure doubles are cast to exact DECIMAL before
+  * aggregation so sums are order-independent, then cast to DOUBLE at the
+  * output edge — bit-identical to a DuckDB oracle doing the same, with no
+  * rounding fudge. Scale notes per operator in SURVEY.md §5.
+  */
+object Analytics {
+
+  /** Exact-sum helper: SUM(CAST(c AS DECIMAL(18,2))) presented as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Pricing-summary scan+aggregate (TPC-H Q1 shape).
+    *
+    * One parquet scan with the date filter pushed down, partial (map-side)
+    * aggregation on 6 groups — at 100 TB this is scan-bound, zero skew.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    // Tight precisions keep the chained products exact (≤ 38 digits) in
+    // both Spark and DuckDB; the intermediate cast to DECIMAL(20,4)
+    // forces DuckDB onto int128 arithmetic for the second multiply.
+    val disc  = col("l_discount").cast("decimal(4,2)")
+    val tax   = col("l_tax").cast("decimal(4,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discPrice = (price * (lit(1) - disc)).cast("decimal(20,4)")
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * (lit(1) + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Join + aggregate + global top-k (TPC-H Q3 shape).
+    *
+    * customer is pre-filtered and broadcast; orders⋈lineitem shuffles on
+    * the join key once; global top-10 runs as TakeOrderedAndProject (no
+    * full sort).
+    */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount").cast("decimal(8,6)"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-way dim/fact join + aggregate (TPC-H Q5 shape).
+    *
+    * All dimension tables broadcast; the only shuffles are
+    * lineitem⋈orders and the final 25-group aggregate.
+    */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp   = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount").cast("decimal(8,6)"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N rows per group via a rank window — partitioned on the group key
+    * only, so it is a single shuffle and no global sort.
+    */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3 && col("o_custkey") < 100)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** As-of join: for each purchase event, the most recent prior (strictly
+    * earlier) `click` event of the same user.
+    *
+    * Expressed as union + window (one shuffle on user_id) rather than an
+    * inequality join, which would be O(n·m) per key at 100 TB. DuckDB's
+    * native ASOF JOIN is the oracle.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Timestamps are compared at µs precision: DuckDB's TIMESTAMP truncates
+    // the parquet ns values, so the oracle can't see below the µs.
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"), col("event_type"))
+    val tagged = ev
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_click").asc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastClick = last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true)
+    tagged
+      .withColumn("click_event_id", lastClick.over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("click_event_id")
+      )
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity) over the event log:
+    * one shuffle on user_id, lag + running sum inside the partition.
+    * The streaming twin is graft.streaming.EventSessions.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val newSession = when(
+      col("ts_us") - lag(col("ts_us"), 1).over(byUser) > lit(gapUs) ||
+        lag(col("ts_us"), 1).over(byUser).isNull,
+      1
+    ).otherwise(0)
+    ev.withColumn("new_s", newSession)
+      .withColumn("session_nr", sum(col("new_s")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_nr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value")
+      )
+      .orderBy(col("user_id"), col("session_nr"))
+  }
+
+  /** Tumbling-window hourly aggregation (batch twin of
+    * graft.streaming.HourlyCounts). ts is epoch-nanos; hour bucket is
+    * integer division, so it matches DuckDB's date_trunc exactly.
+    */
+  def windowHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // Integer division: epoch-ns (~1.7e18) exceeds double's exact range,
+    // so a float divide + floor would corrupt the bucket boundary.
+    ev.groupBy(
+        expr("(ts div 3600000000000) * 3600000000000").as("hour_ns"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .orderBy(col("hour_ns"), col("event_type"))
+  }
+}
