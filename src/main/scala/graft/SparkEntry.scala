@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Analytics
+import graft.index.Indexing
+import graft.json.JsonOps
+import graft.sync.Sync
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -19,7 +22,19 @@ object SparkEntry {
     "topk_per_group" -> (Analytics.topKPerGroup _),
     "asof_join"     -> (Analytics.asofJoin _),
     "sessionize"    -> (Analytics.sessionize _),
-    "window_hourly" -> (Analytics.windowHourly _)
+    "window_hourly" -> (Analytics.windowHourly _),
+    "sync_diff"      -> (Sync.syncDiff _),
+    "sync_upsert"    -> (Sync.syncUpsert _),
+    "outbox_batch"   -> (Sync.outboxBatch _),
+    "batch_claim"    -> (Sync.batchClaim _),
+    "orphan_requeue" -> (Sync.orphanRequeue _),
+    "snapshot_stats" -> (Sync.snapshotStats _),
+    "json_props_extract" -> (JsonOps.jsonPropsExtract _),
+    "inline_refs"        -> (JsonOps.inlineRefs _),
+    "explode_dedup"      -> (JsonOps.explodeDedup _),
+    "doc_fingerprint"    -> (JsonOps.docFingerprint _),
+    "search_doc"  -> (Indexing.searchDoc _),
+    "dim_enrich"  -> (Indexing.dimEnrich _)
   )
 
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
@@ -97,6 +112,112 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS hour_ns, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sync_diff" ->
+      """WITH remote AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS rev_remote
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |loc AS (
+        |  SELECT o_orderkey AS lkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS rev_local
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(key, lkey) AS key,
+        |  CASE WHEN lkey IS NULL THEN 'new'
+        |       WHEN key IS NULL THEN 'deleted'
+        |       WHEN rev_remote <> rev_local THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM remote FULL OUTER JOIN loc ON key = lkey
+        |ORDER BY key""".stripMargin,
+    "sync_upsert" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0, 1 AS src
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey AS key, o_orderstatus AS status,
+        |       o_totalprice AS rev, CAST(src AS BIGINT) AS src
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY key""".stripMargin,
+    "outbox_batch" ->
+      """SELECT event_type, CAST((rn - 1) // 100 AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_events, MIN(event_id) AS min_event_id,
+        |  MAX(event_id) AS max_event_id
+        |FROM (SELECT event_type, event_id,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "batch_claim" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderstatus = 'P' AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "orphan_requeue" ->
+      """WITH hb AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END) AS last_click
+        |  FROM events GROUP BY user_id),
+        |dead AS (
+        |  SELECT user_id FROM hb
+        |  WHERE last_click IS NULL OR last_click < TIMESTAMP '2024-01-25 00:00:00')
+        |SELECT event_id, e.user_id AS user_id
+        |FROM events e JOIN dead d ON e.user_id = d.user_id
+        |WHERE e.event_type = 'view'
+        |ORDER BY event_id""".stripMargin,
+    "snapshot_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "json_props_extract" ->
+      """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MIN(k) AS min_k,
+        |  MAX(k) AS max_k, COUNT(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "inline_refs" ->
+      """WITH m AS (
+        |  SELECT unnest(regexp_extract_all(text, '\b(scan|join|sort) (\w+)')) AS ref
+        |  FROM documents)
+        |SELECT split_part(ref, ' ', 1) AS code, split_part(ref, ' ', 2) AS spec,
+        |  COUNT(*) AS n_refs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "explode_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos FROM d),
+        |firsts AS (SELECT doc_id, tok, MIN(pos) AS fp FROM tok GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY fp) AS dedup_text,
+        |               COUNT(*) AS n_distinct
+        |        FROM firsts GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, agg.dedup_text,
+        |  CAST(len(d.l) AS BIGINT) AS n_tokens,
+        |  CAST(agg.n_distinct AS BIGINT) AS n_distinct
+        |FROM d JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(text)) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "search_doc" ->
+      """WITH agg AS (
+        |  SELECT l_orderkey,
+        |    list(l_partkey ORDER BY l_partkey) AS part_keys,
+        |    array_to_string(list_sort(list_distinct(list(l_returnflag))), '') AS flags,
+        |    COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey AS key, c_name, n_name, part_keys, flags, n_lines, revenue
+        |FROM agg
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY key""".stripMargin,
+    "dim_enrich" ->
+      """SELECT s_suppkey, s_name, n_name, r_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

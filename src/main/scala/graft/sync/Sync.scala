@@ -1,0 +1,147 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Diff-based sync / ETL bookkeeping operators.
+  *
+  * Re-expresses the reference's incremental-sync loop
+  * (sync_service.rs:76-191 classify new/changed/missing,
+  * storage.rs ON CONFLICT upserts, outbox.rs batch polling,
+  * sync_service.rs:577-627 orphan re-queue, snapshot.rs:259 stats)
+  * as declarative Spark plans: the driver state machines become
+  * joins, windows and rollups over columnar snapshots.
+  *
+  * Scale notes: every operator here shuffles at most once on its
+  * natural key; at 100 TB both sides of the diff would be bucketed by
+  * key to eliminate even that (SURVEY.md §5).
+  */
+object Sync {
+
+  /** Changeset classification between a "remote" listing and the "local"
+    * mirror (sync_service.rs:104-163): full outer join on the key, CASE on
+    * presence + revision equality → new / changed / deleted / unchanged.
+    *
+    * The two sides are deterministic slices of `orders` (remote drops
+    * key%11==0, local drops key%7==0 and drifts the revision on key%5==0)
+    * so the oracle can derive identical inputs.
+    */
+  def syncDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val remote = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("rev_remote"))
+    val local = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        col("o_orderkey").as("lkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("rev_local")
+      )
+    remote.join(local, col("key") === col("lkey"), "full_outer")
+      .select(
+        coalesce(col("key"), col("lkey")).as("key"),
+        when(col("lkey").isNull, "new")
+          .when(col("key").isNull, "deleted")
+          .when(col("rev_remote") =!= col("rev_local"), "changed")
+          .otherwise("unchanged").as("status")
+      )
+      .orderBy("key")
+  }
+
+  /** Latest-wins upsert merge (storage.rs:118+ ON CONFLICT DO UPDATE):
+    * union base + updates with a source priority, keep one row per key.
+    * Single shuffle on the key; at 100 TB this is the MERGE pattern over
+    * bucketed tables.
+    */
+  def syncUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = o.withColumn("src", lit(0))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("src", lit(1))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("rev"),
+        col("src").cast("long").as("src")
+      )
+      .orderBy("key")
+  }
+
+  /** Deterministic batch assignment: the outbox poller's fixed-size chunks
+    * (indexing.rs:75 chunks of 5000, outbox.rs dedup-by-batch-key) as a
+    * row_number window per stream partition → batch summary rows.
+    */
+  def outboxBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "event_type")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    ev.withColumn("batch_id", ((row_number().over(w) - 1) / 100).cast("long"))
+      .groupBy(col("event_type"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id")
+      )
+      .orderBy("event_type", "batch_id")
+  }
+
+  /** Claim-pending semantics (storage.rs:788): rows still pending
+    * (status 'P') with no claim marker — an anti-join against the
+    * claim table (lineitems returned with flag 'R').
+    */
+  def batchClaim(spark: SparkSession, dir: String): DataFrame = {
+    val pending = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "P")
+      .select("o_orderkey", "o_custkey")
+    val claimed = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+      .distinct()
+    pending
+      .join(claimed, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .orderBy("o_orderkey")
+  }
+
+  /** Orphan re-queue (sync_service.rs:577-627): items held by workers whose
+    * heartbeat ('click' events) went silent before the cutoff are released
+    * back to the queue. Heartbeat roll-up is a tiny aggregate → broadcast
+    * back against the item stream, so the big side never shuffles.
+    */
+  def orphanRequeue(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffNs = 1706140800000000000L // 2024-01-25T00:00:00Z
+    val ev = Tables.events(spark, dir)
+    val heartbeats = ev
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", col("ts"))).as("last_click"))
+    val dead = heartbeats
+      .filter(col("last_click").isNull || col("last_click") < cutoffNs)
+      .select(col("user_id").as("dead_user"))
+    ev.filter(col("event_type") === "view")
+      .join(broadcast(dead), col("user_id") === col("dead_user"))
+      .select(col("event_id"), col("user_id"))
+      .orderBy("event_id")
+  }
+
+  /** Snapshot statistics roll-up (snapshot.rs:259): corpus counts at every
+    * dimension granularity in one pass via ROLLUP (partial aggregation,
+    * single shuffle).
+    */
+  def snapshotStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc")
+      )
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sync
+
+import graft.SparkSpec
+
+class SyncSpec extends SparkSpec {
+
+  test("sync_diff classifies every key into exactly one status") {
+    val rows = Sync.syncDiff(spark, sf).collect()
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses.subsetOf(Set("new", "changed", "deleted", "unchanged")))
+    // keys dropped from local (%7) but present remote must be 'new'
+    assert(rows.filter(r => r.getAs[Long]("key") % 7 == 0 && r.getAs[Long]("key") % 11 != 0)
+      .forall(_.getAs[String]("status") == "new"))
+    // keys dropped from remote (%11) but present local must be 'deleted'
+    assert(rows.filter(r => r.getAs[Long]("key") % 11 == 0 && r.getAs[Long]("key") % 7 != 0)
+      .forall(_.getAs[String]("status") == "deleted"))
+  }
+
+  test("sync_upsert keeps one row per key with updates winning") {
+    val rows = Sync.syncUpsert(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("key")).distinct.length == rows.length)
+    assert(rows.filter(_.getAs[Long]("key") % 3 == 0)
+      .forall(r => r.getAs[String]("status") == "U" && r.getAs[Long]("src") == 1L))
+  }
+
+  test("outbox_batch caps every batch at the chunk size") {
+    val rows = Sync.outboxBatch(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_events") <= 100))
+    assert(rows.forall(r => r.getAs[Long]("min_event_id") <= r.getAs[Long]("max_event_id")))
+  }
+
+  test("batch_claim excludes orders with a returned line") {
+    val claimed = Sync.batchClaim(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val withReturn = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").select("l_orderkey").distinct()
+    assert(claimed.join(withReturn,
+      claimed("o_orderkey") === withReturn("l_orderkey")).count() == 0)
+  }
+
+  test("orphan_requeue matches an independent dead-worker computation") {
+    import org.apache.spark.sql.functions._
+    val cutoffNs = 1706140800000000000L
+    val ev = graft.core.Tables.events(spark, sf).cache()
+    val deadUsers = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", col("ts"))).as("lc"))
+      .filter(col("lc").isNull || col("lc") < cutoffNs)
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    val expected = ev.filter(col("event_type") === "view")
+      .collect().count(r => deadUsers(r.getAs[Long]("user_id")))
+    assert(Sync.orphanRequeue(spark, sf).count() == expected)
+  }
+
+  test("snapshot_stats rollup includes the grand total") {
+    val rows = Sync.snapshotStats(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_docs") == 500L)
+  }
+}
