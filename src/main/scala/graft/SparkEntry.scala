@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Analytics
+import graft.dedup.Dedup
 import graft.index.Indexing
 import graft.json.JsonOps
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
 import graft.sync.Sync
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -34,7 +38,18 @@ object SparkEntry {
     "explode_dedup"      -> (JsonOps.explodeDedup _),
     "doc_fingerprint"    -> (JsonOps.docFingerprint _),
     "search_doc"  -> (Indexing.searchDoc _),
-    "dim_enrich"  -> (Indexing.dimEnrich _)
+    "dim_enrich"  -> (Indexing.dimEnrich _),
+    "text_stats" -> (TextOps.textStats _),
+    "lang_id"    -> (TextOps.langId _),
+    "token_freq" -> (TextOps.tokenFreq _),
+    "dedup_exact"     -> (Dedup.dedupExact _),
+    "dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "simhash_fp"      -> (Dedup.simhashFp _),
+    "ngram_jaccard"   -> (Dedup.ngramJaccard _),
+    "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "cosine_topk" -> (Similarity.cosineTopK _),
+    "ann_lsh"     -> (Similarity.annLsh _),
+    "mm_binary_stats" -> (Multimodal.mmBinaryStats _)
   )
 
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
@@ -218,6 +233,112 @@ object SparkEntry {
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "text_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS l,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS ns
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+        |  CAST(ns AS BIGINT) AS n_stop,
+        |  (1000000 * ns) // len(l) AS stop_ppm,
+        |  (1000000 * len(list_distinct(l))) // len(l) AS ttr_ppm,
+        |  (1000000 * (n_chars - (len(l) - 1))) // len(l) AS avg_tok_len_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und'], t))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of'], t))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','los','una'], t))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','les','une'], t))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['ma','de','shi'], t))) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+        |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+        |       WHEN s_zh = best THEN 'zh' ELSE 'und' END AS pred_lang,
+        |  CAST(CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+        |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+        |       WHEN s_zh = best THEN 'zh' ELSE 'und' END = lang AS INT) AS is_match
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "token_freq" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+        |FROM c ORDER BY rk LIMIT 100""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(trim(text)) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |  CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS uni
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |      len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash_fp" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+        |  CASE WHEN list_sum(list_transform(t, tk ->
+        |         CASE WHEN substr(md5(tk || '_' || j), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(l) >= 3
+        |          THEN list_transform(range(1, len(l) - 1),
+        |                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+        |          ELSE []::VARCHAR[] END) AS grams
+        |      FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        |  CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS uni
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.grams, b.grams)) >=
+        |      len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos6 FROM p WHERE cos6 >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
+        |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT sha256(text)) AS n_distinct_sha,
+        |  MIN(sha256(text)) AS min_sha
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

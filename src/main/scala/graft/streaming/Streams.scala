@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch event operators.
+  *
+  * The reference's outbox poller (outbox.rs: ordered event log drained
+  * into queues) maps onto Structured Streaming: a watermarked event-time
+  * stream with windowed/sessionized state instead of a polling loop with
+  * driver-side bookkeeping. Both transforms are source-agnostic — tests
+  * feed them from a MemoryStream, production from Kafka/files — and the
+  * identical code shape runs in batch, which is how the specs pin
+  * streaming results to the batch oracles.
+  *
+  * State stays bounded at 100 TB/day rates: the 30-minute watermark
+  * evicts closed sessions/windows; keys shard across executors by
+  * user_id / window hash.
+  */
+object Streams {
+
+  /** Normalize an events frame (epoch-ns `ts`) to an event-time column. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** Gap-based sessionization (30-minute inactivity): `session_window`
+    * merges per-user event runs; the watermark closes and emits sessions
+    * once event time passes end + gap. Batch twin: graft.analytics
+    * .Analytics.sessionize (window-function formulation).
+    */
+  def eventSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", gap)
+      .groupBy(session_window(col("ets"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value")
+      )
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value")
+      )
+
+  /** Watermarked tumbling-window hourly aggregation. Batch twin:
+    * Analytics.windowHourly. Distinct users use the mergeable HLL sketch
+    * (approx_count_distinct) — exact distinct is unbounded state on a
+    * stream.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("approx_users"), col("total_value")
+      )
+}

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("dedup_exact covers all docs with keep_id the minimum of each group") {
+    val rows = Dedup.dedupExact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == 500L)
+  }
+
+  test("dedup_minhash verified pairs satisfy the exact Jaccard threshold") {
+    val rows = Dedup.dedupMinhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (i, u) = (r.getAs[Long]("inter"), r.getAs[Long]("uni"))
+      2 * i >= u && i <= u && r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")
+    })
+  }
+
+  test("dedup_minhash LSH equals the exact all-pairs result at this scale") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("t"))
+    val exact = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.t"), col("b.t"))).as("i"),
+        (size(col("a.t")) + size(col("b.t"))).as("s"))
+      .filter(lit(2) * col("i") >= col("s") - col("i"))
+      .count()
+    assert(Dedup.dedupMinhash(spark, sf).count() == exact)
+  }
+
+  test("simhash_fp fits in 32 bits and near-dup docs have close hashes") {
+    val rows = Dedup.simhashFp(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("simhash"); h >= 0 && h < (1L << 32)
+    })
+  }
+
+  test("ngram_jaccard pairs are symmetric-free and above threshold") {
+    val rows = Dedup.ngramJaccard(spark, sf).collect()
+    assert(rows.forall { r =>
+      2 * r.getAs[Long]("inter") >= r.getAs[Long]("uni")
+    })
+  }
+
+  test("dedup_embedding pairs are all >= 0.35 cosine") {
+    val rows = Dedup.dedupEmbedding(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("cos6") >= 0.35))
+  }
+}

@@ -1,0 +1,30 @@
+package graft.sim
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine_topk returns exactly 5 ranked neighbours per query") {
+    val rows = Similarity.cosineTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20)
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L)))
+    // ranked descending by cosine
+    assert(byQ.values.forall { g =>
+      val cs = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos6"))
+      cs.zip(cs.tail).forall { case (a, b) => a >= b }
+    })
+  }
+
+  test("ann_lsh recall: bucketed neighbours are a subset of brute-force candidates") {
+    val ann = Similarity.annLsh(spark, sf).collect()
+    assert(ann.forall(r => r.getAs[Long]("rk") <= 5))
+    // every ANN hit must score no better than the true top-1
+    val best = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos6")).toMap
+    assert(ann.filter(_.getAs[Long]("rk") == 1).forall { r =>
+      r.getAs[Double]("cos6") <= best(r.getAs[Long]("q_id"))
+    })
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
+              value: Double)
+
+class StreamsSpec extends SparkSpec {
+
+  /** Feed the sf0.001 events through a MemoryStream in append mode,
+    * pushing two far-future flush events so the watermark passes every
+    * real session/window, then compare against the identical batch plan.
+    */
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        sinkName: String): org.apache.spark.sql.DataFrame = {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val maxTs = events.map(_.ts).max
+    val stream = MemoryStream[Ev](spark)
+    val query = transform(stream.toDF())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      // each flush batch advances the watermark computed from the previous one
+      stream.addData(Ev(-1, maxTs + 86400L * 1000000000L, -1, "flush", 0.0))
+      query.processAllAvailable()
+      stream.addData(Ev(-2, maxTs + 2 * 86400L * 1000000000L, -1, "flush", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sinkName)
+  }
+
+  test("streaming eventSessions matches the batch session_window plan") {
+    val got = runStream(Streams.eventSessions(_), "sessions_sink")
+      .filter(col("user_id") =!= -1)
+      .collect().map(_.toString).sorted
+    val batch = Streams.eventSessions(
+        graft.core.Tables.events(spark, sf)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(_.toString).sorted
+    assert(got.length > 0)
+    assert(got.sameElements(batch))
+  }
+
+  test("streaming hourlyCounts matches the batch twin on count and sum") {
+    val got = runStream(ev => Streams.hourlyCounts(ev), "hourly_sink")
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .filter(col("event_type") =!= "flush")
+      .collect().map(_.toString).sorted
+    val batch = Streams.hourlyCounts(
+        graft.core.Tables.events(spark, sf)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toString).sorted
+    assert(got.length > 0)
+    assert(got.sameElements(batch))
+  }
+
+  test("streaming sessionize agrees with the batch sessionize session count") {
+    val batchSessions = graft.analytics.Analytics.sessionize(spark, sf).count()
+    val streamed = spark.table("sessions_sink")
+      .filter(col("user_id") =!= -1).count()
+    assert(streamed == batchSessions)
+  }
+}
