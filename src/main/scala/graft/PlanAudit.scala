@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Prints a per-query plan audit: scan pushdown, read schema width,
+  * broadcast vs shuffle joins, and whole-stage codegen coverage.
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.Graft.session(cpus = 8)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def count(s: String) = plan.sliding(s.length).count(_ == s)
+        val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
+        println(f"$name%-20s bhj=${count("BroadcastHashJoin")}%d smj=${count("SortMergeJoin")}%d " +
+          f"exch=${count("Exchange")}%d scans=${count("FileScan")}%d pushedFilters=$pushed%d " +
+          f"codegenSpans=${count("WholeStageCodegen")}%d")
+      } catch { case e: Throwable => println(s"$name AUDIT-ERROR ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}
