@@ -26,14 +26,19 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must surface as an error, never as a ~0s "win"
+    val qs = results.map {
+      case (k, v, None)    => "\"" + k + "\":" + v
+      case (k, _, Some(e)) => "\"" + k + "\":\"ERROR:" + e + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,10 +35,14 @@ object SparkEntry {
     "snapshot_stats" -> (Sync.snapshotStats _),
     "json_props_extract" -> (JsonOps.jsonPropsExtract _),
     "inline_refs"        -> (JsonOps.inlineRefs _),
+    "ref_resolve"        -> (JsonOps.refResolve _),
+    "json_nested"        -> (JsonOps.jsonNested _),
     "explode_dedup"      -> (JsonOps.explodeDedup _),
     "doc_fingerprint"    -> (JsonOps.docFingerprint _),
-    "search_doc"  -> (Indexing.searchDoc _),
-    "dim_enrich"  -> (Indexing.dimEnrich _),
+    "search_doc"        -> (Indexing.searchDoc _),
+    "dim_enrich"        -> (Indexing.dimEnrich _),
+    "template_assemble" -> (Indexing.templateAssemble _),
+    "link_table"        -> (Indexing.linkTable _),
     "text_stats" -> (TextOps.textStats _),
     "lang_id"    -> (TextOps.langId _),
     "token_freq" -> (TextOps.tokenFreq _),
@@ -181,12 +185,14 @@ object SparkEntry {
         |WHERE e.event_type = 'view'
         |ORDER BY event_id""".stripMargin,
     "snapshot_stats" ->
-      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS first_doc
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "json_props_extract" ->
-      """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k, MIN(k) AS min_k,
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,
         |  MAX(k) AS max_k, COUNT(DISTINCT k) AS n_distinct_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -199,6 +205,57 @@ object SparkEntry {
         |SELECT split_part(ref, ' ', 1) AS code, split_part(ref, ' ', 2) AS spec,
         |  COUNT(*) AS n_refs
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ref_resolve" ->
+      """WITH m AS (
+        |  SELECT unnest(regexp_extract_all(text, '\b(scan|join|sort) (\w+)')) AS ref
+        |  FROM documents),
+        |refs AS (
+        |  SELECT split_part(ref, ' ', 1) AS code, split_part(ref, ' ', 2) AS spec,
+        |    COUNT(*) AS n_refs
+        |  FROM m GROUP BY 1, 2),
+        |bib AS (
+        |  SELECT split_part(p_name, ' ', 1) AS word, MIN(p_partkey) AS resolved_id
+        |  FROM part GROUP BY 1)
+        |SELECT code, spec, n_refs, resolved_id,
+        |  CAST(resolved_id IS NOT NULL AS INT) AS resolved
+        |FROM refs LEFT JOIN bib ON spec = word
+        |ORDER BY code, spec""".stripMargin,
+    "json_nested" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |firsts AS (
+        |  SELECT user_id, k, MIN(event_id) AS fe FROM e GROUP BY 1, 2),
+        |ks AS (
+        |  SELECT user_id, string_agg(CAST(k AS VARCHAR), ',' ORDER BY fe) AS k_ids,
+        |    COUNT(*) AS n_distinct_k
+        |  FROM firsts GROUP BY 1),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_events, SUM(k) AS sum_k FROM e GROUP BY 1)
+        |SELECT agg.user_id AS user_id, n_events, CAST(sum_k AS BIGINT) AS sum_k,
+        |  CAST(n_distinct_k AS BIGINT) AS n_distinct_k, k_ids
+        |FROM agg JOIN ks ON agg.user_id = ks.user_id
+        |ORDER BY user_id""".stripMargin,
+    "template_assemble" ->
+      """WITH c AS (
+        |  SELECT split_part(p_name, ' ', 1) AS word, MIN(p_partkey) AS concept_id
+        |  FROM part GROUP BY 1),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN concept_id IS NOT NULL
+        |               THEN '[' || tok || ':' || concept_id || ']'
+        |               ELSE tok END, ' ' ORDER BY pos) AS assembled,
+        |  COUNT(concept_id) AS n_resolved
+        |FROM t LEFT JOIN c ON tok = word
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "link_table" ->
+      """SELECT l_orderkey AS article_id, l_partkey AS bib_id,
+        |  COUNT(*) AS n_refs, CAST(MIN(l_linenumber) AS BIGINT) AS first_line
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "explode_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |tok AS (SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos FROM d),
@@ -217,7 +274,7 @@ object SparkEntry {
     "search_doc" ->
       """WITH agg AS (
         |  SELECT l_orderkey,
-        |    list(l_partkey ORDER BY l_partkey) AS part_keys,
+        |    array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS part_keys,
         |    array_to_string(list_sort(list_distinct(list(l_returnflag))), '') AS flags,
         |    COUNT(*) AS n_lines,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
@@ -284,12 +341,15 @@ object SparkEntry {
         |      len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
         |ORDER BY doc_a, doc_b""".stripMargin,
     "simhash_fp" ->
-      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |      FROM d)
         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
-        |  CASE WHEN list_sum(list_transform(t, tk ->
-        |         CASE WHEN substr(md5(tk || '_' || j), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |  CASE WHEN list_sum(list_transform(hs, hv ->
+        |         CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |FROM h ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g AS (SELECT doc_id, list_distinct(

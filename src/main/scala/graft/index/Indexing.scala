@@ -33,7 +33,9 @@ object Indexing {
       (lit(1) - col("l_discount").cast("decimal(8,6)"))
     li.groupBy(col("l_orderkey"))
       .agg(
-        sort_array(collect_list(col("l_partkey"))).as("part_keys"),
+        // serialized (comma-joined) so the driver's row hasher can compare
+        // it against the oracle — raw array columns are unhashable there
+        concat_ws(",", sort_array(collect_list(col("l_partkey")))).as("part_keys"),
         array_join(sort_array(collect_set(col("l_returnflag"))), "").as("flags"),
         count(lit(1)).as("n_lines"),
         sum(revenue).cast("double").as("revenue")
@@ -47,6 +49,53 @@ object Indexing {
         col("part_keys"), col("flags"), col("n_lines"), col("revenue")
       )
       .orderBy("key")
+  }
+
+  /** Template text assembly (extraction.rs:261-302 `format_element_text` /
+    * `resolve_item`): every token of a document is looked up in a concept
+    * map (here: the first word of `p_name` → its part key) and, when it
+    * resolves, substituted with its canonical `[word:id]` form; the text
+    * is then reassembled in original token order. Distributed form:
+    * posexplode → broadcast left join → ordered re-aggregation, so the
+    * document stream shuffles once (on doc_id, for reassembly) and never
+    * for the lookup.
+    */
+  def templateAssemble(spark: SparkSession, dir: String): DataFrame = {
+    val concepts = Tables.part(spark, dir)
+      .groupBy(split(col("p_name"), " ").getItem(0).as("word"))
+      .agg(min(col("p_partkey")).as("concept_id"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    toks
+      .join(broadcast(concepts), col("tok") === col("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("concept_id").isNotNull,
+          concat(lit("["), col("tok"), lit(":"), col("concept_id"), lit("]")))
+          .otherwise(col("tok")).as("out_tok"),
+        col("concept_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("out_tok")))),
+          t => t.getField("out_tok")), " ").as("assembled"),
+        count(col("concept_id")).as("n_resolved"))
+      .orderBy("doc_id")
+  }
+
+  /** Link-table materialization (storage.rs:169-235 `article_bibliography`
+    * / `article_place`): the many-to-many edges between the fact entity
+    * and its referenced dimension, deduped with provenance counts —
+    * the columnar equivalent of the reference's ON CONFLICT DO NOTHING
+    * link inserts. Single shuffle on the composite edge key.
+    */
+  def linkTable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .groupBy(col("l_orderkey").as("article_id"), col("l_partkey").as("bib_id"))
+      .agg(
+        count(lit(1)).as("n_refs"),
+        min(col("l_linenumber")).cast("long").as("first_line"))
+      .orderBy("article_id", "bib_id")
   }
 
   /** Multi-hop dimension enrichment (bib_map/place_map resolution,

@@ -72,6 +72,69 @@ object JsonOps {
       .orderBy("doc_id")
   }
 
+  /** Inline-reference RESOLUTION (storage.rs:443-495, extraction.rs:607-710):
+    * the reference doesn't just mine `(code, spec)` refs — it resolves each
+    * spec against the bibliography lookup and records unresolved codes.
+    * Here the bibliography dim derives from `part` (first word of p_name →
+    * smallest part key); resolution is a broadcast left join, so the mined
+    * ref stream never shuffles for the lookup. Unresolved specs survive
+    * with a null id and resolved=0, exactly like the reference's
+    * unresolved-code bookkeeping.
+    */
+  def refResolve(spark: SparkSession, dir: String): DataFrame = {
+    val refs = Tables.documents(spark, dir)
+      .select(explode(
+        expr("""regexp_extract_all(text, '\\b(scan|join|sort) (\\w+)', 0)""")).as("ref"))
+      .select(
+        split(col("ref"), " ").getItem(0).as("code"),
+        split(col("ref"), " ").getItem(1).as("spec"))
+      .groupBy(col("code"), col("spec"))
+      .agg(count(lit(1)).as("n_refs"))
+    val bib = Tables.part(spark, dir)
+      .groupBy(split(col("p_name"), " ").getItem(0).as("word"))
+      .agg(min(col("p_partkey")).as("resolved_id"))
+    refs
+      .join(broadcast(bib), col("spec") === col("word"), "left")
+      .select(
+        col("code"), col("spec"), col("n_refs"), col("resolved_id"),
+        col("resolved_id").isNotNull.cast("int").as("resolved"))
+      .orderBy("code", "spec")
+  }
+
+  /** Nested-JSON extraction with recursive id collection
+    * (extraction.rs:456-534 `collect_ids`, 46 `walk_json_objects`): a
+    * nested per-user document — user header + ordered array of event
+    * objects, each with its own JSON props payload — is assembled with
+    * `to_json`, parsed back through `from_json` with the full nested
+    * schema, and the ids are collected by walking the parsed tree with
+    * higher-order functions: `transform` descends into the array,
+    * `array_distinct` keeps first-occurrence order (IndexSet semantics).
+    * One shuffle (the per-user assembly); the walk itself is a projection.
+    */
+  def jsonNested(spark: SparkSession, dir: String): DataFrame = {
+    val nestedSchema =
+      "user_id BIGINT, events ARRAY<STRUCT<event_id: BIGINT, event_type: STRING, k: BIGINT>>"
+    val docs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("user_id"))
+      .agg(to_json(struct(
+        col("user_id"),
+        // array_sort on structs orders by leading field → event_id order
+        array_sort(collect_list(struct(col("event_id"), col("event_type"), col("k"))))
+          .as("events"))).as("doc"))
+    docs
+      .select(col("user_id"),
+        from_json(col("doc"), nestedSchema, Map.empty[String, String]).as("parsed"))
+      .select(
+        col("user_id"),
+        size(col("parsed.events")).cast("long").as("n_events"),
+        expr("aggregate(parsed.events, cast(0 as bigint), (a, e) -> a + e.k)").as("sum_k"),
+        size(array_distinct(col("parsed.events.k"))).cast("long").as("n_distinct_k"),
+        concat_ws(",", array_distinct(col("parsed.events.k"))).as("k_ids"))
+      .orderBy("user_id")
+  }
+
   /** Content fingerprint for dedup-by-content (storage.rs upsert identity):
     * md5 over the normalized text. Portable across engines, codegen'd.
     */

@@ -1,0 +1,53 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sink side of the engine (reference: indexing.rs:61-115 chunked batched
+  * upsert in chunks of 5000, meili.rs:187+ index writes, storage.rs
+  * ON CONFLICT upserts).
+  *
+  * The reference streams row batches into Postgres/Meilisearch; the
+  * columnar equivalent is a deterministic batch assignment (so a re-run
+  * writes the same chunks — idempotent like the reference's upserts)
+  * followed by a partitioned write, one directory per chunk, which a
+  * downstream bulk-loader can apply chunk-by-chunk.
+  */
+object Sinks {
+
+  /** Assign deterministic chunk ids: rows ordered by `keyCol` within each
+    * `streamCol` value, `chunkSize` rows per chunk (indexing.rs:75).
+    */
+  def withChunks(df: DataFrame, streamCol: String, keyCol: String,
+                 chunkSize: Int): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(keyCol))
+    df.withColumn("chunk_id", ((row_number().over(w) - 1) / chunkSize).cast("long"))
+  }
+
+  /** Chunked batched write: one output directory per (stream, chunk) so a
+    * bulk upsert loader can consume chunks independently and resume after
+    * failure — the columnar form of the reference's batched index upsert.
+    */
+  def chunkedWrite(df: DataFrame, streamCol: String, keyCol: String,
+                   chunkSize: Int, path: String, format: String = "parquet"): Unit =
+    withChunks(df, streamCol, keyCol, chunkSize)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(streamCol, "chunk_id")
+      .format(format)
+      .save(path)
+
+  /** Latest-wins upsert merge into an existing snapshot (storage.rs:118+
+    * ON CONFLICT DO UPDATE): union + one row per key by source priority.
+    * Single shuffle on the key; at 100 TB this is MERGE over bucketed
+    * tables.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+}

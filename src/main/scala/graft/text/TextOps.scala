@@ -84,7 +84,11 @@ object TextOps {
 
   /** Global token frequency top-100 (count desc, token asc tie-break).
     * Partial aggregation makes this a small-result shuffle at any scale;
-    * the global top-k is a TakeOrderedAndProject, no full sort.
+    * the global top-k is a TakeOrderedAndProject, no full sort. The rank
+    * window runs AFTER the limit(100) — a single-partition window over
+    * exactly 100 rows, constant-size at any corpus scale (the lit(1)
+    * partition key keeps WindowExec from flagging it as an unpartitioned
+    * global window).
     */
   def tokenFreq(spark: SparkSession, dir: String): DataFrame = {
     val counted = Tables.documents(spark, dir)
@@ -93,7 +97,8 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
-    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token"))
     counted.withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("rk")
   }
 }

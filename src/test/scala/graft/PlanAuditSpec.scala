@@ -1,0 +1,40 @@
+package graft
+
+/** Plan-shape regression gate (SURVEY §5): a query that silently picks
+  * up a cartesian product or an all-pairs nested-loop join would still
+  * pass row-level correctness at test scale and then die at 100 TB —
+  * so the scale-killer shapes fail the build instead.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** cosine_topk is the DECLARED brute-force baseline: its 20-row query
+    * side broadcasts into a nested-loop by construction. Everything else
+    * must plan equi-joins.
+    */
+  private val bruteForceBaselines = Set("cosine_topk")
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("no query except the brute-force baseline plans a nested-loop join") {
+    SparkEntry.queries.filterNot(q => bruteForceBaselines(q._1)).foreach {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("dimension lookups broadcast instead of shuffling the fact side") {
+    Seq("q3_topk", "q5_join", "dim_enrich", "search_doc", "ref_resolve",
+      "template_assemble").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast join")
+    }
+  }
+}

@@ -51,4 +51,24 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.dedupEmbedding(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("cos6") >= 0.35))
   }
+
+  test("dedup_embedding LSH recovers the exact all-pairs result") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos6"))
+    val lsh = Dedup.dedupEmbedding(spark, sf).collect().map(key).toSet
+    val exact = Dedup.dedupEmbeddingExact(spark, sf).collect().map(key).toSet
+    assert(lsh == exact)
+  }
+
+  test("dedup_embedding plan has no nested-loop or cartesian join") {
+    val plan = Dedup.dedupEmbedding(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup_minhash plan never shuffles token arrays through the band join") {
+    val plan = Dedup.dedupMinhash(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

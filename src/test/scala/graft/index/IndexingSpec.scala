@@ -8,7 +8,7 @@ class IndexingSpec extends SparkSpec {
     val rows = Indexing.searchDoc(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall { r =>
-      val keys = r.getAs[scala.collection.Seq[Long]]("part_keys")
+      val keys = r.getAs[String]("part_keys").split(",").map(_.toLong).toSeq
       keys.length == r.getAs[Long]("n_lines") && keys == keys.sorted
     })
   }
@@ -23,5 +23,28 @@ class IndexingSpec extends SparkSpec {
   test("search_doc plan broadcasts the dimension side") {
     val plan = Indexing.searchDoc(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("template_assemble keeps token order and counts resolutions") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Indexing.templateAssemble(spark, sf).collect()
+    assert(rows.length == docs.size)
+    assert(rows.forall { r =>
+      val orig = docs(r.getAs[Long]("doc_id")).split(" ")
+      val out = r.getAs[String]("assembled").split(" ")
+      out.length == orig.length &&
+        out.zip(orig).forall { case (o, t) => o == t || (o.startsWith(s"[$t:") && o.endsWith("]")) } &&
+        out.count(_.startsWith("[")) == r.getAs[Long]("n_resolved")
+    })
+  }
+
+  test("link_table edges cover every lineitem exactly once") {
+    val rows = Indexing.linkTable(spark, sf).collect()
+    val lines = graft.core.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_refs")).sum == lines)
+    val keys = rows.map(r => (r.getAs[Long]("article_id"), r.getAs[Long]("bib_id")))
+    assert(keys.distinct.length == keys.length)
   }
 }

@@ -31,4 +31,27 @@ class JsonOpsSpec extends SparkSpec {
     val rows = JsonOps.docFingerprint(spark, sf).collect()
     assert(rows.forall(_.getAs[String]("fingerprint").matches("[0-9a-f]{32}")))
   }
+
+  test("ref_resolve marks resolved refs with an id and unresolved with null") {
+    val rows = JsonOps.refResolve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val hasId = !r.isNullAt(r.fieldIndex("resolved_id"))
+      r.getAs[Int]("resolved") == (if (hasId) 1 else 0)
+    })
+    // the sum over (code, spec) counts must equal the plain mined count
+    val mined = JsonOps.inlineRefs(spark, sf).collect()
+      .map(_.getAs[Long]("n_refs")).sum
+    assert(rows.map(_.getAs[Long]("n_refs")).sum == mined)
+  }
+
+  test("json_nested walk collects every event and ordered distinct ids") {
+    val rows = JsonOps.jsonNested(spark, sf).collect()
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    assert(rows.forall { r =>
+      val ids = r.getAs[String]("k_ids").split(",")
+      ids.distinct.sameElements(ids) && ids.length == r.getAs[Long]("n_distinct_k")
+    })
+  }
 }

@@ -27,4 +27,15 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Double]("cos6") <= best(r.getAs[Long]("q_id"))
     })
   }
+
+  test("ann_lsh recall vs brute-force top-5 stays above the floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val bf = pairs(Similarity.cosineTopK(spark, sf))
+    val ann = pairs(Similarity.annLsh(spark, sf))
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    // 16 bands × 4 planes: expected per-neighbour recall ≥ ~0.8 at the
+    // cosine range of true top-5 hits; fail the build if params degrade
+    assert(recall >= 0.6, s"ann_lsh recall $recall below floor 0.6")
+  }
 }
