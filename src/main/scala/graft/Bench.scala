@@ -18,13 +18,32 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // see graft.core.Graft: avoids Janino OOM on wide LSH projections
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle scratch on RAM-backed tmpfs: the local disk writes at
+      // ~265 MB/s and the pair-join shuffles are multi-GB — on a real
+      // cluster this is the executors' local NVMe
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
+      // giant unrolled plans make per-execution UI metadata MBs each;
+      // don't let a long query sequence accumulate it on the driver heap
+      .config("spark.sql.ui.retainedExecutions", "8")
+      // dev: SPARK_GRAFT_EVENTLOG=/some/dir enables stage-level tracing
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footers so timings measure the plans
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }

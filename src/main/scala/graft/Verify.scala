@@ -10,7 +10,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see graft.core.Graft: avoids Janino OOM on wide LSH projections
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle scratch on RAM-backed tmpfs: the local disk writes at
+      // ~265 MB/s and the pair-join shuffles are multi-GB — on a real
+      // cluster this is the executors' local NVMe
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

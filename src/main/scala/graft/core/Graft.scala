@@ -19,10 +19,24 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // InferFiltersFromGenerate clones the generator's input expression
+      // into an inferred size()>0 filter; with wide unrolled projections
+      // (LSH banding) that triples a multi-thousand-node expression in
+      // one codegen stage and OOMs Janino. The inferred filter is purely
+      // an optimization and our generator inputs are never null.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle scratch on RAM-backed tmpfs: the local disk writes at
+      // ~265 MB/s and the pair-join shuffles are multi-GB — on a real
+      // cluster this is the executors' local NVMe
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // giant unrolled plans make per-execution UI metadata MBs each;
+      // don't let a long query sequence accumulate it on the driver heap
+      .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

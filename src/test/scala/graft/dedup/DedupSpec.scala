@@ -52,12 +52,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos6") >= 0.35))
   }
 
-  test("dedup_embedding LSH recovers the exact all-pairs result") {
-    def key(r: org.apache.spark.sql.Row) =
-      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos6"))
-    val lsh = Dedup.dedupEmbedding(spark, sf).collect().map(key).toSet
-    val exact = Dedup.dedupEmbeddingExact(spark, sf).collect().map(key).toSet
-    assert(lsh == exact)
+  test("dedup_embedding blocked grid equals a driver-side all-pairs oracle") {
+    // independent oracle: brute-force all pairs on the driver (test scale)
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+      .sortBy(_._1)
+    val expected = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i); (ib, vb) = vecs(j)
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      cos6 = BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos6 >= 0.35
+    } yield (ia, ib, cos6)).toSet
+    val got = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos6")))
+      .toSet
+    assert(got == expected)
   }
 
   test("dedup_embedding plan has no nested-loop or cartesian join") {
