@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // has 128 GiB — 1 GiB/thread of execution memory avoids shuffle spill
   // on the pair-join workloads
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Janino-generated classes from wide plans overflow the default 240 MB
+  // code cache; once full the JIT stops compiling and EVERY later query
+  // runs interpreted (measured: queries 3-20× slower late in a bench
+  // sequence than in isolation)
+  "-XX:ReservedCodeCacheSize=1g",
 )

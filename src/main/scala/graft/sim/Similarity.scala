@@ -26,6 +26,7 @@ object Similarity {
     * partitioned per query — a per-partition top-k merge at scale.
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
     val q = e.filter(col("vec_id") < Queries)
@@ -49,6 +50,7 @@ object Similarity {
     * SimilaritySpec floor keeps parameter regressions from shipping).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
     val banded = withBandBuckets(e.select("vec_id", "embedding"), bands = 16, rows = 4)

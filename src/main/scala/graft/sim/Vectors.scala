@@ -31,17 +31,21 @@ object Vectors {
     else -1.0
   }
 
-  /** Exact dot product of two 64-d float array columns, codegen'd. */
+  /** Exact dot product of two float array columns via the native loop
+    * expression (graft.functions.ArrayDotD): element-order summation,
+    * bit-identical to the DuckDB oracle's left-to-right `list_reduce`
+    * fold. The unrolled 64-term Column version this replaces measured
+    * ~27 µs/pair — its expression tree compiled to bytecode too big for
+    * the JIT. Requires GraftFunctions.register on the session.
+    */
   def dot64(a: String, b: String): Column =
-    (1 to 64).map(k =>
-      element_at(col(a), k).cast("double") * element_at(col(b), k).cast("double")
-    ).reduce(_ + _)
+    call_function("vec_dot", col(a), col(b))
 
-  /** L2 norm of a 64-d float array column, codegen'd. */
+  /** L2 norm of a 64-d float array column: sqrt(dot(c, c)), same
+    * summation order as the unrolled version it replaces.
+    */
   def norm64(c: String): Column =
-    sqrt((1 to 64).map(k =>
-      element_at(col(c), k).cast("double") * element_at(col(c), k).cast("double")
-    ).reduce(_ + _))
+    sqrt(call_function("vec_dot", col(c), col(c)))
 
   /** Adds a `bucket_arr` column of `bands` LSH bucket keys for the
     * 64-d `embedding` column: each band packs `rows` hyperplane sign
@@ -49,27 +53,17 @@ object Vectors {
     * Candidate recall at cosine c is 1-(1-p^rows)^bands with
     * p = 1-acos(c)/π.
     *
-    * The plane dots are UNROLLED codegen expressions, not interpreted
-    * lambdas (higher-order functions never codegen — a lambda version
-    * measured ~6 ms/row); sparse weights keep each dot to ~16 terms.
+    * The packed sign codes come from the native loop expression
+    * graft.functions.LshPackedBands (same planeWeight matrix, identical
+    * bucket values to the unrolled-Column version it replaces — which
+    * measured ~7 ms/row because its giant expression tree defeated the
+    * JIT). The tiny per-band xxhash64 transform stays a Column lambda:
+    * `bands` evaluations per row is noise.
     */
-  def withBandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame = {
-    def el(k: Int) = element_at(col("embedding"), k).cast("double")
-    val buckets = (0 until bands).map { b =>
-      val packed = (0 until rows).map { i =>
-        val p = b * rows + i
-        val terms = (1 to 64).flatMap { k =>
-          planeWeight(p, k - 1) match {
-            case 1.0  => Some(el(k))
-            case -1.0 => Some(lit(0.0) - el(k))
-            case _    => None
-          }
-        }
-        val dot = if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
-        when(dot > lit(0.0), lit(1)).otherwise(lit(0))
-      }.reduce((a, c) => a * lit(2) + c)
-      xxhash64(lit(b), packed)
-    }
-    df.withColumn("bucket_arr", array(buckets: _*))
-  }
+  def withBandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
+    df.withColumn("packed",
+        call_function("lsh_packed_bands", col("embedding"), lit(bands), lit(rows)))
+      .withColumn("bucket_arr",
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, element_at(packed, b + 1)))"))
+      .drop("packed")
 }
