@@ -17,27 +17,11 @@ object Scratch {
 
     time("warm q1")(Tables.lineitem(spark, dir).count())
 
-    // minhash sub-stages on the new component-based path
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("s"))
-    val sorted = sets.select(col("doc_id"), array_sort(col("s")).as("s"))
-      .repartition(col("doc_id"))
-    val banded = sorted.select(col("doc_id"),
-      explode(call_function("minhash_band_buckets", col("s"), lit(64))).as("bucket"))
-    time("mh banded rows")(banded.count())
-    val edges = banded
-      .withColumn("root",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("doc_id") =!= col("root"))
-      .select(col("doc_id"), col("root")).distinct()
-    time("mh star edges")(edges.count())
+    time("ng full query")(graft.dedup.Dedup.ngramJaccard(spark, dir).count())
     time("mh full query")(graft.dedup.Dedup.dedupMinhash(spark, dir).count())
-    time("ngram full query")(graft.dedup.Dedup.ngramJaccard(spark, dir).count())
-    time("emb full query")(graft.dedup.Dedup.dedupEmbedding(spark, dir).count())
-    time("cosine_topk")(graft.sim.Similarity.cosineTopK(spark, dir).count())
-    time("ann_lsh")(graft.sim.Similarity.annLsh(spark, dir).count())
     time("simhash_fp")(graft.dedup.Dedup.simhashFp(spark, dir).count())
+    time("ann_lsh")(graft.sim.Similarity.annLsh(spark, dir).count())
+    time("search_doc")(graft.index.Indexing.searchDoc(spark, dir).count())
     spark.stop()
   }
 }

@@ -40,6 +40,11 @@ object GraftFunctions {
       { case Seq(c, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
           LshPackedBands(c, b, r) },
       "built-in")
+    reg.createOrReplaceTempFunction("ngram_hash_set",
+      { case Seq(c, Literal(n: Int, IntegerType)) => NgramHashSet(c, n) },
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      es => Simhash32(es.head), "built-in")
   }
 }
 
@@ -147,6 +152,77 @@ object Mix {
   /** Band bucket key from (band, min1, min2). */
   def bucket(b: Int, m1: Long, m2: Long): Long =
     mix64(mix64(b.toLong ^ m1) ^ m2)
+  /** FNV-1a 64 over the raw UTF-8 bytes, finalized with mix64. */
+  def strHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xFF)) * 0x100000001B3L; i += 1 }
+    mix64(h)
+  }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Full work of Simhash32 (shared by eval and codegen): for each token
+    * take the first 4 bytes of its MD5 as an unsigned 32-bit value
+    * (exactly `conv(substring(md5(t), 1, 8), 16, 10)`), then set output
+    * bit j when the ±1 majority of the tokens' bit j is positive.
+    */
+  def simhash32(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xFF) << 24) | ((d(1) & 0xFF) << 16) |
+        ((d(2) & 0xFF) << 8) | (d(3) & 0xFF)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1) == 1) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  /** Full work of NgramHashSet (shared by eval and codegen): hash every
+    * token, combine each n-token window order-sensitively, sort, dedup.
+    */
+  def ngramHashSet(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   n: Int): GenericArrayData = {
+    val sz = arr.numElements()
+    if (sz < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](sz)
+    var i = 0
+    while (i < sz) { th(i) = strHash(arr.getUTF8String(i)); i += 1 }
+    val g = new Array[Long](sz - n + 1)
+    i = 0
+    while (i <= sz - n) {
+      var hh = 0L
+      var k = 0
+      while (k < n) { hh = mix64(hh ^ th(i + k)); k += 1 }
+      g(i) = hh
+      i += 1
+    }
+    java.util.Arrays.sort(g)
+    var w = 1
+    i = 1
+    while (i < g.length) {
+      if (g(i) != g(w - 1)) { g(w) = g(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(g, w))
+  }
 }
 
 /** All MinHash-LSH band bucket keys for a hashed element set in ONE pass:
@@ -274,6 +350,50 @@ case class LshPackedBands(child: Expression, bands: Int, rows: Int)
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word n-gram hashed set: tokens → sorted, distinct 64-bit hashes of
+  * every n consecutive tokens (order-sensitive combine). One fused pass
+  * replaces a `transform(sequence, i -> xxhash64(concat_ws(...)))` +
+  * `array_distinct` lambda stack that evaluated interpreted at ~1 ms/doc.
+  * Output is already sorted for the merge-walk verifier. Gram identity is
+  * hash-based on both the Spark and oracle side of the Jaccard pipeline
+  * (64-bit: collision odds are negligible at corpus vocabulary sizes).
+  */
+case class NgramHashSet(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mix.ngramHashSet(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Mix.ngramHashSet($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over a distinct-token string array, MD5 bit-parity
+  * with the portable `conv(substring(md5(t),1,8),16,10)` + ±1-majority
+  * formulation the oracle uses. One fused pass replaces a 32-way
+  * `aggregate` lambda stack over the token array (interpreted, and
+  * wildly JIT-sensitive: 0.5-8 s for 5,000 docs depending on what ran
+  * before it in the session).
+  */
+case class Simhash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mix.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Mix.simhash32($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The native expressions must agree with independent Column-level
+  * formulations of the same math, and their interpreted eval must agree
+  * with their generated code (the driver may run either path).
+  */
+class GraftFunctionsSpec extends SparkSpec {
+
+  private def registered: Unit = GraftFunctions.register(spark)
+
+  private def docsTokens: DataFrame =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+  test("vec_dot matches an independent zip_with/aggregate fold") {
+    registered
+    val rows = Tables.embeddings(spark, sf)
+      .select(
+        call_function("vec_dot", col("embedding"), col("embedding")).as("fast"),
+        expr("""aggregate(zip_with(embedding, embedding,
+                 (x, y) -> cast(x as double) * cast(y as double)),
+                 cast(0 as double), (s, v) -> s + v)""").as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("sorted_intersect_count matches size(array_intersect)") {
+    registered
+    val sets = docsTokens
+      .select(col("doc_id"),
+        array_sort(expr("transform(toks, t -> xxhash64(t))")).as("s"))
+    val pairs = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(
+        call_function("sorted_intersect_count", col("a.s"), col("b.s")).as("fast"),
+        size(array_intersect(col("a.s"), col("b.s"))).cast("long").as("ref"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("simhash32 matches the portable md5 SQL formulation") {
+    registered
+    val rows = docsTokens
+      .select(
+        call_function("simhash32", col("toks")).as("fast"),
+        expr("""aggregate(
+            sequence(0, 31), cast(0 as bigint),
+            (acc, j) -> acc + IF(
+              aggregate(transform(toks,
+                  t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
+                0, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+              shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ngram_hash_set has one hash per distinct 3-gram, sorted") {
+    registered
+    val rows = Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("toks"))
+      .select(
+        call_function("ngram_hash_set", col("toks"), lit(3)).as("g"),
+        expr("""size(array_distinct(
+             CASE WHEN size(toks) >= 3
+               THEN transform(sequence(0, size(toks) - 3),
+                      i -> concat_ws(' ', element_at(toks, i+1),
+                                          element_at(toks, i+2),
+                                          element_at(toks, i+3)))
+               ELSE array() END))""").cast("long").as("n_ref"))
+      .select(size(col("g")).cast("long").as("n"), col("n_ref"),
+        (col("g") === array_sort(col("g"))).as("sorted"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getBoolean(2))
+    }
+  }
+
+  test("interpreted eval agrees with generated code") {
+    registered
+    def results(): Seq[(Long, Long)] = {
+      docsTokens
+        .select(col("doc_id"), call_function("simhash32", col("toks")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    val codegen = results()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = results()
+      assert(interpreted == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+}
