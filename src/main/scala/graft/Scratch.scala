@@ -18,6 +18,9 @@ object Scratch {
     time("warm q1")(Tables.lineitem(spark, dir).count())
 
     time("ng full query")(graft.dedup.Dedup.ngramJaccard(spark, dir).count())
+    time("dedup_cluster")(graft.dedup.Dedup.dedupCluster(spark, dir).count())
+    time("ann_ivf")(graft.sim.Similarity.annIvf(spark, dir).count())
+    time("post-cluster ref_resolve")(graft.json.JsonOps.refResolve(spark, dir).count())
     time("mh full query")(graft.dedup.Dedup.dedupMinhash(spark, dir).count())
     time("simhash_fp")(graft.dedup.Dedup.simhashFp(spark, dir).count())
     time("ann_lsh")(graft.sim.Similarity.annLsh(spark, dir).count())

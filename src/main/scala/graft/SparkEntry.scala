@@ -46,13 +46,18 @@ object SparkEntry {
     "text_stats" -> (TextOps.textStats _),
     "lang_id"    -> (TextOps.langId _),
     "token_freq" -> (TextOps.tokenFreq _),
+    "token_bpe"      -> (TextOps.tokenBpe _),
+    "quality_score"  -> (TextOps.qualityScore _),
+    "doc_rolling_fp" -> (TextOps.docRollingFp _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
+    "dedup_cluster"   -> (Dedup.dedupCluster _),
     "simhash_fp"      -> (Dedup.simhashFp _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
+    "ann_ivf"     -> (Similarity.annIvf _),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _)
   )
 
@@ -327,6 +332,82 @@ object SparkEntry {
         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
         |SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
         |FROM c ORDER BY rk LIMIT 100""".stripMargin,
+    "token_bpe" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+') AS pieces,
+        |    len(string_split(text, ' ')) AS n_ws
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(pieces)) AS BIGINT) AS total_bpe,
+        |  CAST(SUM(n_ws) AS BIGINT) AS total_ws,
+        |  CAST(SUM(len(list_distinct(pieces))) AS BIGINT) AS total_bpe_distinct,
+        |  CAST(MAX(len(pieces)) AS BIGINT) AS max_bpe
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    "quality_score" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_alpha
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_tokens,
+        |    (1000000 * n_stop) // n_tokens AS stop_ppm,
+        |    (1000000 * n_distinct) // n_tokens AS ttr_ppm,
+        |    (1000000 * n_alpha) // n_tokens AS alpha_ppm
+        |  FROM s),
+        |sc AS (
+        |  SELECT *,
+        |    100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 40 END)
+        |        - (CASE WHEN stop_ppm BETWEEN 20000 AND 600000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN ttr_ppm >= 200000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN alpha_ppm >= 600000 THEN 0 ELSE 20 END) AS score
+        |  FROM m)
+        |SELECT doc_id, n_tokens, stop_ppm, ttr_ppm, alpha_ppm, score,
+        |  CAST(score >= 60 AS INT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "doc_rolling_fp" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(range(1, len(t) + 1),
+        |          i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |      FROM d),
+        |f AS (SELECT doc_id, codes,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |          (a, b) -> (a * 257 + b) % 1000000007) AS full_fp
+        |      FROM c)
+        |SELECT doc_id, full_fp,
+        |  CASE WHEN len(codes) < 8 THEN full_fp ELSE
+        |    list_min(list_transform(range(1, len(codes) - 6), j ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_slice(codes, CAST(j AS INT), CAST(j + 7 AS INT))),
+        |        (a, b) -> (a * 257 + b) % 1000000007)))
+        |  END AS win_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT p.y, reach.lbl FROM reach JOIN pairs p ON p.x = reach.node
+        |  WHERE reach.lbl < p.y),
+        |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY cluster)
+        |SELECT cc.doc_id AS doc_id, cc.cluster AS cluster,
+        |  sizes.cluster_size AS cluster_size,
+        |  CAST(cc.doc_id = cc.cluster AS INT) AS keep
+        |FROM cc JOIN sizes ON cc.cluster = sizes.cluster
+        |ORDER BY cc.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(trim(text)) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

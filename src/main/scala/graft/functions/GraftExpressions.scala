@@ -45,6 +45,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("simhash32",
       es => Simhash32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_fp",
+      { case Seq(c, Literal(k: Int, IntegerType)) => RollingFp(c, k) },
+      "built-in")
   }
 }
 
@@ -193,6 +196,34 @@ object Mix {
     var j = 0
     while (j < 32) { if (counts(j) > 0) out |= 1L << j; j += 1 }
     out
+  }
+
+  /** Full work of RollingFp (shared by eval and codegen): polynomial
+    * rolling hash h ← (h·257 + byte) mod 1e9+7 over the string's bytes
+    * (== code points for ASCII corpora, matching the SQL oracle's
+    * `unicode(substr(t, i, 1))` walk). Returns [full-text hash,
+    * min k-byte window hash] — the winnowing-style signature; the
+    * window min falls back to the full hash for strings shorter than k.
+    */
+  def rollingFp(s: org.apache.spark.unsafe.types.UTF8String, k: Int): GenericArrayData = {
+    val b = s.getBytes
+    val M = 1000000007L
+    var full = 0L
+    var i = 0
+    while (i < b.length) { full = (full * 257L + (b(i) & 0xFF)) % M; i += 1 }
+    var winMin = full
+    if (b.length >= k) {
+      winMin = Long.MaxValue
+      var j = 0
+      while (j <= b.length - k) {
+        var h = 0L
+        var t = 0
+        while (t < k) { h = (h * 257L + (b(j + t) & 0xFF)) % M; t += 1 }
+        if (h < winMin) winMin = h
+        j += 1
+      }
+    }
+    new GenericArrayData(Array(full, winMin))
   }
 
   /** Full work of NgramHashSet (shared by eval and codegen): hash every
@@ -394,6 +425,26 @@ case class Simhash32(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Mix.simhash32($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing-style document fingerprint: [full polynomial rolling hash,
+  * min k-byte window hash] over the input string's bytes (base 257,
+  * mod 1e9+7 — small enough that the SQL oracle can reproduce it with
+  * exact integer arithmetic). The window min is the content-shift-
+  * tolerant half: two documents sharing any k-byte run can share it.
+  */
+case class RollingFp(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mix.rollingFp(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Mix.rollingFp($a, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

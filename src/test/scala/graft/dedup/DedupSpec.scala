@@ -84,4 +84,36 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("dedup_cluster groups exactly the verified-pair components") {
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rows = Dedup.dedupCluster(spark, sf).collect()
+    val cluster = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    // covers every doc exactly once
+    assert(rows.length == 500 && cluster.size == 500)
+    // paired docs share a cluster
+    assert(pairs.forall { case (a, b) => cluster(a) == cluster(b) })
+    // driver-side union-find oracle: same partition, min representative
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    cluster.keys.foreach(d => parent(d) = d)
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    cluster.keys.foreach { d => assert(cluster(d) == find(d)) }
+    // keep flag marks exactly the representative, sizes are consistent
+    val bySize = rows.groupBy(_.getAs[Long]("cluster"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") ==
+        bySize(r.getAs[Long]("cluster")).length)
+      assert((r.getAs[Int]("keep") == 1) ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster")))
+    }
+  }
 }

@@ -38,4 +38,19 @@ class SimilaritySpec extends SparkSpec {
     // cosine range of true top-5 hits; fail the build if params degrade
     assert(recall >= 0.6, s"ann_lsh recall $recall below floor 0.6")
   }
+
+  test("ann_ivf returns 5 valid ranked neighbours per query, recall above floor") {
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    val byQ = ivf.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20)
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L)))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val bf = pairs(Similarity.cosineTopK(spark, sf).collect())
+    val recall = (bf intersect pairs(ivf)).size.toDouble / bf.size
+    // 4 of 16 probed lists ≈ 25% of the corpus scanned; near-neighbours
+    // concentrate in the query's own lists, so recall should be well
+    // above the scan fraction
+    assert(recall >= 0.4, s"ann_ivf recall $recall below floor 0.4")
+  }
 }
