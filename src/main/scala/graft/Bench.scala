@@ -48,7 +48,12 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release the finished query's checkpointed RDDs and shuffle files
+      // before timing the next one: ContextCleaner is GC-driven, and
+      // letting blocks pile up measurably inflates later queries
+      System.gc()
+      (name, dt, err)
     }
     // a failed query must surface as an error, never as a ~0s "win"
     val qs = results.map {
