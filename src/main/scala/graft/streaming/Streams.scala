@@ -48,6 +48,20 @@ object Streams {
     * (approx_count_distinct) — exact distinct is unbounded state on a
     * stream.
     */
+  /** Streaming exact dedup by event id — the outbox "deliver once"
+    * semantics (outbox.rs dedup-by-batch-key) as a stream: duplicates
+    * arriving within the watermark horizon are dropped with bounded
+    * state (`dropDuplicatesWithinWatermark` evicts keys once the
+    * watermark passes them — a plain dropDuplicates would grow state
+    * forever on an unbounded stream). At 100 TB/day the key state
+    * shards across executors by event_id hash.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   def hourlyCounts(events: DataFrame): DataFrame =
     withEventTime(events)
       .withWatermark("ets", "1 hour")

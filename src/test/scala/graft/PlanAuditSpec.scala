@@ -37,4 +37,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast join")
     }
   }
+
+  test("q1 pushes its date filter and column pruning into the parquet scan") {
+    val plan = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1 filter not pushed to scan:\n$plan")
+    // the scan must not read columns the query never touches
+    assert(!plan.contains("l_comment"), "q1 scan reads unused column l_comment")
+    assert(!plan.contains("l_partkey"), "q1 scan reads unused column l_partkey")
+  }
+
+  test("scan-bound text queries prune the documents scan to used columns") {
+    val plan = SparkEntry.queries("text_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("source"), "text_stats scan reads unused column source")
+    val plan2 = SparkEntry.queries("doc_rolling_fp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("n_chars"), "doc_rolling_fp scan reads unused column n_chars")
+  }
 }

@@ -65,6 +65,31 @@ class StreamsSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("streaming dedupEvents drops duplicate event ids, keeps all distinct ones") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    // duplicate every third event (same id, same payload) — the stream
+    // must emit each id exactly once
+    val withDups = events ++ events.filter(_.event_id % 3 == 0)
+    val maxTs = events.map(_.ts).max
+    val stream = MemoryStream[Ev](spark)
+    val query = Streams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(withDups)
+      query.processAllAvailable()
+      stream.addData(Ev(-1, maxTs + 86400L * 1000000000L, -1, "flush", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("dedup_sink").filter(col("event_id") >= 0)
+    assert(got.count() == events.length)
+    assert(got.select("event_id").distinct().count() == events.length)
+  }
+
   test("streaming sessionize agrees with the batch sessionize session count") {
     val batchSessions = graft.analytics.Analytics.sessionize(spark, sf).count()
     val streamed = spark.table("sessions_sink")
