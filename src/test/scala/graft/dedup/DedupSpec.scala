@@ -85,6 +85,20 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("both candidate paths (direct pairs / components+grid) produce identical output") {
+    val sets = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("s"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    // directLimit -1 forces the component path; MaxValue forces direct
+    val dense = pairSet(Dedup.minhashVerifiedPairs(sets, directLimit = -1.0))
+    val direct = pairSet(Dedup.minhashVerifiedPairs(sets, directLimit = Double.MaxValue))
+    assert(dense.nonEmpty)
+    assert(dense == direct)
+  }
+
   test("dedup_cluster groups exactly the verified-pair components") {
     val pairs = Dedup.dedupMinhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
