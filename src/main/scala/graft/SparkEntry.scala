@@ -33,6 +33,7 @@ object SparkEntry {
     "batch_claim"    -> (Sync.batchClaim _),
     "orphan_requeue" -> (Sync.orphanRequeue _),
     "snapshot_stats" -> (Sync.snapshotStats _),
+    "retention_prune" -> ((s: SparkSession, d: String) => Sync.retentionPrune(s, d)),
     "json_props_extract" -> (JsonOps.jsonPropsExtract _),
     "inline_refs"        -> (JsonOps.inlineRefs _),
     "ref_resolve"        -> (JsonOps.refResolve _),
@@ -195,6 +196,17 @@ object SparkEntry {
         |  MIN(doc_id) AS first_doc
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "retention_prune" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS snap_id FROM orders),
+        |ids AS (
+        |  SELECT snap_id, ROW_NUMBER() OVER (ORDER BY snap_id DESC) AS rk
+        |  FROM (SELECT DISTINCT snap_id FROM o)),
+        |doomed AS (SELECT snap_id FROM ids WHERE rk > 3)
+        |SELECT o.snap_id AS snap_id, COUNT(*) AS n_objects,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM o JOIN doomed ON o.snap_id = doomed.snap_id
+        |GROUP BY o.snap_id ORDER BY o.snap_id""".stripMargin,
     "json_props_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,

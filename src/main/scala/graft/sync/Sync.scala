@@ -144,4 +144,33 @@ object Sync {
       )
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
+
+  /** Snapshot retention pruning (snapshot.rs:578 `prune_old_snapshots`):
+    * objects group into snapshots by a key-derived id, the newest
+    * `retention` ids survive, and everything in older snapshots is
+    * selected for deletion. Here orders are the objects and the
+    * snapshot id is the order month; the distinct-id ranking is a
+    * window over the TINY id set (constant cardinality regardless of
+    * corpus size), the kept/deleted id list broadcasts, and the object
+    * stream itself is touched by exactly one scan + one broadcast join
+    * + one aggregation.
+    */
+  def retentionPrune(spark: SparkSession, dir: String, retention: Int = 3): DataFrame = {
+    val objs = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("snap_id"))
+    val ranked = objs.select("snap_id").distinct()
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("snap_id").desc)))
+    val doomed = ranked.filter(col("rk") > retention).select("snap_id")
+    objs
+      .join(broadcast(doomed), "snap_id")
+      .groupBy("snap_id")
+      .agg(
+        count(lit(1)).as("n_objects"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("snap_id")
+  }
 }
