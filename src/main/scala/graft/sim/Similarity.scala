@@ -121,7 +121,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
         .withColumn("cnorm", norm64("cvec"))
-        .localCheckpoint()
+      // no checkpoint: two Lloyd rounds of lineage stay shallow, and the
+      // whole index then materializes in ONE job instead of one per round
     }
     val index = assign(centroids)
 
