@@ -27,6 +27,9 @@ object Graft {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
+      // native graft functions resolve in plain SQL on any session built
+      // here; programmatic sessions call GraftFunctions.register instead
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       // shuffle scratch on RAM-backed tmpfs: the local disk writes at
       // ~265 MB/s and the pair-join shuffles are multi-GB — on a real
       // cluster this is the executors' local NVMe

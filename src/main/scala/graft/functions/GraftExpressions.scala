@@ -22,6 +22,26 @@ import org.apache.spark.sql.types._
   * `doGenCode` (codegen), and a spec asserts they agree.
   */
 object GraftFunctions {
+
+  /** Name → expression builder for every native function. Shared by the
+    * per-session runtime registration and the SparkSessionExtensions
+    * injection, so the two surfaces can never drift.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => ArrayDotD(es(0), es(1))),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "minhash_band_buckets" ->
+      { case Seq(c, Literal(b: Int, IntegerType)) => MinHashBandBuckets(c, b) },
+    "lsh_packed_bands" ->
+      { case Seq(c, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+          LshPackedBands(c, b, r) },
+    "ngram_hash_set" ->
+      { case Seq(c, Literal(n: Int, IntegerType)) => NgramHashSet(c, n) },
+    "simhash32" -> (es => Simhash32(es.head)),
+    "rolling_fp" ->
+      { case Seq(c, Literal(k: Int, IntegerType)) => RollingFp(c, k) },
+  )
+
   /** Idempotent per-session registration; operators call this before
     * building plans that use `call_function` on these names.
     */
@@ -29,26 +49,27 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
       return
-    reg.createOrReplaceTempFunction("vec_dot",
-      es => ArrayDotD(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      es => SortedIntersectCount(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_band_buckets",
-      { case Seq(c, Literal(b: Int, IntegerType)) => MinHashBandBuckets(c, b) },
-      "built-in")
-    reg.createOrReplaceTempFunction("lsh_packed_bands",
-      { case Seq(c, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
-          LshPackedBands(c, b, r) },
-      "built-in")
-    reg.createOrReplaceTempFunction("ngram_hash_set",
-      { case Seq(c, Literal(n: Int, IntegerType)) => NgramHashSet(c, n) },
-      "built-in")
-    reg.createOrReplaceTempFunction("simhash32",
-      es => Simhash32(es.head), "built-in")
-    reg.createOrReplaceTempFunction("rolling_fp",
-      { case Seq(c, Literal(k: Int, IntegerType)) => RollingFp(c, k) },
-      "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/** Library entry point for SQL-first users: register the engine's native
+  * functions through the public extension mechanism —
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftSparkExtensions)`) —
+  * so `spark.sql("SELECT vec_dot(a, b) ...")` resolves without any
+  * graft API call.
+  */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions", name),
+        builder))
+    }
 }
 
 /** Exact dot product of two float-array columns as double, summing in

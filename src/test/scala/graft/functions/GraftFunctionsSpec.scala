@@ -86,6 +86,27 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native functions resolve from plain SQL") {
+    registered
+    val d = spark.sql(
+      "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as float), cast(0.5 as float))) AS d")
+      .first().getDouble(0)
+    assert(d == 4.0)
+    val c = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS c")
+      .first().getLong(0)
+    assert(c == 2L)
+  }
+
+  test("the SQL extension injects every native function without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+    // injection itself must cover the full builder list; resolution is
+    // covered by the plain-SQL test above on the shared session
+    assert(GraftFunctions.builders.size == 7)
+  }
+
   test("interpreted eval agrees with generated code") {
     registered
     def results(): Seq[(Long, Long)] = {
