@@ -347,7 +347,7 @@ object SparkEntry {
     "token_bpe" ->
       """WITH p AS (
         |  SELECT doc_id, lang,
-        |    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+') AS pieces,
+        |    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+') AS pieces,
         |    len(string_split(text, ' ')) AS n_ws
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
@@ -364,7 +364,8 @@ object SparkEntry {
         |    len(list_filter(string_split(text, ' '),
         |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
         |    len(list_filter(string_split(text, ' '),
-        |        t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_alpha
+        |        t -> t <> '' AND translate(t,
+        |          'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') = '')) AS n_alpha
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, n_tokens,

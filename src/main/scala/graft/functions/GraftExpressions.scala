@@ -23,6 +23,16 @@ import org.apache.spark.sql.types._
   */
 object GraftFunctions {
 
+  /** Resolve a required literal-INT parameter with a real error message
+    * (a bare partial function would die with a MatchError when a SQL
+    * user passes a column or a BIGINT literal).
+    */
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got: $other")
+  }
+
   /** Name → expression builder for every native function. Shared by the
     * per-session runtime registration and the SparkSessionExtensions
     * injection, so the two surfaces can never drift.
@@ -31,26 +41,31 @@ object GraftFunctions {
     "vec_dot" -> (es => ArrayDotD(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "minhash_band_buckets" ->
-      { case Seq(c, Literal(b: Int, IntegerType)) => MinHashBandBuckets(c, b) },
+      (es => MinHashBandBuckets(es(0), intLit("minhash_band_buckets", es(1)))),
     "lsh_packed_bands" ->
-      { case Seq(c, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
-          LshPackedBands(c, b, r) },
+      (es => LshPackedBands(es(0), intLit("lsh_packed_bands", es(1)),
+        intLit("lsh_packed_bands", es(2)))),
     "ngram_hash_set" ->
-      { case Seq(c, Literal(n: Int, IntegerType)) => NgramHashSet(c, n) },
+      (es => NgramHashSet(es(0), intLit("ngram_hash_set", es(1)))),
     "simhash32" -> (es => Simhash32(es.head)),
     "rolling_fp" ->
-      { case Seq(c, Literal(k: Int, IntegerType)) => RollingFp(c, k) },
+      (es => RollingFp(es(0), intLit("rolling_fp", es(1)))),
   )
 
   /** Idempotent per-session registration; operators call this before
-    * building plans that use `call_function` on these names.
+    * building plans that use `call_function` on these names. Skips only
+    * when EVERY graft name already resolves (so a foreign function that
+    * happens to share one name cannot suppress the rest).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
-      return
-    builders.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    val allPresent = builders.forall { case (name, _) =>
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    }
+    if (!allPresent) {
+      builders.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }
@@ -220,26 +235,43 @@ object Mix {
   }
 
   /** Full work of RollingFp (shared by eval and codegen): polynomial
-    * rolling hash h ← (h·257 + byte) mod 1e9+7 over the string's bytes
-    * (== code points for ASCII corpora, matching the SQL oracle's
-    * `unicode(substr(t, i, 1))` walk). Returns [full-text hash,
-    * min k-byte window hash] — the winnowing-style signature; the
-    * window min falls back to the full hash for strings shorter than k.
+    * rolling hash h ← (h·257 + codepoint) mod 1e9+7 over the string's
+    * Unicode code points — exactly the SQL oracle's
+    * `unicode(substr(t, i, 1))` walk, for ANY input, not just ASCII.
+    * Returns [full-text hash, min k-codepoint window hash] — the
+    * winnowing-style signature; the window min falls back to the full
+    * hash for strings shorter than k. The window pass is a true rolling
+    * update (drop the outgoing term via 257^(k-1) mod p, shift, add) —
+    * O(n), not O(n·k); per-window values are identical to a fresh fold.
     */
   def rollingFp(s: org.apache.spark.unsafe.types.UTF8String, k: Int): GenericArrayData = {
-    val b = s.getBytes
+    val str = s.toString
+    var n = 0
+    var idx = 0
+    while (idx < str.length) { idx += Character.charCount(str.codePointAt(idx)); n += 1 }
+    val cps = new Array[Int](n)
+    idx = 0; var i = 0
+    while (idx < str.length) {
+      val cp = str.codePointAt(idx)
+      cps(i) = cp; i += 1; idx += Character.charCount(cp)
+    }
     val M = 1000000007L
     var full = 0L
-    var i = 0
-    while (i < b.length) { full = (full * 257L + (b(i) & 0xFF)) % M; i += 1 }
+    i = 0
+    while (i < n) { full = (full * 257L + cps(i)) % M; i += 1 }
     var winMin = full
-    if (b.length >= k) {
-      winMin = Long.MaxValue
+    if (n >= k) {
+      var pow = 1L
+      var t = 0
+      while (t < k - 1) { pow = pow * 257L % M; t += 1 }
+      var h = 0L
       var j = 0
-      while (j <= b.length - k) {
-        var h = 0L
-        var t = 0
-        while (t < k) { h = (h * 257L + (b(j + t) & 0xFF)) % M; t += 1 }
+      while (j < k) { h = (h * 257L + cps(j)) % M; j += 1 }
+      winMin = h
+      j = k
+      while (j < n) {
+        val drop = cps(j - k) * pow % M
+        h = ((h - drop + M) % M * 257L + cps(j)) % M
         if (h < winMin) winMin = h
         j += 1
       }

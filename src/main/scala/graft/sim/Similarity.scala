@@ -121,9 +121,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
         .withColumn("cnorm", norm64("cvec"))
-      // no checkpoint: two Lloyd rounds of lineage stay shallow, and the
-      // whole index then materializes in ONE job instead of one per round
+      // no per-round checkpoint: two Lloyd rounds of lineage stay shallow
     }
+    // one materialization of the trained centroids: both the inverted
+    // index and the query-probe branch read them, and without this the
+    // whole training subtree would execute once per branch
+    centroids = centroids.localCheckpoint()
     val index = assign(centroids)
 
     val q = e.filter(col("vec_id") < Queries)

@@ -105,11 +105,13 @@ object TextOps {
   /** BPE-style pre-tokenizer pattern (the GPT-2 shape, minus its
     * trailing-whitespace lookahead — RE2 has no lookahead and the oracle
     * must run the same scan): contractions, space-prefixed letter runs,
-    * digit runs, punctuation runs, whitespace runs. Leftmost-first
-    * alternation behaves identically in Java regex and RE2.
+    * digit runs, punctuation runs, whitespace runs. Whitespace is an
+    * EXPLICIT class, not `\s`: Java's `\s` includes vertical tab, RE2's
+    * does not, and the engine and the oracle must tokenize identically.
+    * Leftmost-first alternation behaves the same in Java regex and RE2.
     */
   private[graft] val BpePattern =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   /** BPE-ish token accounting: per-document token counts under the
     * pre-tokenizer regex (the unit a byte-pair tokenizer would split
@@ -149,8 +151,13 @@ object TextOps {
       .withColumn("n_stop",
         size(expr(s"filter(split(text, ' '), t -> array_contains($stopArrSql, t))"))
           .cast("long"))
+      // alphabetic check via translate, not a regex: Java `$` matches
+      // before a trailing newline while DuckDB's regexp_full_match does
+      // not — translate-to-empty is bit-identical in both engines
       .withColumn("n_alpha",
-        size(expr("filter(split(text, ' '), t -> t rlike '^[A-Za-z]+$')")).cast("long"))
+        size(expr("""filter(split(text, ' '), t -> t != '' AND
+             translate(t, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') = '')"""))
+          .cast("long"))
       .select(
         col("doc_id"), col("n_tokens"),
         expr("(1000000 * n_stop) div n_tokens").as("stop_ppm"),

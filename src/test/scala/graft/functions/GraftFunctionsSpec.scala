@@ -107,12 +107,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.builders.size == 7)
   }
 
-  test("interpreted eval agrees with generated code") {
+  test("interpreted eval agrees with generated code for every expression") {
     registered
-    def results(): Seq[(Long, Long)] = {
-      docsTokens
-        .select(col("doc_id"), call_function("simhash32", col("toks")).as("h"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // every native function evaluated over real data twice: once under
+    // whole-stage codegen, once fully interpreted — the two code paths
+    // are separate implementations for the loop expressions
+    def results(): Seq[String] = {
+      val t = docsTokens.select(col("doc_id"),
+          call_function("simhash32", col("toks")).as("a"),
+          call_function("ngram_hash_set", col("toks"), lit(3)).as("b"),
+          call_function("sorted_intersect_count",
+            array_sort(expr("transform(toks, x -> xxhash64(x))")),
+            array_sort(expr("transform(toks, x -> xxhash64(x, 7))"))).as("c"),
+          call_function("rolling_fp", concat_ws(" ", col("toks")), lit(8)).as("d"))
+        .collect().map(_.toString).toSeq
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+          call_function("vec_dot", col("embedding"), col("embedding")).as("v"),
+          call_function("lsh_packed_bands", col("embedding"), lit(8), lit(4)).as("p"),
+          call_function("minhash_band_buckets",
+            expr("transform(embedding, x -> xxhash64(x))"), lit(16)).as("m"))
+        .collect().map(_.toString).toSeq
+      (t ++ e).sorted
     }
     val codegen = results()
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
