@@ -42,10 +42,15 @@ object Components {
     val l0 = sym0.groupBy("doc_id").agg(min("root").as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
       .localCheckpoint()
+    // shuffle-hash hints: the checkpointed label frame has no stats, so
+    // the planner would otherwise SORT the full edge stream twice for
+    // sort-merge joins; hash joins keep round 0 sort-free
     var sym = sym0
-      .join(l0.select(col("doc_id").as("ea"), col("lbl").as("la")),
+      .join(l0.select(col("doc_id").as("ea"), col("lbl").as("la"))
+          .hint("shuffle_hash"),
         col("doc_id") === col("ea"))
-      .join(l0.select(col("doc_id").as("eb"), col("lbl").as("lb")),
+      .join(l0.select(col("doc_id").as("eb"), col("lbl").as("lb"))
+          .hint("shuffle_hash"),
         col("root") === col("eb"))
       .select(col("la").as("doc_id"), col("lb").as("root"))
       .filter(col("doc_id") =!= col("root"))
@@ -57,7 +62,8 @@ object Components {
     var iter = 0
     while (!converged && iter < 64) {
       val viaEdges = sym
-        .join(labels.select(col("doc_id").as("nb"), col("lbl").as("nlbl")),
+        .join(labels.select(col("doc_id").as("nb"), col("lbl").as("nlbl"))
+            .hint("shuffle_hash"),
           col("root") === col("nb"))
         .groupBy("doc_id").agg(min("nlbl").as("nlbl"))
       val relaxed = labels.join(viaEdges, Seq("doc_id"), "left")
@@ -70,9 +76,11 @@ object Components {
           least(relaxed("lbl"), coalesce(col("pjl"), relaxed("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
       sym = sym
-        .join(next.select(col("doc_id").as("ea"), col("lbl").as("la")),
+        .join(next.select(col("doc_id").as("ea"), col("lbl").as("la"))
+            .hint("shuffle_hash"),
           col("doc_id") === col("ea"))
-        .join(next.select(col("doc_id").as("eb"), col("lbl").as("lb")),
+        .join(next.select(col("doc_id").as("eb"), col("lbl").as("lb"))
+            .hint("shuffle_hash"),
           col("root") === col("eb"))
         .select(col("la").as("doc_id"), col("lb").as("root"))
         .filter(col("doc_id") =!= col("root"))
