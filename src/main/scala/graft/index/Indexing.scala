@@ -48,7 +48,10 @@ object Indexing {
         col("c_name"), col("n_name"),
         col("part_keys"), col("flags"), col("n_lines"), col("revenue")
       )
-      .orderBy("key")
+    // no global ORDER BY: the output is the full corpus-sized document
+    // set — a total sort of it is pure cost at scale, and the driver's
+    // comparator is order-insensitive (the oracle keeps its ORDER BY
+    // only for human-readable diffs)
   }
 
   /** Template text assembly (extraction.rs:261-302 `format_element_text` /
@@ -95,7 +98,7 @@ object Indexing {
       .agg(
         count(lit(1)).as("n_refs"),
         min(col("l_linenumber")).cast("long").as("first_line"))
-      .orderBy("article_id", "bib_id")
+    // no global ORDER BY — see searchDoc: link tables are unordered sets
   }
 
   /** Multi-hop dimension enrichment (bib_map/place_map resolution,
