@@ -42,15 +42,22 @@ object Components {
     val l0 = sym0.groupBy("doc_id").agg(min("root").as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
       .localCheckpoint()
-    // shuffle-hash hints: the checkpointed label frame has no stats, so
-    // the planner would otherwise SORT the full edge stream twice for
-    // sort-merge joins; hash joins keep round 0 sort-free
+    // The label frame has exactly one row per node — a count over the
+    // checkpointed frame is one narrow scan and fixes the join strategy
+    // for EVERY later round (label row count never changes). Small label
+    // frames broadcast, so a dense edge graph (8.9M verified pairs over
+    // 5k docs at sf0.1) is relabelled map-side instead of being shuffled
+    // twice per join; past the broadcast budget (billions of nodes at
+    // 100 TB) the joins fall back to shuffle-hash — still sort-free,
+    // which matters because the checkpointed frames have no stats and
+    // the planner would otherwise sort-merge the full edge stream.
+    val nNodes = l0.count()
+    def labelSide(df: DataFrame): DataFrame =
+      if (nNodes <= 1000000L) broadcast(df) else df.hint("shuffle_hash")
     var sym = sym0
-      .join(l0.select(col("doc_id").as("ea"), col("lbl").as("la"))
-          .hint("shuffle_hash"),
+      .join(labelSide(l0.select(col("doc_id").as("ea"), col("lbl").as("la"))),
         col("doc_id") === col("ea"))
-      .join(l0.select(col("doc_id").as("eb"), col("lbl").as("lb"))
-          .hint("shuffle_hash"),
+      .join(labelSide(l0.select(col("doc_id").as("eb"), col("lbl").as("lb"))),
         col("root") === col("eb"))
       .select(col("la").as("doc_id"), col("lb").as("root"))
       .filter(col("doc_id") =!= col("root"))
@@ -62,25 +69,22 @@ object Components {
     var iter = 0
     while (!converged && iter < 64) {
       val viaEdges = sym
-        .join(labels.select(col("doc_id").as("nb"), col("lbl").as("nlbl"))
-            .hint("shuffle_hash"),
+        .join(labelSide(labels.select(col("doc_id").as("nb"), col("lbl").as("nlbl"))),
           col("root") === col("nb"))
         .groupBy("doc_id").agg(min("nlbl").as("nlbl"))
       val relaxed = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       val next = relaxed
-        .join(labels.select(col("doc_id").as("pj"), col("lbl").as("pjl")),
+        .join(labelSide(labels.select(col("doc_id").as("pj"), col("lbl").as("pjl"))),
           relaxed("lbl") === col("pj"), "left")
         .select(relaxed("doc_id"),
           least(relaxed("lbl"), coalesce(col("pjl"), relaxed("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
       sym = sym
-        .join(next.select(col("doc_id").as("ea"), col("lbl").as("la"))
-            .hint("shuffle_hash"),
+        .join(labelSide(next.select(col("doc_id").as("ea"), col("lbl").as("la"))),
           col("doc_id") === col("ea"))
-        .join(next.select(col("doc_id").as("eb"), col("lbl").as("lb"))
-            .hint("shuffle_hash"),
+        .join(labelSide(next.select(col("doc_id").as("eb"), col("lbl").as("lb"))),
           col("root") === col("eb"))
         .select(col("la").as("doc_id"), col("lb").as("root"))
         .filter(col("doc_id") =!= col("root"))
@@ -100,7 +104,7 @@ object Components {
     var stable = false
     var jumps = 0
     while (!stable && jumps < 64) {
-      val mapSide = labels.select(col("doc_id").as("mj"), col("lbl").as("mlbl"))
+      val mapSide = labelSide(labels.select(col("doc_id").as("mj"), col("lbl").as("mlbl")))
       val j = labels.join(mapSide, col("lbl") === col("mj"), "left")
         .select(col("doc_id"), col("lbl").as("old"),
           coalesce(col("mlbl"), col("lbl")).as("lbl"))
