@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Analytics
+import graft.curate.Curate
 import graft.dedup.Dedup
 import graft.index.Indexing
 import graft.json.JsonOps
@@ -56,6 +57,10 @@ object SparkEntry {
     "simhash_fp"      -> (Dedup.simhashFp _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "decontaminate"     -> (Curate.decontaminate _),
+    "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
+    "shard_pack"        -> (Curate.shardPack _),
+    "domain_mix"        -> (Curate.domainMix _),
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
@@ -473,6 +478,56 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos6 FROM p WHERE cos6 >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(l) >= 8
+        |        THEN list_transform(range(1, len(l) - 6), i ->
+        |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |          l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])
+        |        ELSE []::VARCHAR[] END) AS grams
+        |      FROM d),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+        |sh AS (SELECT doc_id, COUNT(*) AS n_shared
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) x
+        |       JOIN ev USING (gram) GROUP BY doc_id)
+        |SELECT tr.doc_id AS doc_id, CAST(len(tr.grams) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(sh.n_shared, 0) > 0 AS INT) AS contaminated
+        |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rk
+        |      FROM d)
+        |SELECT doc_id, lang, skey, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "shard_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |      FROM d)
+        |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+        |  CAST(start // 20000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "domain_mix" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS cell_tokens
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(cell_tokens) AS tot_tokens, COUNT(*) AS n_cells FROM c),
+        |m AS (SELECT lang, source, n_docs, cell_tokens,
+        |        (1000000 * cell_tokens) // tot_tokens AS share_ppm,
+        |        1000000 // n_cells AS target_ppm
+        |      FROM c, t)
+        |SELECT lang, source, n_docs, CAST(cell_tokens AS BIGINT) AS cell_tokens,
+        |  CAST(share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(target_ppm AS BIGINT) AS target_ppm,
+        |  CAST(least(1000000, (1000000 * target_ppm) // greatest(share_ppm, 1)) AS BIGINT) AS rate_ppm
+        |FROM m ORDER BY lang, source""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -1,0 +1,167 @@
+package graft.curate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after dedup: benchmark decontamination, deterministic stratified
+  * sampling, token-budget shard packing, and domain-mixture weighting.
+  * The reference's analysis bundle computes per-article corpus stats and
+  * membership decisions (extraction.rs:748-773, snapshot.rs:259); these
+  * are the corpus-level membership/layout decisions at 100 TB.
+  */
+object Curate {
+
+  /** Documents whose id is divisible by this play the held-out
+    * benchmark/eval set in `decontaminate` (a deterministic stand-in for
+    * the eval-suite corpus a real pipeline loads separately).
+    */
+  private val EvalMod = 97
+
+  /** Word-8-grams per shared shingle threshold used by decontamination
+    * (the n-gram order most published decontamination setups use is
+    * 8-13; the low end maximizes sensitivity).
+    */
+  private val ContamN = 8
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-8-gram with the eval set (docs with doc_id % 97 == 0).
+    *
+    * Scale shape: an eval suite is fixed-size (MBs of benchmark text)
+    * regardless of corpus size, so its distinct gram set BROADCASTS and
+    * the training side is one scan + map-side semi-join + partial-agg
+    * count — no shuffle of corpus text, no pairwise work. Grams are
+    * hashed to 8-byte longs by the fused NgramHashSet expression (same
+    * primitive as ngram_jaccard), so only narrow rows ride the explode.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // repartition: the gram-set construction is CPU-bound per row and the
+    // small single-file scan would otherwise run it in one task
+    val g = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("ngram_hash_set", split(col("text"), " "), lit(ContamN))
+          .as("grams"))
+    val ev = g.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val tr = g.filter(col("doc_id") % EvalMod =!= 0)
+    // grams within a doc are distinct and ev is distinct, so the join
+    // row count per doc IS the intersection size
+    val shared = tr.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(ev), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    tr.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample: the K lowest-hash documents per
+    * language stratum, ranked by an md5-derived sampling key (stable
+    * across engines and runs — reproducible samples are a pipeline
+    * requirement, not a nicety).
+    *
+    * Scale shape: one shuffle on the stratum key; the rank-≤K filter
+    * directly above the window lets Spark plan a WindowGroupLimit, which
+    * drops rows past K per partition BEFORE the shuffle, so a 100 TB
+    * corpus moves ~K rows per stratum per input partition, not the
+    * corpus.
+    */
+  def sampleStratified(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("skey"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
+  /** Tokens per shard for `shardPack`. */
+  private val ShardTokens = 20000L
+
+  /** Docs per prefix-sum block: the block frame is |corpus|/BlockDocs
+    * rows, so the block-level running sum runs over a frame ~250× smaller
+    * than the corpus.
+    */
+  private val BlockDocs = 250L
+
+  /** Token-budget shard packing: documents are laid out in doc_id order
+    * and cut into shards of ~20k tokens — the training-shard writer's
+    * assignment step (each shard = one output file of bounded size).
+    *
+    * A running token total over the whole corpus ordered by doc_id is
+    * the textbook single-partition window trap, so this computes it as a
+    * two-level distributed prefix sum: (1) an intra-block running sum,
+    * windowed per block (parallel, one shuffle); (2) block totals — a
+    * frame 250× smaller than the corpus — get a block-level running
+    * sum and broadcast back. At 100 TB the block frame is still
+    * millions of rows, so level 2 reuses the same trick recursively;
+    * two levels bound the window frame at (corpus/250²) rows, which is
+    * driver-safe at any realistic scale.
+    */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("block", expr(s"CAST(doc_id DIV $BlockDocs AS BIGINT)"))
+    val intraW = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIntra = d.withColumn("intra",
+      coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+    val blockTotals = d.groupBy("block").agg(sum(col("n_tokens")).as("btot"))
+    // block-level running sum: the frame is corpus/250 rows — partition
+    // on a data-derived constant so the (intentionally) single-partition
+    // window is explicit in the plan rather than a planner warning
+    val offW = Window.partitionBy(pmod(col("block"), lit(1)))
+      .orderBy(col("block")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blockTotals
+      .withColumn("boff", coalesce(sum(col("btot")).over(offW), lit(0L)))
+      .select(col("block"), col("boff"))
+    withIntra.join(broadcast(offsets), "block")
+      .withColumn("start", col("boff") + col("intra"))
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        expr(s"CAST(start DIV $ShardTokens AS BIGINT)").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture table: per (lang, source) cell — doc count, token
+    * count, corpus share, and the integer-exact resampling rate that
+    * would flatten the mixture to uniform (rate capped at 1.0; ppm
+    * arithmetic so the result is bit-stable across engines).
+    *
+    * Scale shape: one partial-agg pass over the corpus to cell level
+    * (cells are dozens, not billions), then cell-level arithmetic
+    * against the broadcast 1-row totals frame. The totals join key is
+    * derived from data so the single-key broadcast join plans as a
+    * BroadcastHashJoin, not a nested loop (see Similarity.crossCentroids).
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("cell_tokens"))
+    val totals = cells.agg(
+      sum(col("cell_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_cells"))
+      .withColumn("one", pmod(col("n_cells"), lit(1)).cast("int"))
+    cells.withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
+      .join(broadcast(totals), "one")
+      .withColumn("share_ppm", expr("CAST((1000000 * cell_tokens) DIV tot_tokens AS BIGINT)"))
+      .withColumn("target_ppm", expr("CAST(1000000 DIV n_cells AS BIGINT)"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("CAST((1000000 * target_ppm) DIV GREATEST(share_ppm, 1) AS BIGINT)")))
+      .select(col("lang"), col("source"), col("n_docs"), col("cell_tokens"),
+        col("share_ppm"), col("target_ppm"), col("rate_ppm"))
+      .orderBy("lang", "source")
+  }
+}

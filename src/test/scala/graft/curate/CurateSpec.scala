@@ -1,0 +1,88 @@
+package graft.curate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurateSpec extends SparkSpec {
+
+  test("decontaminate covers every non-eval doc and bounds n_shared by n_grams") {
+    val rows = Curate.decontaminate(spark, sf).collect()
+    val nEval = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(rows.length == 500 - nEval)
+    assert(rows.forall { r =>
+      val (g, s) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"))
+      s >= 0 && s <= g &&
+        r.getAs[Int]("contaminated") == (if (s > 0) 1 else 0)
+    })
+  }
+
+  test("decontaminate matches a string-gram reference on a doc spot check") {
+    // reference: exact string 8-grams via DataFrame ops, no hashing
+    val d = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(l) >= 8
+          |  THEN transform(sequence(0, size(l) - 8), i ->
+          |    concat_ws(' ', slice(l, i + 1, 8)))
+          |  ELSE array() END)""".stripMargin).as("grams"))
+    val ev = d.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val expected = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(ev, "gram").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Curate.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(got.filter(_._2 > 0) == expected)
+  }
+
+  test("sample_stratified takes the K lowest-hash docs per stratum, deterministically") {
+    val a = Curate.sampleStratified(spark, sf, k = 7).collect()
+    val b = Curate.sampleStratified(spark, sf, k = 7).collect()
+    assert(a.toSeq == b.toSeq)
+    val perLang = a.groupBy(_.getAs[String]("lang"))
+    assert(perLang.values.forall(_.length <= 7))
+    // ranks are 1..n and ordered by the sampling key within each stratum
+    perLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq)
+      val keys = sorted.map(r => (r.getAs[Long]("skey"), r.getAs[Long]("doc_id")))
+      assert(keys.toSeq == keys.sortBy(identity).toSeq)
+    }
+  }
+
+  test("shard_pack running totals equal a single-pass prefix sum") {
+    val rows = Curate.shardPack(spark, sf).collect().sortBy(_.getAs[Long]("doc_id"))
+    var running = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start") == running)
+      assert(r.getAs[Long]("shard_id") == running / 20000L)
+      running += r.getAs[Long]("n_tokens")
+    }
+  }
+
+  test("shard_pack shards are contiguous and respect the token budget") {
+    val rows = Curate.shardPack(spark, sf).collect().sortBy(_.getAs[Long]("doc_id"))
+    val shards = rows.map(_.getAs[Long]("shard_id"))
+    assert(shards.toSeq == shards.sorted.toSeq)
+    // every shard except possibly the last starts within budget of its id
+    rows.groupBy(_.getAs[Long]("shard_id")).foreach { case (sid, rs) =>
+      assert(rs.map(_.getAs[Long]("start")).min / 20000L == sid)
+    }
+  }
+
+  test("domain_mix shares sum to ~1e6 ppm and rates flatten the mixture") {
+    val rows = Curate.domainMix(spark, sf).collect()
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length)
+    assert(rows.forall { r =>
+      val rate = r.getAs[Long]("rate_ppm")
+      rate >= 0 && rate <= 1000000L &&
+        // overrepresented cells (share > target) get a down-sampling rate
+        (r.getAs[Long]("share_ppm") <= r.getAs[Long]("target_ppm") ||
+          rate < 1000000L)
+    })
+  }
+}
