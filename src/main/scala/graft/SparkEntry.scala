@@ -64,7 +64,8 @@ object SparkEntry {
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
-    "mm_binary_stats" -> (Multimodal.mmBinaryStats _)
+    "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
+    "mm_chunk"        -> (Multimodal.mmChunk _)
   )
 
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
@@ -548,6 +549,16 @@ object SparkEntry {
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT sha256(text)) AS n_distinct_sha,
         |  MIN(sha256(text)) AS min_sha
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "mm_chunk" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents),
+        |ch AS (SELECT doc_id, text, n_bytes,
+        |         unnest(range(0, CAST((n_bytes + 255) // 256 AS BIGINT))) AS chunk_id
+        |       FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 256 AS BIGINT) AS off,
+        |  CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS chunk_bytes,
+        |  md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

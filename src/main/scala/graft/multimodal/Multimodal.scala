@@ -34,6 +34,42 @@ object Multimodal {
       )
       .orderBy("source")
   }
+
+  /** Bytes per chunk for `mmChunk` — the fixed batch granularity a
+    * frame-sampler / block decoder reads at.
+    */
+  private val ChunkBytes = 256
+
+  /** Fixed-size chunking of the opaque payload with per-chunk digests —
+    * the layout step before partition-batched decode: every payload
+    * becomes ceil(bytes/256) chunk rows (id, offset, length, md5), so a
+    * downstream decoder processes uniform work units regardless of
+    * source-asset size.
+    *
+    * Scale shape: pure projection + generate (no shuffle, no state);
+    * the explode fans out ROWS but each carries only its own 256-byte
+    * slice, so a 100 TB media corpus streams through map tasks with
+    * bounded memory. Skew-proof by construction — a 4 GB video and a
+    * 4 KB image differ only in chunk-row count, and AQE-sized map
+    * partitions split on row count.
+    */
+  def mmChunk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        posexplode(expr(s"sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1)"))
+          .as(Seq("pos", "chunk_id")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkBytes).cast("long").as("off"),
+        least(lit(ChunkBytes.toLong), col("n_bytes") - col("chunk_id") * ChunkBytes)
+          .as("chunk_bytes"),
+        md5(expr(s"substring(text, chunk_id * $ChunkBytes + 1, $ChunkBytes)"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }
 
 /** Typed record for a decoded media asset. */

@@ -29,4 +29,29 @@ class MultimodalSpec extends SparkSpec {
     text.getBytes("UTF-8").foreach(b => cs = cs * 31 + (b & 0xff))
     assert(f.checksum == cs && f.nBytes == text.getBytes("UTF-8").length)
   }
+
+  test("mm_chunk partitions every payload exactly, with verifiable digests") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val chunks = Multimodal.mmChunk(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids are 0..n-1, offsets stride 256, sizes sum to the payload
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until sorted.length).toSeq)
+      assert(sorted.map(_.getAs[Long]("chunk_bytes")).sum == docs(id).length.toLong)
+      // digest of a middle chunk matches a local recompute
+      val r = sorted(sorted.length / 2)
+      val off = r.getAs[Long]("off").toInt
+      val slice = docs(id).substring(off,
+        math.min(off + 256, docs(id).length))
+      val mdHex = java.security.MessageDigest.getInstance("MD5")
+        .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("chunk_md5") == mdHex)
+    }
+  }
 }
