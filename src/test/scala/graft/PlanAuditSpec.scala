@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("l_partkey"), "q1 scan reads unused column l_partkey")
   }
 
+  test("curation ops keep their scale shapes: group-limit pushdown + broadcasts") {
+    // stratified sampling must prune rows past K per partition BEFORE the
+    // stratum shuffle (WindowGroupLimit Partial under the exchange)
+    val sampled = SparkEntry.queries("sample_stratified")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sampled.contains("WindowGroupLimit"),
+      "sample_stratified lost its WindowGroupLimit pushdown")
+    // the eval gram set and the block-offset frame must broadcast — the
+    // corpus side of both ops is map-only
+    Seq("decontaminate", "shard_pack", "domain_mix").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast join")
+    }
+  }
+
   test("scan-bound text queries prune the documents scan to used columns") {
     val plan = SparkEntry.queries("text_stats")(spark, sf)
       .queryExecution.executedPlan.toString
