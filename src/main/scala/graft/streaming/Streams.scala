@@ -62,6 +62,33 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** The reference's full outbox loop — poll, dedup by key, drain into
+    * ordered batches, bulk-upsert (outbox.rs poller + indexing.rs:61-115
+    * chunks) — as one streaming pipeline: watermark-bounded exactly-once
+    * dedup, then per-micro-batch deterministic chunk assignment appended
+    * through the chunked sink. Each micro-batch directory set is a
+    * resumable unit for a downstream bulk loader, and a replayed batch
+    * rewrites identical chunks (idempotent, like the reference's ON
+    * CONFLICT upserts). Returns the started query; the caller owns its
+    * lifecycle.
+    */
+  def outboxRelay(events: DataFrame, path: String, chunkSize: Int = 100,
+                  watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupEvents(events, watermark)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sinks.Sinks.withChunks(batch, "event_type", "event_id", chunkSize)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("batch_id", "event_type", "chunk_id")
+            .parquet(path)
+        }
+        ()
+      }
+      .start()
+
   def hourlyCounts(events: DataFrame): DataFrame =
     withEventTime(events)
       .withWatermark("ets", "1 hour")

@@ -90,6 +90,32 @@ class StreamsSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == events.length)
   }
 
+  test("outboxRelay delivers each event once into bounded chunk files") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val withDups = events ++ events.filter(_.event_id % 4 == 0)
+    val maxTs = events.map(_.ts).max
+    val out = java.nio.file.Files.createTempDirectory("relay").toString
+    val stream = MemoryStream[Ev](spark)
+    val query = Streams.outboxRelay(stream.toDF(), out, chunkSize = 100)
+    try {
+      stream.addData(withDups)
+      query.processAllAvailable()
+      stream.addData(Ev(-1, maxTs + 86400L * 1000000000L, -1, "flush", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val written = spark.read.parquet(out).filter(col("event_id") >= 0)
+    // exactly-once: every distinct event lands once despite the dups
+    assert(written.count() == events.length)
+    assert(written.select("event_id").distinct().count() == events.length)
+    // chunk contract: bounded size, ordered ids within each chunk stream
+    val sizes = written.groupBy("batch_id", "event_type", "chunk_id").count().collect()
+    assert(sizes.forall(_.getAs[Long]("count") <= 100))
+  }
+
   test("streaming sessionize agrees with the batch sessionize session count") {
     val batchSessions = graft.analytics.Analytics.sessionize(spark, sf).count()
     val streamed = spark.table("sessions_sink")
