@@ -33,6 +33,7 @@ object SparkEntry {
     "outbox_batch"   -> (Sync.outboxBatch _),
     "batch_claim"    -> (Sync.batchClaim _),
     "orphan_requeue" -> (Sync.orphanRequeue _),
+    "sync_backfill"  -> ((s: SparkSession, d: String) => Sync.syncBackfill(s, d)),
     "snapshot_stats" -> (Sync.snapshotStats _),
     "retention_prune" -> ((s: SparkSession, d: String) => Sync.retentionPrune(s, d)),
     "json_props_extract" -> (JsonOps.jsonPropsExtract _),
@@ -196,6 +197,17 @@ object SparkEntry {
         |FROM events e JOIN dead d ON e.user_id = d.user_id
         |WHERE e.event_type = 'view'
         |ORDER BY event_id""".stripMargin,
+    "sync_backfill" ->
+      """WITH c AS (SELECT o_orderkey, o_orderdate FROM orders
+        |           WHERE o_orderstatus = 'O'
+        |           ORDER BY o_orderdate, o_orderkey LIMIT 5000),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM c)
+        |SELECT CAST((rn - 1) // 1000 AS BIGINT) AS chunk_id,
+        |  COUNT(*) AS n_items, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key,
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS oldest_date
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "snapshot_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

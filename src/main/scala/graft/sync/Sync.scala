@@ -93,6 +93,35 @@ object Sync {
       .orderBy("event_type", "batch_id")
   }
 
+  /** Backfill selection (sync_service.rs:829-860): the resync path picks
+    * the OLDEST entries first, caps the wave, and enqueues fixed-size
+    * chunks. Oldest-N is `orderBy.limit` — Spark's TakeOrderedAndProject
+    * does a per-partition top-N then a single merge, so the corpus is
+    * never globally sorted; the chunk window then runs over the capped
+    * (bounded-size) wave only.
+    */
+  def syncBackfill(spark: SparkSession, dir: String,
+                   cap: Int = 5000, chunkSize: Int = 1000): DataFrame = {
+    val oldest = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(cap)
+    // the window frame is ≤ cap rows by construction; data-derived
+    // constant partition (see retentionPrune)
+    val w = Window.partitionBy(pmod(col("o_orderkey"), lit(1)))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    oldest.withColumn("rn", row_number().over(w))
+      .withColumn("chunk_id", expr(s"CAST((rn - 1) DIV $chunkSize AS BIGINT)"))
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("oldest_date"))
+      .orderBy("chunk_id")
+  }
+
   /** Claim-pending semantics (storage.rs:788): rows still pending
     * (status 'P') with no claim marker — an anti-join against the
     * claim table (lineitems returned with flag 'R').

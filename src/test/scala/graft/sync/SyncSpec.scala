@@ -57,4 +57,15 @@ class SyncSpec extends SparkSpec {
     assert(grand.length == 1)
     assert(grand.head.getAs[Long]("n_docs") == 500L)
   }
+
+  test("sync_backfill waves are oldest-first, capped, and chunk-bounded") {
+    val rows = Sync.syncBackfill(spark, sf, cap = 300, chunkSize = 100).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum <= 300L)
+    assert(rows.forall(_.getAs[Long]("n_items") <= 100L))
+    // chunk ids contiguous from 0, and chunk dates never move backwards
+    assert(rows.map(_.getAs[Long]("chunk_id")).toSeq ==
+      (0L until rows.length).toSeq)
+    val dates = rows.sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[String]("oldest_date"))
+    assert(dates.toSeq == dates.sorted.toSeq)
+  }
 }
