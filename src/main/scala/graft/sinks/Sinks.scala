@@ -37,6 +37,23 @@ object Sinks {
       .format(format)
       .save(path)
 
+  /** Bucketed co-located write — the SURVEY §5 "bucket both sides by
+    * key" move that makes the diff-sync (and any other repeated
+    * equi-join/agg on the same key) SHUFFLE-FREE at read time: the one
+    * shuffle happens here, at write time, and every later join between
+    * tables bucketed the same way on the same key plans with no
+    * Exchange. At 100 TB this is the difference between shuffling two
+    * billion-row metadata tables on every sync cycle and never
+    * shuffling them again. `sortBy` lets sort-merge joins skip their
+    * sorts too when buckets land as single files.
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCol).sortBy(keyCol).format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Latest-wins upsert merge into an existing snapshot (storage.rs:118+
     * ON CONFLICT DO UPDATE): union + one row per key by source priority.
     * Single shuffle on the key; at 100 TB this is MERGE over bucketed

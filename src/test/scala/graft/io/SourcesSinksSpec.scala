@@ -55,6 +55,51 @@ class SourcesSinksSpec extends SparkSpec {
     assert(sizes.filter(s => s._2 < maxChunk(s._1)).forall(_._3 == 100))
   }
 
+  test("bucketed tables make the key join exchange-free (SURVEY §5 diff sync)") {
+    val dir = tmp("graft-buckets")
+    val remote = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("rev"))
+    val local = remote.withColumn("rev", col("rev") + 1.0)
+    Sinks.writeBucketed(remote, "bk_remote", "key", buckets = 8,
+      path = Some(s"$dir/remote"))
+    Sinks.writeBucketed(local, "bk_local", "key", buckets = 8,
+      path = Some(s"$dir/local"))
+    try {
+      // test-scale tables would broadcast (where bucketing is moot and the
+      // planner rightly disables the bucketed scan); force the sort-merge
+      // path a billion-row metadata join takes at 100 TB
+      val joined = spark.table("bk_remote").hint("merge")
+        .join(spark.table("bk_local").withColumnRenamed("rev", "rev2"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan disabled:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == remote.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_remote")
+      spark.sql("DROP TABLE IF EXISTS bk_local")
+    }
+  }
+
+  test("salted join equals the plain join on a skewed key") {
+    // hot key: every lineitem row of one order number joined to a dim —
+    // salting must not change the result set
+    val fact = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("key"), col("l_quantity"))
+    val dim = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus"))
+    val plain = fact.join(dim, "key")
+    val salted = graft.core.Skew.saltedJoin(fact, dim, "key", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    val a = plain.groupBy("key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("upsert sink keeps exactly one latest-wins row per key") {
     val base = graft.core.Tables.orders(spark, sf)
       .select("o_orderkey", "o_totalprice")
