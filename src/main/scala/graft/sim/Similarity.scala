@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sim.Vectors.{dot64, norm64, withBandBuckets}
+import graft.sim.Vectors.{dot64, norm64, withBandBuckets, withProbeBuckets}
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
@@ -43,11 +43,14 @@ object Similarity {
   }
 
   /** Multi-band hyperplane LSH ANN: a query's candidates are the vectors
-    * sharing ANY of its 16 band buckets (4 planes each). Candidate
-    * generation joins only narrow (vec_id, bucket) rows; embeddings are
-    * joined back once per distinct candidate pair for exact scoring.
-    * Rows-only check: recall is approximate by construction (the
-    * SimilaritySpec floor keeps parameter regressions from shipping).
+    * sharing ANY of its 16 band buckets (4 planes each). The QUERY side
+    * multi-probes — its own bucket plus every 1-bit sign flip per band
+    * (Vectors.withProbeBuckets) — so recall rises without growing the
+    * corpus index. Candidate generation joins only narrow
+    * (vec_id, bucket) rows; embeddings are joined back once per distinct
+    * candidate pair for exact scoring. Rows-only check: recall is
+    * approximate by construction (the SimilaritySpec floor keeps
+    * parameter regressions from shipping).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -55,7 +58,10 @@ object Similarity {
       .withColumn("norm", norm64("embedding"))
     val banded = withBandBuckets(e.select("vec_id", "embedding"), bands = 16, rows = 4)
       .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
-    val qb = banded.filter(col("vec_id") < Queries)
+    val qb = withProbeBuckets(
+        e.filter(col("vec_id") < Queries).select("vec_id", "embedding"),
+        bands = 16, rows = 4)
+      .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
     val cands = broadcast(qb).as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))

@@ -61,9 +61,37 @@ object Vectors {
     * `bands` evaluations per row is noise.
     */
   def withBandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
-    df.withColumn("packed",
-        call_function("lsh_packed_bands", col("embedding"), lit(bands), lit(rows)))
+    withPackedBands(df, bands, rows)
       .withColumn("bucket_arr",
         expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, element_at(packed, b + 1)))"))
       .drop("packed")
+
+  /** Adds the raw `packed` sign-code column (one `rows`-bit code per
+    * band) without hashing to bucket keys — callers that probe multiple
+    * buckets per band (multi-probe LSH) derive their keys from this.
+    */
+  def withPackedBands(df: DataFrame, bands: Int, rows: Int): DataFrame =
+    df.withColumn("packed",
+      call_function("lsh_packed_bands", col("embedding"), lit(bands), lit(rows)))
+
+  /** Adds a `bucket_arr` of multi-probe bucket keys: per band, the
+    * band's own bucket plus the `rows` buckets at Hamming distance 1
+    * (each sign bit flipped). The closest non-colliding bucket for a
+    * near neighbour is overwhelmingly one whose single least-confident
+    * plane disagrees (Lv et al., multi-probe LSH), so probing 1-bit
+    * flips recovers most of the recall a bigger index would buy —
+    * query-side only, the corpus index never grows.
+    */
+  def withProbeBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame = {
+    // flips stay INT: packed codes are array<int>, and xxhash64 hashes by
+    // input type — a BIGINT-promoted xor would hash different bytes than
+    // the corpus side's plain element_at
+    val flips = (Seq(0) ++ (0 until rows).map(1 << _)).mkString(",")
+    withPackedBands(df, bands, rows)
+      .withColumn("bucket_arr",
+        expr(s"""flatten(transform(sequence(0, ${bands - 1}), b ->
+                transform(array($flips), f ->
+                  xxhash64(b, element_at(packed, b + 1) ^ f))))"""))
+      .drop("packed")
+  }
 }
