@@ -48,9 +48,8 @@ class SimilaritySpec extends SparkSpec {
       rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     val bf = pairs(Similarity.cosineTopK(spark, sf).collect())
     val recall = (bf intersect pairs(ivf)).size.toDouble / bf.size
-    // 4 of 16 probed lists ≈ 25% of the corpus scanned; near-neighbours
-    // concentrate in the query's own lists, so recall should be well
-    // above the scan fraction
-    assert(recall >= 0.4, s"ann_ivf recall $recall below floor 0.4")
+    // 4 of 16 probed lists + top-2 index multi-assignment: measured
+    // 0.92-0.96 at sf0.001/0.01/0.1; fail the build if params degrade
+    assert(recall >= 0.85, s"ann_ivf recall $recall below floor 0.85")
   }
 }
