@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
     "simhash_fp"      -> (Dedup.simhashFp _),
+    "simhash_near"    -> (Dedup.simhashNear _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "decontaminate"     -> (Curate.decontaminate _),
@@ -462,6 +463,21 @@ object SparkEntry {
         |         CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
         |FROM h ORDER BY doc_id""".stripMargin,
+    "simhash_near" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |      FROM d),
+        |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+        |        CASE WHEN list_sum(list_transform(hs, hv ->
+        |               CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |      FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g AS (SELECT doc_id, list_distinct(

@@ -32,6 +32,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupMinhash(spark, sf).count() == exact)
   }
 
+  test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
+    val fp = Dedup.simhashFp(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val expected = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNear(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expected)
+  }
+
   test("simhash_fp fits in 32 bits and near-dup docs have close hashes") {
     val rows = Dedup.simhashFp(spark, sf).collect()
     assert(rows.length == 500)
