@@ -63,6 +63,7 @@ object SparkEntry {
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
+    "repetition_stats"  -> (Curate.repetitionStats _),
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
@@ -557,6 +558,24 @@ object SparkEntry {
         |  CAST(target_ppm AS BIGINT) AS target_ppm,
         |  CAST(least(1000000, (1000000 * target_ppm) // greatest(share_ppm, 1)) AS BIGINT) AS rate_ppm
         |FROM m ORDER BY lang, source""".stripMargin,
+    "repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(l)),
+        |          i -> l[i] || ' ' || l[i+1])) AS gram
+        |      FROM d),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |s AS (SELECT doc_id, SUM(cnt) AS n_2grams, COUNT(*) AS n_distinct_2grams,
+        |        MAX(cnt) AS max_cnt,
+        |        SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS rep_toks
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_2grams AS BIGINT) AS n_2grams,
+        |  CAST(n_distinct_2grams AS BIGINT) AS n_distinct_2grams,
+        |  CAST((1000000 * max_cnt) // n_2grams AS BIGINT) AS top_ppm,
+        |  CAST((1000000 * rep_toks) // n_2grams AS BIGINT) AS rep_ppm,
+        |  CAST((1000000 * rep_toks) // n_2grams >= 200000 AS INT) AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

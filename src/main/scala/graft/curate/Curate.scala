@@ -133,6 +133,41 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition statistics — the Gopher-style repetition
+    * filters (Rae et al. 2021 §A1.1): per doc, the token mass sitting in
+    * repeated word-2-grams and the share of the single most frequent
+    * 2-gram, both integer-exact ppm, plus the resulting keep/drop flag.
+    * Boilerplate and looping-generation artifacts concentrate here long
+    * before they show up in type-token ratios.
+    *
+    * Scale shape: grams are hashed to 8-byte longs in the projection, so
+    * the per-(doc, gram) count shuffles narrow rows with map-side
+    * partial aggregation; everything after is per-doc arithmetic.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+    val g = d.select(col("doc_id"),
+      explode(expr(
+        """transform(sequence(1, size(l) - 1),
+          |  i -> xxhash64(concat_ws(' ', element_at(l, i), element_at(l, i + 1))))""".stripMargin))
+        .as("gram"))
+    g.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_2grams"),
+        count(lit(1)).as("n_distinct_2grams"),
+        max(col("cnt")).as("max_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("rep_toks"))
+      .select(col("doc_id"),
+        col("n_2grams"), col("n_distinct_2grams"),
+        expr("CAST((1000000 * max_cnt) DIV n_2grams AS BIGINT)").as("top_ppm"),
+        expr("CAST((1000000 * rep_toks) DIV n_2grams AS BIGINT)").as("rep_ppm"),
+        expr("CAST((1000000 * rep_toks) DIV n_2grams >= 200000 AS INT)").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Domain-mixture table: per (lang, source) cell — doc count, token
     * count, corpus share, and the integer-exact resampling rate that
     * would flatten the mixture to uniform (rate capped at 1.0; ppm

@@ -73,6 +73,25 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("repetition_stats matches a local 2-gram recount on a doc sample") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Curate.repetitionStats(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.take(25).foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ")
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      assert(r.getAs[Long]("n_2grams") == grams.size.toLong)
+      assert(r.getAs[Long]("n_distinct_2grams") == counts.size.toLong)
+      assert(r.getAs[Long]("top_ppm") ==
+        1000000L * counts.values.max / grams.size)
+      val rep = counts.values.filter(_ > 1).sum
+      assert(r.getAs[Long]("rep_ppm") == 1000000L * rep / grams.size)
+    }
+  }
+
   test("domain_mix shares sum to ~1e6 ppm and rates flatten the mixture") {
     val rows = Curate.domainMix(spark, sf).collect()
     val shares = rows.map(_.getAs[Long]("share_ppm"))
