@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** End-to-end compositions of the operator library — the two flows a
+  * user of the reference actually runs, each as one declarative plan
+  * (every stage is an operator documented in SURVEY.md §2; nothing here
+  * adds logic, only composition).
+  */
+object Pipeline {
+
+  /** The reference's main loop — diff sync → extract/enrich → index →
+    * chunked batched upsert (sync_service.rs:76-191 → indexing.rs:61-115)
+    * — as one batch run: build the wide search documents for every key
+    * the diff classifies as new or changed, and write them through the
+    * chunked sink as resumable bulk-load units.
+    *
+    * @return the (key-matched) search documents that were written
+    */
+  def syncAndIndex(spark: SparkSession, dir: String, outPath: String,
+                   chunkSize: Int = 5000): DataFrame = {
+    val dirty = graft.sync.Sync.syncDiff(spark, dir)
+      .filter(col("status").isin("new", "changed"))
+      .select(col("key"))
+    // inner join = "index exactly the dirty set"; the search-doc build
+    // only aggregates rows that survive the key filter
+    val docs = graft.index.Indexing.searchDoc(spark, dir)
+      .join(dirty, "key")
+    graft.sinks.Sinks.chunkedWrite(docs, "n_name", "key", chunkSize, outPath)
+    docs
+  }
+
+  /** The full training-corpus curation flow: quality gate → near-dup
+    * cluster survivors → benchmark decontamination → token-budget shard
+    * packing. Returns one row per surviving doc with its shard
+    * assignment — the manifest a shard writer consumes.
+    *
+    * Each stage's scale shape is its operator's (SURVEY §5); the
+    * composition only ever joins narrow doc_id key frames, so the
+    * corpus text is scanned by the stages that need it and never
+    * shuffled between them.
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val quality = graft.text.TextOps.qualityScore(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+    val survivors = graft.dedup.Dedup.dedupCluster(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+    val clean = graft.curate.Curate.decontaminate(spark, dir)
+      .filter(col("contaminated") === 0).select("doc_id")
+    val keep = quality.join(survivors, "doc_id").join(clean, "doc_id")
+    graft.curate.Curate.shardPackDocs(
+      Tables.documents(spark, dir).select("doc_id", "text").join(keep, "doc_id"))
+  }
+}

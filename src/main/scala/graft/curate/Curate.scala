@@ -108,8 +108,14 @@ object Curate {
     * two levels bound the window frame at (corpus/250²) rows, which is
     * driver-safe at any realistic scale.
     */
-  def shardPack(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPackDocs(Tables.documents(spark, dir))
+
+  /** `shardPack` over an arbitrary documents frame (doc_id, text) —
+    * pipelines call this after filtering the corpus down to survivors.
+    */
+  def shardPackDocs(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("block", expr(s"CAST(doc_id DIV $BlockDocs AS BIGINT)"))

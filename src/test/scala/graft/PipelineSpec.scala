@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("syncAndIndex writes exactly the dirty keys as chunked search docs") {
+    val out = Files.createTempDirectory("graft-index").toString
+    val written = Pipeline.syncAndIndex(spark, sf, out, chunkSize = 500)
+    val dirty = graft.sync.Sync.syncDiff(spark, sf)
+      .filter(col("status").isin("new", "changed"))
+      .select(col("key")).collect().map(_.getLong(0)).toSet
+    // only orders that HAVE lineitems become search docs
+    val indexable = graft.index.Indexing.searchDoc(spark, sf)
+      .select("key").collect().map(_.getLong(0)).toSet
+    val got = written.select("key").collect().map(_.getLong(0)).toSet
+    assert(got == (dirty intersect indexable))
+    // the sink round-trips the same keys, chunk-bounded
+    val back = spark.read.parquet(out)
+    assert(back.select("key").collect().map(_.getLong(0)).toSet == got)
+    assert(back.groupBy("n_name", "chunk_id").count()
+      .collect().forall(_.getAs[Long]("count") <= 500))
+  }
+
+  test("curateCorpus keeps only quality+survivor+clean docs and shards them") {
+    val manifest = Pipeline.curateCorpus(spark, sf).collect()
+    val kept = manifest.map(_.getAs[Long]("doc_id")).toSet
+    val quality = graft.text.TextOps.qualityScore(spark, sf)
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = graft.dedup.Dedup.dedupCluster(spark, sf)
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = graft.curate.Curate.decontaminate(spark, sf)
+      .filter(col("contaminated") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (quality intersect survivors intersect clean))
+    assert(kept.nonEmpty)
+    // shard manifest integrity: running totals consistent, shards ordered
+    val sorted = manifest.sortBy(_.getAs[Long]("doc_id"))
+    var running = 0L
+    sorted.foreach { r =>
+      assert(r.getAs[Long]("start") == running)
+      running += r.getAs[Long]("n_tokens")
+    }
+  }
+}
