@@ -10,7 +10,7 @@ import graft.json.JsonOps
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.sync.Sync
-import graft.text.TextOps
+import graft.text.{Relevance, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -52,6 +52,9 @@ object SparkEntry {
     "token_bpe"      -> (TextOps.tokenBpe _),
     "quality_score"  -> (TextOps.qualityScore _),
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
+    "tfidf_topk"  -> (Relevance.tfidfTopK _),
+    "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
+    "cooccur_pmi" -> (Relevance.cooccurPmi _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
@@ -421,6 +424,60 @@ object SparkEntry {
         |        (a, b) -> (a * 257 + b) % 1000000007)))
         |  END AS win_fp
         |FROM f ORDER BY doc_id""".stripMargin,
+    "tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.token AS token, tf, df,
+        |        tf * ((1000000 * n_docs) // df) AS score
+        |      FROM tf JOIN df USING (token), n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token) AS rk FROM s)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "bm25_rank" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(len(l)) AS total_tokens,
+        |         SUM(CASE WHEN list_contains(l, 'scan') THEN 1 ELSE 0 END) AS df_scan,
+        |         SUM(CASE WHEN list_contains(l, 'join') THEN 1 ELSE 0 END) AS df_join,
+        |         SUM(CASE WHEN list_contains(l, 'window') THEN 1 ELSE 0 END) AS df_window,
+        |         SUM(CASE WHEN list_contains(l, 'vector') THEN 1 ELSE 0 END) AS df_vector
+        |       FROM d),
+        |p AS (SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl,
+        |        CAST(len(list_filter(l, x -> x = 'scan')) AS DOUBLE) AS tf_scan,
+        |        CAST(len(list_filter(l, x -> x = 'join')) AS DOUBLE) AS tf_join,
+        |        CAST(len(list_filter(l, x -> x = 'window')) AS DOUBLE) AS tf_window,
+        |        CAST(len(list_filter(l, x -> x = 'vector')) AS DOUBLE) AS tf_vector
+        |      FROM d),
+        |s AS (SELECT doc_id, dl, round(
+        |        ((n_docs - df_scan + 0.5) / (df_scan + 0.5)) * (tf_scan * (1.2 + 1) / (tf_scan + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))) +
+        |        ((n_docs - df_join + 0.5) / (df_join + 0.5)) * (tf_join * (1.2 + 1) / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))) +
+        |        ((n_docs - df_window + 0.5) / (df_window + 0.5)) * (tf_window * (1.2 + 1) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs)))) +
+        |        ((n_docs - df_vector + 0.5) / (df_vector + 0.5)) * (tf_vector * (1.2 + 1) / (tf_vector + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))))
+        |      , 6) AS score6
+        |      FROM p, st),
+        |r AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens, score6 FROM s
+        |      ORDER BY score6 DESC, doc_id LIMIT 20)
+        |SELECT doc_id, n_tokens, score6,
+        |  ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS rk
+        |FROM r ORDER BY rk""".stripMargin,
+    "cooccur_pmi" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+        |df AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+        |p AS (SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
+        |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+        |      GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(da.n AS BIGINT) AS n_a, CAST(db.n AS BIGINT) AS n_b,
+        |  CAST((1000000 * n_ab * n_docs) // (da.n * db.n) AS BIGINT) AS lift_ppm
+        |FROM p JOIN df da ON token_a = da.token
+        |       JOIN df db ON token_b = db.token, n
+        |WHERE n_ab >= 10
+        |ORDER BY token_a, token_b""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),

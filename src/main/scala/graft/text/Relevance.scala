@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Term-relevance and corpus term-statistics operators — the ranking
+  * side of the reference's search surface (meili.rs builds the search
+  * index; the engine that serves it ranks by term relevance) and the
+  * keyword/association statistics a training-data pipeline derives per
+  * corpus snapshot.
+  *
+  * Everything is integer-ppm or fixed-order IEEE double arithmetic so
+  * the DuckDB oracle reproduces results bit-exactly: no `ln` anywhere
+  * (libm last-ulp drift between engines breaks hash comparison), so the
+  * idf factors use the log-free rational forms.
+  */
+object Relevance {
+
+  /** Terms kept per document by `tfidfTopK`. */
+  private val TopTerms = 3
+
+  /** TF-IDF keyword extraction: the top-3 terms per document by
+    * `tf * idf_ppm`, where `idf_ppm = (1e6 * N) div df` is the log-free
+    * integer inverse-document-frequency surrogate (monotone in the
+    * classic idf, exact in every engine).
+    *
+    * Scale shape: per-(doc, token) counts shuffle once with map-side
+    * partial aggregation; document frequency is a second partial-agg
+    * over those (already-distinct) rows to a vocab-sized frame, joined
+    * back on the token key — a shuffle join at 100 TB vocabulary, never
+    * a driver collect. The rank-≤K filter sits directly on the window so
+    * it plans as WindowGroupLimit (per-partition pruning before the
+    * final shuffle).
+    */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus size as a 1-row frame; data-derived constant key makes the
+    // broadcast join a BroadcastHashJoin (see Curate.domainMix)
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
+    val scored = tf
+      .join(df.withColumn("one", pmod(col("df"), lit(1)).cast("int"))
+        .join(broadcast(totals), "one")
+        .select(col("token"), col("df"),
+          expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm")),
+        "token")
+      .withColumn("score", col("tf") * col("idf_ppm"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopTerms)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** The fixed query `bm25Rank` scores against (terms must exist in the
+    * corpus vocabulary for the scores to be interesting; the operator is
+    * total either way).
+    */
+  private[graft] val QueryTerms = Seq("scan", "join", "window", "vector")
+
+  /** BM25 document ranking for a fixed term query, k1 = 1.2, b = 0.75 —
+    * the scoring pass of the search index the reference maintains
+    * (meili.rs:187+ builds the documents; this ranks them). The idf
+    * factor is the log-free Robertson rational `(N - df + 0.5) /
+    * (df + 0.5)` so both engines compute identical IEEE doubles; the
+    * 4-term sum is written in one fixed-order expression (float addition
+    * is not associative — a `sum()` aggregate would be order-dependent).
+    *
+    * Scale shape: corpus stats (N, total tokens, per-term df) reduce to
+    * ONE row via partial aggregation and broadcast back; each document
+    * then scores itself in a single scan-bound projection (per-term tf
+    * via codegen'd array filters, no explode), and the top-20 is a
+    * TakeOrderedAndProject — per-partition heads, no global sort.
+    */
+  def bm25Rank(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val statCols =
+      count(lit(1)).as("n_docs") +:
+        sum(size(col("l")).cast("long")).as("total_tokens") +:
+        QueryTerms.map(t =>
+          sum(array_contains(col("l"), t).cast("long")).as(s"df_$t"))
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
+    // fixed-order score expression, identical string shape to the oracle
+    val tfc = QueryTerms.map { t =>
+      s"""(tf_$t * (1.2 + 1) / (tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl
+         | / (CAST(total_tokens AS DOUBLE) / n_docs))))""".stripMargin
+    }
+    val idf = QueryTerms.map(t => s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))")
+    val scoreSql = idf.zip(tfc).map { case (i, c) => s"$i * $c" }.mkString(" + ")
+    val perDoc = docs
+      .withColumn("one", pmod(size(col("l")), lit(1)).cast("int"))
+      .join(broadcast(stats), "one")
+      .withColumn("dl", size(col("l")).cast("double"))
+      .select(
+        (col("doc_id") +: col("dl") +: col("total_tokens") +: col("n_docs") +:
+          QueryTerms.map(t => col(s"df_$t")) ++:
+          QueryTerms.map(t =>
+            size(expr(s"filter(l, x -> x = '$t')")).cast("double").as(s"tf_$t"))): _*)
+      .withColumn("score6", round(expr(scoreSql), 6))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"), col("score6"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(topK)
+    // rank the 20-row post-limit result; constant-size window at any scale
+    val w = Window.partitionBy(pmod(col("n_tokens"), lit(1)))
+      .orderBy(col("score6").desc, col("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w).cast("long")).orderBy("rk")
+  }
+
+  /** Pairs below this corpus-wide co-occurrence count are dropped by
+    * `cooccurPmi` (keeps the association table to the statistically
+    * meaningful pairs).
+    */
+  private val MinPairCount = 10L
+
+  /** Token co-occurrence association table: for every token pair sharing
+    * a document at least 10 times, the document-level lift in ppm —
+    * `(1e6 * n_ab * N) div (n_a * n_b)`, the log-free integer-exact PMI
+    * surrogate (PMI = log of this / 1e6).
+    *
+    * Scale shape: pairs are generated MAP-SIDE per document from the
+    * sorted distinct-token array (no self-join of the exploded token
+    * table — that shape shuffles the corpus token list twice), then one
+    * partial-agg shuffle on the pair key. Per-doc pair count is
+    * quadratic in per-doc DISTINCT vocabulary, which is bounded by
+    * document length, not corpus size; a 100 TB run first caps the
+    * vocabulary to the top-K df tokens (one extra broadcast semi-join)
+    * so the pair space stays K²-bounded.
+    */
+  def cooccurPmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val d = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("t"))
+    val df = d.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val pairs = d
+      .select(explode(expr(
+        """flatten(transform(t, (x, i) ->
+          |  transform(slice(t, i + 2, size(t)), y -> struct(x AS ta, y AS tb))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.ta").as("token_a"), col("p.tb").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinPairCount)
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
+    pairs
+      .join(df.select(col("token").as("token_a"), col("n").as("n_a")), "token_a")
+      .join(df.select(col("token").as("token_b"), col("n").as("n_b")), "token_b")
+      .withColumn("one", pmod(col("n_ab"), lit(1)).cast("int"))
+      .join(broadcast(totals), "one")
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("CAST((1000000 * n_ab * n_docs) DIV (n_a * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy("token_a", "token_b")
+  }
+}
