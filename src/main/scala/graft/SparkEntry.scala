@@ -36,6 +36,7 @@ object SparkEntry {
     "sync_backfill"  -> ((s: SparkSession, d: String) => Sync.syncBackfill(s, d)),
     "snapshot_stats" -> (Sync.snapshotStats _),
     "retention_prune" -> ((s: SparkSession, d: String) => Sync.retentionPrune(s, d)),
+    "scd2_history"   -> (Sync.scd2History _),
     "json_props_extract" -> (JsonOps.jsonPropsExtract _),
     "inline_refs"        -> (JsonOps.inlineRefs _),
     "ref_resolve"        -> (JsonOps.refResolve _),
@@ -43,6 +44,8 @@ object SparkEntry {
     "explode_dedup"      -> (JsonOps.explodeDedup _),
     "doc_fingerprint"    -> (JsonOps.docFingerprint _),
     "search_doc"        -> (Indexing.searchDoc _),
+    "inverted_index"    -> (Indexing.invertedIndex _),
+    "pagerank_ppm"      -> (graft.graph.Graph.pagerankPpm _),
     "dim_enrich"        -> (Indexing.dimEnrich _),
     "template_assemble" -> (Indexing.templateAssemble _),
     "link_table"        -> (Indexing.linkTable _),
@@ -424,6 +427,57 @@ object SparkEntry {
         |        (a, b) -> (a * 257 + b) % 1000000007)))
         |  END AS win_fp
         |FROM f ORDER BY doc_id""".stripMargin,
+    "scd2_history" ->
+      """SELECT o_custkey AS key,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  o_orderkey AS rev_id,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+        |  CAST(LEAD(o_orderdate) OVER w IS NULL AS INT) AS is_current
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY key, version""".stripMargin,
+    "inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+        |        ORDER BY tf DESC, doc_id) AS rk FROM tf),
+        |a AS (SELECT token, COUNT(*) AS df, SUM(tf) AS total_tf,
+        |        MAX(tf) AS max_tf FROM tf GROUP BY 1)
+        |SELECT a.token AS token, CAST(df AS BIGINT) AS df,
+        |  CAST(total_tf AS BIGINT) AS total_tf, CAST(max_tf AS BIGINT) AS max_tf,
+        |  r.doc_id AS top_doc
+        |FROM a JOIN r ON a.token = r.token AND r.rk = 1
+        |ORDER BY token""".stripMargin,
+    "pagerank_ppm" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, 1000000000 + s AS dst FROM p
+        |      UNION ALL SELECT 1000000000 + s AS src, c AS dst FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+        |r1 AS (SELECT e.dst AS node,
+        |         (15 * (1000000000000 // n)) // 100 + (85 * SUM(r0.r // deg.outdeg)) // 100 AS r
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src, nn
+        |       GROUP BY e.dst, n),
+        |r2 AS (SELECT e.dst AS node,
+        |         (15 * (1000000000000 // n)) // 100 + (85 * SUM(r1.r // deg.outdeg)) // 100 AS r
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src, nn
+        |       GROUP BY e.dst, n),
+        |r3 AS (SELECT e.dst AS node,
+        |         (15 * (1000000000000 // n)) // 100 + (85 * SUM(r2.r // deg.outdeg)) // 100 AS r
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src, nn
+        |       GROUP BY e.dst, n),
+        |r4 AS (SELECT e.dst AS node,
+        |         (15 * (1000000000000 // n)) // 100 + (85 * SUM(r3.r // deg.outdeg)) // 100 AS r
+        |       FROM e JOIN r3 ON e.src = r3.node JOIN deg ON e.src = deg.src, nn
+        |       GROUP BY e.dst, n),
+        |r5 AS (SELECT e.dst AS node,
+        |         (15 * (1000000000000 // n)) // 100 + (85 * SUM(r4.r // deg.outdeg)) // 100 AS r
+        |       FROM e JOIN r4 ON e.src = r4.node JOIN deg ON e.src = deg.src, nn
+        |       GROUP BY e.dst, n)
+        |SELECT node, CAST(r AS BIGINT) AS rank_u FROM r5 ORDER BY node""".stripMargin,
     "tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -119,4 +119,35 @@ object Indexing {
       )
       .orderBy("s_suppkey")
   }
+
+  /** Inverted-index posting summary — the term-level view of the search
+    * index the reference maintains (meili.rs:187+ uploads documents; the
+    * index side keys them by term): per token, document frequency, total
+    * term frequency, the peak frequency, and the top document (highest
+    * tf, lowest doc_id on ties).
+    *
+    * Scale shape: per-(token, doc) counts shuffle once with map-side
+    * partial aggregation; the per-token rollup is a second partial-agg
+    * over those rows. The top-doc argmax rides the SAME aggregation as a
+    * lexicographic max over a (tf, -doc_id) struct — no window, no
+    * second shuffle, no per-token posting-list materialization (full
+    * posting lists at 100 TB are written as the (token, doc, tf) frame
+    * itself, bucketed by token; this operator is the index's summary
+    * statistics).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        max(col("tf")).as("max_tf"),
+        max(struct(col("tf"), (-col("doc_id")).as("negdoc"))).as("top"))
+      .select(col("token"), col("df"), col("total_tf"), col("max_tf"),
+        (-col("top.negdoc")).as("top_doc"))
+      .orderBy("token")
+  }
 }

@@ -206,4 +206,34 @@ object Sync {
         max(col("o_orderkey")).as("max_key"))
       .orderBy("snap_id")
   }
+
+  /** SCD type-2 revision history: the reference keeps per-article
+    * revisions and serves latest-wins (storage.rs `ON CONFLICT` keyed by
+    * (dictionary, id) with revision tracking); this materializes the
+    * full validity-interval view a warehouse keeps of the same data —
+    * per key, each revision's valid_from/valid_to interval and the
+    * is_current flag. Here each customer's orders play the revision
+    * stream for that customer's record.
+    *
+    * Scale shape: ONE shuffle on the entity key; version numbers and
+    * interval ends are window functions inside the partition (lead +
+    * row_number over the same window spec share a single sort). Dates
+    * leave as formatted strings (parquet ns↔µs dodge, see SURVEY §4).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey").as("key"),
+        col("version"),
+        col("o_orderkey").as("rev_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("next_date"), "yyyy-MM-dd").as("valid_to"),
+        col("next_date").isNull.cast("int").as("is_current"))
+    // no global ORDER BY — corpus-sized history table (see Indexing.searchDoc)
+  }
 }

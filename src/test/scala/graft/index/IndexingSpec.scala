@@ -47,4 +47,24 @@ class IndexingSpec extends SparkSpec {
     val keys = rows.map(r => (r.getAs[Long]("article_id"), r.getAs[Long]("bib_id")))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("inverted_index stats agree with a direct token recount") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byTok = toks.groupBy(_._2)
+    val rows = Indexing.invertedIndex(spark, sf).collect()
+    assert(rows.length == byTok.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("token")
+      val perDoc = byTok(t).groupBy(_._1).map { case (d, v) => d -> v.length.toLong }
+      assert(r.getAs[Long]("df") == perDoc.size.toLong)
+      assert(r.getAs[Long]("total_tf") == perDoc.values.sum)
+      assert(r.getAs[Long]("max_tf") == perDoc.values.max)
+      // top doc = highest tf, lowest doc_id on ties
+      val expectTop = perDoc.toSeq.sortBy { case (d, tf) => (-tf, d) }.head._1
+      assert(r.getAs[Long]("top_doc") == expectTop)
+    }
+  }
 }

@@ -68,4 +68,25 @@ class SyncSpec extends SparkSpec {
     val dates = rows.sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[String]("oldest_date"))
     assert(dates.toSeq == dates.sorted.toSeq)
   }
+
+  test("scd2_history intervals chain per key with exactly one current row") {
+    val rows = Sync.scd2History(spark, sf).collect()
+    val orders = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.length == orders)
+    rows.groupBy(_.getAs[Long]("key")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length).toSeq)
+      // each interval's valid_to equals the next interval's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+          assert(a.getAs[Int]("is_current") == 0)
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last.getAs[String]("valid_to") == null)
+      assert(last.getAs[Int]("is_current") == 1)
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1)
+    }
+  }
 }
