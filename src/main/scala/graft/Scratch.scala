@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Stage-level profiler for the heavy queries (dev tool; not part of
   * the driver contract). `SPARK_GRAFT_CC_DEBUG=1` also prints the
-  * connected-components round counts.
+  * connected-components round counts. Pass a second arg "cluster" for
+  * the dedup_cluster stage breakdown.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,15 +16,31 @@ object Scratch {
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s  -> $r")
       r
     }
-    time("warm q1")(graft.core.Tables.lineitem(spark, dir).count())
-    time("dedup_minhash")(graft.dedup.Dedup.dedupMinhash(spark, dir).count())
-    time("ngram_jaccard")(graft.dedup.Dedup.ngramJaccard(spark, dir).count())
-    time("dedup_cluster")(graft.dedup.Dedup.dedupCluster(spark, dir).count())
-    time("dedup_embedding")(graft.dedup.Dedup.dedupEmbedding(spark, dir).count())
-    time("ann_lsh")(graft.sim.Similarity.annLsh(spark, dir).count())
-    time("ann_ivf")(graft.sim.Similarity.annIvf(spark, dir).count())
-    time("simhash_fp")(graft.dedup.Dedup.simhashFp(spark, dir).count())
-    time("search_doc")(graft.index.Indexing.searchDoc(spark, dir).count())
+    if (args.lift(1).contains("cluster")) {
+      time("warm q1")(graft.core.Tables.lineitem(spark, dir).count())
+      val pairs = graft.dedup.Dedup.dedupMinhash(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+      time("verified pairs")(pairs.count())
+      val forest = graft.dedup.Components.localForest(pairs).persist()
+      time("localForest")(forest.count())
+      val labels = time("minLabels build")(graft.dedup.Components.minLabels(pairs))
+      time("labels count")(labels.count())
+      val clustered = graft.core.Tables.documents(spark, dir).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      time("final join")(clustered.join(sizes, "cluster").count())
+    } else {
+      time("warm q1")(graft.core.Tables.lineitem(spark, dir).count())
+      time("dedup_minhash")(graft.dedup.Dedup.dedupMinhash(spark, dir).count())
+      time("ngram_jaccard")(graft.dedup.Dedup.ngramJaccard(spark, dir).count())
+      time("dedup_cluster")(graft.dedup.Dedup.dedupCluster(spark, dir).count())
+      time("dedup_embedding")(graft.dedup.Dedup.dedupEmbedding(spark, dir).count())
+      time("ann_lsh")(graft.sim.Similarity.annLsh(spark, dir).count())
+      time("ann_ivf")(graft.sim.Similarity.annIvf(spark, dir).count())
+      time("simhash_fp")(graft.dedup.Dedup.simhashFp(spark, dir).count())
+      time("search_doc")(graft.index.Indexing.searchDoc(spark, dir).count())
+    }
     spark.stop()
   }
 }

@@ -23,25 +23,70 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Per-partition spanning-forest contraction: a union-find pass over
+    * each partition's edges that keeps only the edges joining two
+    * previously-unconnected nodes WITHIN that partition. The kept edges
+    * are a spanning forest of every partition-local subgraph, so global
+    * connectivity is EXACTLY preserved (dropping an edge whose endpoints
+    * a kept path already connects cannot change any component), while
+    * the edge count drops from |E| to at most (distinct nodes per
+    * partition − local components) per partition — node-bounded, not
+    * edge-bounded. On the dense near-dup graph this is the difference
+    * between CC over 8.9M verified pairs and CC over ~300k forest edges
+    * at sf0.1; at 100 TB it is what keeps a billion-pair duplicate
+    * clique from flooding the label rounds. The one imperative
+    * `mapPartitions` is the textbook use of the escape hatch: per-
+    * partition union-find state that no relational operator expresses.
+    */
+  private[graft] def localForest(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.filter { case (s, d) =>
+          val (rs, rd) = (find(s), find(d))
+          if (rs == rd) false else { parent(math.max(rs, rd)) = math.min(rs, rd); true }
+        }
+      }
+      .toDF("src", "dst")
+  }
+
   /** @param edges undirected edges as columns (`src`, `dst`)
     * @return (doc_id, lbl) for every node that appears in an edge;
     *         lbl = smallest node id in the component
     */
   def minLabels(edges: DataFrame): DataFrame = {
-    // Round 0 streams the full (possibly huge — 17.8M rows for the
-    // verified-pair graph at sf0.1) edge set through one aggregation and
-    // one contraction WITHOUT materializing it: l0 = min(v, min
-    // neighbour) collapses dense regions to self-loops immediately, so
-    // only the contracted remainder is ever checkpointed. An eager
-    // checkpoint of the raw symmetric frame measured 95 s and left GC
-    // pressure that slowed every later query in the session.
+    // Round 0 splits the work by what each side is good at:
+    // - l0 = min(v, min neighbour) streams the FULL edge set through one
+    //   aggregation without materializing it — on dense graphs (8.9M
+    //   verified pairs over 5k docs at sf0.1) this collapses cliques to
+    //   their minimum in a single pass, the property that makes hash-to-
+    //   min converge in 1-2 rounds. An eager checkpoint of the raw
+    //   symmetric frame measured 95 s and left GC pressure that slowed
+    //   every later query in the session; the aggregation never stores it.
+    // - the CONTRACTED remainder comes from the spanning forest
+    //   (localForest — node-bounded, connectivity-exact), so the
+    //   relabel+distinct and every later round touch at most
+    //   nodes-per-partition edges, not |E|.
     val e = edges.select(col("src"), col("dst")).persist()
-    val sym0 = e.select(col("src").as("doc_id"), col("dst").as("root"))
+    val symFull = e.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(e.select(col("dst").as("doc_id"), col("src").as("root")))
       .filter(col("doc_id") =!= col("root"))
-    val l0 = sym0.groupBy("doc_id").agg(min("root").as("nbr"))
+    val l0 = symFull.groupBy("doc_id").agg(min("root").as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
       .localCheckpoint()
+    val forest = localForest(e).localCheckpoint()
+    val sym0 = forest.select(col("src").as("doc_id"), col("dst").as("root"))
+      .union(forest.select(col("dst").as("doc_id"), col("src").as("root")))
+      .filter(col("doc_id") =!= col("root"))
     // The label frame has exactly one row per node — a count over the
     // checkpointed frame is one narrow scan and fixes the join strategy
     // for EVERY later round (label row count never changes). Small label
