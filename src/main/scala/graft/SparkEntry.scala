@@ -28,6 +28,7 @@ object SparkEntry {
     "asof_join"     -> (Analytics.asofJoin _),
     "sessionize"    -> (Analytics.sessionize _),
     "window_hourly" -> (Analytics.windowHourly _),
+    "percentile_stats" -> (Analytics.percentileStats _),
     "sync_diff"      -> (Sync.syncDiff _),
     "sync_upsert"    -> (Sync.syncUpsert _),
     "outbox_batch"   -> (Sync.outboxBatch _),
@@ -153,6 +154,13 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "percentile_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sync_diff" ->
       """WITH remote AS (
         |  SELECT o_orderkey AS key, o_totalprice AS rev_remote

@@ -197,4 +197,34 @@ object Analytics {
       )
       .orderBy(col("hour_ns"), col("event_type"))
   }
+
+  /** Exact distributed percentiles (p50/p90/p99 of the event value per
+    * type) plus a decimal-summed total — the latency/size distribution
+    * rollup every ops surface of the reference would issue against its
+    * job tables.
+    *
+    * Spark's exact `percentile` aggregates a per-group (value → count)
+    * map: memory scales with DISTINCT values per group, partial
+    * aggregation still applies, and the three quantiles share one
+    * buffer. That is the right tool up to ~1e8 distinct values per
+    * group; past it (100 TB raw metrics) the same query swaps in
+    * `approx_percentile` with a documented rank-error bound — the
+    * operator contract (this oracle row) pins the exact form. The sum
+    * rides a DECIMAL cast: double summation is shuffle-order-dependent
+    * and would break hash verification.
+    */
+  def percentileStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("event_type"), col("n"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"),
+        col("total_value"))
+      .orderBy("event_type")
+  }
 }

@@ -89,6 +89,33 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream click→purchase attribution: every purchase joined to
+    * the same user's clicks from the preceding hour. Both sides carry a
+    * watermark and the join predicate bounds the event-time distance, so
+    * Spark can evict click state once the watermark passes `click time +
+    * horizon` — the state store holds one hour of clicks per user shard,
+    * not the stream's history. The identical plan runs in batch (the
+    * spec pins streaming output to it). This is the streaming form of
+    * the as-of/enrichment joins the reference's poller does against
+    * recently-synced rows.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = withEventTime(events.filter(col("event_type") === "click"))
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = withEventTime(events.filter(col("event_type") === "purchase"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ets").as("p_ets"))
+      .withWatermark("p_ets", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ets") <= col("p_ets") &&
+        col("c_ets") >= col("p_ets") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("p_ets"), col("c_ets"))
+  }
+
   def hourlyCounts(events: DataFrame): DataFrame =
     withEventTime(events)
       .withWatermark("ets", "1 hour")

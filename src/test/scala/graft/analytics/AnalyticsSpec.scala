@@ -52,4 +52,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("hour_ns") % 3600000000000L === 0))
   }
+
+  test("percentile_stats matches DuckDB quantile_cont (pinned sf0.001 values)") {
+    // pinned from `quantile_cont(value, p)` over events.parquet at
+    // sf0.001 — verifies Spark's exact `percentile` interpolation is
+    // bit-compatible with the oracle's definition after round(6)
+    val expected = Map(
+      "click" -> (210L, 33.395, 108.725, 245.7455),
+      "error" -> (201L, 33.55, 104.05, 185.57),
+      "purchase" -> (202L, 35.825, 118.687, 213.0922),
+      "signup" -> (199L, 37.9, 112.642, 217.3336),
+      "view" -> (188L, 37.215, 110.37, 228.6413))
+    val got = Analytics.percentileStats(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, p50, p90, p99) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("p50") == p50)
+      assert(r.getAs[Double]("p90") == p90)
+      assert(r.getAs[Double]("p99") == p99)
+    }
+  }
 }

@@ -122,4 +122,21 @@ class StreamsSpec extends SparkSpec {
       .filter(col("user_id") =!= -1).count()
     assert(streamed == batchSessions)
   }
+
+  test("stream-stream clickAttribution matches the identical batch join") {
+    val got = runStream(Streams.clickAttribution(_), "attr_sink")
+      .collect().map(_.toString).sorted
+    val batch = Streams.clickAttribution(
+        graft.core.Tables.events(spark, sf)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(_.toString).sorted
+    assert(got.length > 0)
+    assert(got.sameElements(batch))
+    // every attributed click is within the hour preceding its purchase
+    spark.table("attr_sink").collect().foreach { r =>
+      val p = r.getAs[java.sql.Timestamp]("p_ets").getTime
+      val c = r.getAs[java.sql.Timestamp]("c_ets").getTime
+      assert(c <= p && c >= p - 3600000L)
+    }
+  }
 }
