@@ -59,6 +59,7 @@ object SparkEntry {
     "tfidf_topk"  -> (Relevance.tfidfTopK _),
     "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
     "cooccur_pmi" -> (Relevance.cooccurPmi _),
+    "rarity_score" -> (Relevance.rarityScore _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
@@ -525,6 +526,19 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, score6,
         |  ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS rk
         |FROM r ORDER BY rk""".stripMargin,
+    "rarity_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |idf AS (SELECT token, (1000000 * n_docs) // df AS idf_ppm FROM df, n),
+        |s AS (SELECT doc_id, SUM(tf) AS n_tokens,
+        |        SUM(tf * idf_ppm) AS rarity_mass
+        |      FROM tf JOIN idf USING (token) GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(rarity_mass // n_tokens AS BIGINT) AS rarity_ppm,
+        |  CAST(rarity_mass // n_tokens >= 100000 AS INT) AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
     "cooccur_pmi" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
         |tok AS (SELECT doc_id, unnest(t) AS token FROM d),

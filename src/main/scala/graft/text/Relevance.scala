@@ -118,6 +118,49 @@ object Relevance {
     perDoc.withColumn("rk", row_number().over(w).cast("long")).orderBy("rk")
   }
 
+  /** `rarityScore` flags documents whose mean token rarity exceeds this
+    * (ppm of the idf scale): heavy rare-token mass is the cheap signal
+    * for the noisy tail a CCNet-style LM-perplexity filter would drop.
+    */
+  private val RarityFlagPpm = 100000L
+
+  /** Per-document rarity gate: mean inverse-document-frequency of the
+    * token stream (log-free `idf_ppm = (1e6 * N) div df`, token
+    * REPEATS included — a doc spamming one rare token scores high), and
+    * the keep/drop flag at 100k ppm. The integer-exact stand-in for
+    * perplexity-based quality filtering (CCNet): documents made of
+    * corpus-rare tokens are disproportionately OCR noise, codes, or
+    * boilerplate IDs.
+    *
+    * Scale shape: same two partial-agg passes as `tfidfTopK` (per-(doc,
+    * token) counts, vocab-sized df frame), then the token stream joins
+    * its idf on the token key — a shuffle join whose build side is the
+    * vocabulary, never the corpus — and reduces per doc.
+    */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
+    val idf = df.withColumn("one", pmod(col("df"), lit(1)).cast("int"))
+      .join(broadcast(totals), "one")
+      .select(col("token"),
+        expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm"))
+    tf.join(idf, "token")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("idf_ppm")).as("rarity_mass"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(rarity_mass DIV n_tokens AS BIGINT)").as("rarity_ppm"),
+        expr(s"CAST(rarity_mass DIV n_tokens >= $RarityFlagPpm AS INT)").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Pairs below this corpus-wide co-occurrence count are dropped by
     * `cooccurPmi` (keeps the association table to the statistically
     * meaningful pairs).

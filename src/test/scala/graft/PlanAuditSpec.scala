@@ -64,6 +64,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("relevance ops keep their scale shapes") {
+    // bm25: 1-row stats frame broadcasts; top-k is per-partition heads,
+    // never a global sort
+    val bm25 = SparkEntry.queries("bm25_rank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bm25.contains("BroadcastHashJoin"), "bm25_rank lost its stats broadcast")
+    assert(bm25.contains("TakeOrderedAndProject"), "bm25_rank plans a global sort")
+    // tfidf: the rank-<=K filter must prune per partition before the shuffle
+    val tfidf = SparkEntry.queries("tfidf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tfidf.contains("WindowGroupLimit"),
+      "tfidf_topk lost its WindowGroupLimit pushdown")
+  }
+
   test("scan-bound text queries prune the documents scan to used columns") {
     val plan = SparkEntry.queries("text_stats")(spark, sf)
       .queryExecution.executedPlan.toString

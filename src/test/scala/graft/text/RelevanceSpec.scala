@@ -68,6 +68,23 @@ class RelevanceSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("score6") - expectTop._2) < 1e-5)
   }
 
+  test("rarity_score covers every doc and equals a driver-side recount") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toLong
+    val dfMap = docs.flatMap { case (_, l) => l.distinct }.groupBy(identity)
+      .map { case (t, v) => t -> v.length.toLong }
+    val rows = Relevance.rarityScore(spark, sf).collect()
+    assert(rows.length == docs.length)
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("rarity_ppm"))).toMap
+    docs.foreach { case (id, l) =>
+      val mass = l.map(t => (1000000L * n) / dfMap(t)).sum
+      assert(got(id) == (l.length.toLong, mass / l.length))
+    }
+  }
+
   test("cooccur_pmi lift matches independence counting on a spot pair") {
     val rows = Relevance.cooccurPmi(spark, sf).collect()
     assert(rows.nonEmpty)
