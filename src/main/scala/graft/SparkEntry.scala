@@ -58,7 +58,7 @@ object SparkEntry {
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
     "tfidf_topk"  -> (Relevance.tfidfTopK _),
     "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
-    "cooccur_pmi" -> (Relevance.cooccurPmi _),
+    "cooccur_pmi" -> ((s: SparkSession, d: String) => Relevance.cooccurPmi(s, d)),
     "rarity_score" -> (Relevance.rarityScore _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),

@@ -29,4 +29,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Register every table as a temp view so the whole surface is
+    * reachable from plain `spark.sql` — the reference's API layer
+    * speaks SQL against its store, and a Graft session (with
+    * `GraftSparkExtensions`) resolves the native functions there too.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    region(s, d).createOrReplaceTempView("region")
+    nation(s, d).createOrReplaceTempView("nation")
+    customer(s, d).createOrReplaceTempView("customer")
+    supplier(s, d).createOrReplaceTempView("supplier")
+    part(s, d).createOrReplaceTempView("part")
+    orders(s, d).createOrReplaceTempView("orders")
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    events(s, d).createOrReplaceTempView("events")
+    documents(s, d).createOrReplaceTempView("documents")
+    embeddings(s, d).createOrReplaceTempView("embeddings")
+  }
 }

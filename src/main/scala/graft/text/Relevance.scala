@@ -176,17 +176,27 @@ object Relevance {
     * sorted distinct-token array (no self-join of the exploded token
     * table — that shape shuffles the corpus token list twice), then one
     * partial-agg shuffle on the pair key. Per-doc pair count is
-    * quadratic in per-doc DISTINCT vocabulary, which is bounded by
-    * document length, not corpus size; a 100 TB run first caps the
-    * vocabulary to the top-K df tokens (one extra broadcast semi-join)
-    * so the pair space stays K²-bounded.
+    * quadratic in per-doc DISTINCT vocabulary, so the vocabulary is
+    * first capped to the top-`vocabCap` df tokens — the capped set is
+    * bounded by construction, broadcasts, and semi-joins the token
+    * stream before the arrays are rebuilt, keeping the pair space
+    * K²-bounded no matter how the corpus vocabulary grows.
     */
-  def cooccurPmi(spark: SparkSession, dir: String): DataFrame = {
+  def cooccurPmi(spark: SparkSession, dir: String,
+      vocabCap: Int = 10000): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val d = docs.select(col("doc_id"),
+    val d0 = docs.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("t"))
-    val df = d.select(explode(col("t")).as("token"))
+    val df = d0.select(explode(col("t")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+    // top-K vocabulary: TakeOrderedAndProject, then a broadcast
+    // semi-join (the K-bounded side builds) before pair generation
+    val kept = df.orderBy(col("n").desc, col("token")).limit(vocabCap)
+      .select("token")
+    val d = d0.select(col("doc_id"), explode(col("t")).as("token"))
+      .join(broadcast(kept), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("t"))
     val pairs = d
       .select(explode(expr(
         """flatten(transform(t, (x, i) ->

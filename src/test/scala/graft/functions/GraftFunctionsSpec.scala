@@ -107,6 +107,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.builders.size == 7)
   }
 
+  test("registerViews exposes the full table surface to plain SQL") {
+    graft.core.Tables.registerViews(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT n_name, COUNT(*) AS n FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+    assert(viaSql.nonEmpty)
+    // native functions resolve against the views too
+    val dot = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS d
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(dot.length == 5 && dot.forall(_.getAs[Double]("d") > 0))
+  }
+
   test("interpreted eval agrees with generated code for every expression") {
     registered
     // every native function evaluated over real data twice: once under
