@@ -39,9 +39,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footers so timings measure the plans; use
     // the same noop-sink path as the timed loop so the sink-side codegen
-    // is warm too (a count() warmup leaves the first timed query paying it)
+    // is warm too (a count() warmup leaves the first timed query paying
+    // it). The cluster query at sf0.001 JIT-compiles the heavy paths the
+    // alphabetically-early dedup queries hit (native set expressions,
+    // banding, union-find, label joins) — without it the first heavy
+    // query absorbs tens of seconds of cold-JIT cost, swamping its
+    // actual plan time.
     SparkEntry.queries.get("q1_agg")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    SparkEntry.queries.get("dedup_cluster")
+      .foreach(f => f(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save())
     // optional comma-separated subset for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -537,7 +537,7 @@ object SparkEntry {
         |      FROM tf JOIN idf USING (token) GROUP BY 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(rarity_mass // n_tokens AS BIGINT) AS rarity_ppm,
-        |  CAST(rarity_mass // n_tokens >= 100000 AS INT) AS flagged
+        |  CAST(rarity_mass // n_tokens >= 2000000 AS INT) AS flagged
         |FROM s ORDER BY doc_id""".stripMargin,
     "cooccur_pmi" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),

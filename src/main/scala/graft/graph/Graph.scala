@@ -57,18 +57,31 @@ object Graph {
       .union(trade.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edges = e.join(deg, "src").cache()
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val nodes = edges.select(col("src")).distinct()
+      .select(col("src").as("node"))
     val n = nodes.count()
     val init = Mass / n
     val base = (15L * init) / 100L
+    // node count fixes the per-round join strategy (same adaptive move
+    // as Components.labelSide): a node-sized rank frame broadcasts, so
+    // every round is a map-side join over the cached edge partitions +
+    // one partial-agg shuffle of per-partition sums; past the broadcast
+    // budget the join falls back to shuffle-hash against the bucketed
+    // edge side
+    def rankSide(df: DataFrame): DataFrame =
+      if (n <= 1000000L) broadcast(df) else df.hint("shuffle_hash")
     var rank = nodes.withColumn("r", lit(init))
     for (_ <- 1 to Iterations) {
-      rank = edges.join(rank, edges("src") === rank("node"))
+      rank = edges.join(rankSide(rank), col("src") === col("node"))
         .select(col("dst"), expr("r DIV outdeg").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("csum"))
         .select(col("dst").as("node"),
           (lit(base) + expr("CAST((85 * csum) DIV 100 AS BIGINT)")).as("r"))
+        // flatten lineage each round: the node-sized frame is narrow and
+        // the lazy checkpoint keeps round N's broadcast from re-running
+        // rounds 1..N-1
+        .localCheckpoint(eager = false)
     }
     rank.select(col("node"), col("r").as("rank_u")).orderBy("node")
   }

@@ -119,15 +119,17 @@ object Relevance {
   }
 
   /** `rarityScore` flags documents whose mean token rarity exceeds this
-    * (ppm of the idf scale): heavy rare-token mass is the cheap signal
-    * for the noisy tail a CCNet-style LM-perplexity filter would drop.
+    * (ppm of the idf scale, where 1e6 = a token present in EVERY doc —
+    * 2e6 means the doc's average token appears in under half the
+    * corpus): heavy rare-token mass is the cheap signal for the noisy
+    * tail a CCNet-style LM-perplexity filter would drop.
     */
-  private val RarityFlagPpm = 100000L
+  private val RarityFlagPpm = 2000000L
 
   /** Per-document rarity gate: mean inverse-document-frequency of the
     * token stream (log-free `idf_ppm = (1e6 * N) div df`, token
     * REPEATS included — a doc spamming one rare token scores high), and
-    * the keep/drop flag at 100k ppm. The integer-exact stand-in for
+    * the keep/drop flag at 2e6 ppm. The integer-exact stand-in for
     * perplexity-based quality filtering (CCNet): documents made of
     * corpus-rare tokens are disproportionately OCR noise, codes, or
     * boilerplate IDs.

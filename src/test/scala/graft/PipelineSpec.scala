@@ -33,7 +33,12 @@ class PipelineSpec extends SparkSpec {
       .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
     val clean = graft.curate.Curate.decontaminate(spark, sf)
       .filter(col("contaminated") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept == (quality intersect survivors intersect clean))
+    val unrepeated = graft.curate.Curate.repetitionStats(spark, sf)
+      .filter(col("flagged") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val common = graft.text.Relevance.rarityScore(spark, sf)
+      .filter(col("flagged") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept ==
+      (quality intersect unrepeated intersect common intersect survivors intersect clean))
     assert(kept.nonEmpty)
     // shard manifest integrity: running totals consistent, shards ordered
     val sorted = manifest.sortBy(_.getAs[Long]("doc_id"))
