@@ -11,12 +11,15 @@ object PlanAudit {
     val spark = graft.core.Graft.session(cpus = 8)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
+        // pre-execution AQE plan: join/exchange/scan structure is final
+        // enough to audit; codegen spans only exist in the post-execution
+        // final plan, so they are not counted here
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         def count(s: String) = plan.sliding(s.length).count(_ == s)
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
         println(f"$name%-20s bhj=${count("BroadcastHashJoin")}%d smj=${count("SortMergeJoin")}%d " +
-          f"exch=${count("Exchange")}%d scans=${count("FileScan")}%d pushedFilters=$pushed%d " +
-          f"codegenSpans=${count("WholeStageCodegen")}%d")
+          f"shj=${count("ShuffledHashJoin")}%d bnlj=${count("BroadcastNestedLoopJoin")}%d " +
+          f"exch=${count("Exchange")}%d scans=${count("FileScan")}%d pushedFilters=$pushed%d")
       } catch { case e: Throwable => println(s"$name AUDIT-ERROR ${e.getMessage}") }
     }
     spark.stop()
