@@ -29,6 +29,7 @@ object SparkEntry {
     "sessionize"    -> (Analytics.sessionize _),
     "window_hourly" -> (Analytics.windowHourly _),
     "percentile_stats" -> (Analytics.percentileStats _),
+    "min_cost_supplier" -> (Analytics.minCostSupplier _),
     "sync_diff"      -> (Sync.syncDiff _),
     "sync_upsert"    -> (Sync.syncUpsert _),
     "outbox_batch"   -> (Sync.outboxBatch _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
+    "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _)
   )
@@ -162,6 +164,25 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 6) AS p99,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "min_cost_supplier" ->
+      """WITH r AS (SELECT l_partkey, l_suppkey,
+        |             CAST(l_extendedprice AS DECIMAL(12,2)) AS cost FROM lineitem),
+        |m AS (SELECT l_partkey, MIN(cost) AS mc, COUNT(*) AS n_offers
+        |      FROM r GROUP BY 1),
+        |s AS (SELECT r.l_partkey AS pk, MIN(r.l_suppkey) AS suppkey
+        |      FROM r JOIN m ON r.l_partkey = m.l_partkey AND r.cost = m.mc
+        |      GROUP BY 1)
+        |SELECT m.l_partkey AS partkey, s.suppkey,
+        |  CAST(m.mc AS DOUBLE) AS min_cost, n_offers
+        |FROM m JOIN s ON m.l_partkey = s.pk ORDER BY partkey""".stripMargin,
+    "embed_qc" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)), 6) AS norm6,
+        |  CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 AS INT) AS flag_nonfinite,
+        |  CAST(len(list_filter(embedding, x -> x <> 0)) = 0 AS INT) AS flag_zero,
+        |  CAST(len(embedding) <> 64 AS INT) AS flag_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sync_diff" ->
       """WITH remote AS (
         |  SELECT o_orderkey AS key, o_totalprice AS rev_remote

@@ -213,6 +213,29 @@ object Analytics {
     * rides a DECIMAL cast: double summation is shuffle-order-dependent
     * and would break hash verification.
     */
+  /** Q2-style argmin join (decorrelated): for each part, the supplier
+    * offering it at the lowest cost — the classic correlated subquery
+    * `WHERE cost = (SELECT MIN(cost) ... WHERE partkey = outer)`
+    * rewritten as a partial-agg min per key + equi-join back, the shape
+    * Catalyst's decorrelation produces and the only one that scales (the
+    * correlated form re-scans per outer row). Ties break on the lowest
+    * supplier key via one lexicographic struct-min — argmin WITHOUT a
+    * second join or window (same move as Indexing.invertedIndex).
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(12,2)").as("cost"))
+    li.groupBy("l_partkey")
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("best"),
+        count(lit(1)).as("n_offers"))
+      .select(col("l_partkey").as("partkey"),
+        col("best.l_suppkey").as("suppkey"),
+        col("best.cost").cast("double").as("min_cost"),
+        col("n_offers"))
+      .orderBy("partkey")
+  }
+
   def percentileStats(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy("event_type")

@@ -170,4 +170,24 @@ object Similarity {
       .filter(col("rk") <= 5)
       .orderBy("q_id", "rk")
   }
+
+  /** Embedding quality-control gate — the validation pass an embedding
+    * pipeline runs before indexing (bad vectors poison ANN recall and
+    * cosine math silently): per vector, the dimension, the L2 norm, and
+    * flags for zero vectors, non-finite components, and dimension
+    * mismatches. Scan-bound single projection — codegen'd higher-order
+    * predicates over the float array, no shuffle, no explode.
+    */
+  def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(norm64("embedding"), 6).as("norm6"),
+        expr("CAST(exists(embedding, x -> isnan(x) OR abs(x) = double('Infinity')) AS INT)")
+          .as("flag_nonfinite"),
+        expr("CAST(NOT exists(embedding, x -> x != 0.0F) AS INT)").as("flag_zero"))
+      .withColumn("flag_dim", (col("dim") =!= expectDim).cast("int"))
+      .orderBy("vec_id")
+  }
 }

@@ -53,6 +53,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hour_ns") % 3600000000000L === 0))
   }
 
+  test("min_cost_supplier picks the cheapest (then lowest-key) supplier per part") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = li.groupBy(_._1).map { case (pk, rows) =>
+      val mc = rows.map(_._3).min
+      pk -> (rows.filter(_._3 == mc).map(_._2).min, mc, rows.length.toLong)
+    }
+    val got = Analytics.minCostSupplier(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (sk, mc, n) = expected(r.getAs[Long]("partkey"))
+      assert(r.getAs[Long]("suppkey") == sk)
+      assert(r.getAs[Double]("min_cost") == mc)
+      assert(r.getAs[Long]("n_offers") == n)
+    }
+  }
+
   test("percentile_stats matches DuckDB quantile_cont (pinned sf0.001 values)") {
     // pinned from `quantile_cont(value, p)` over events.parquet at
     // sf0.001 — verifies Spark's exact `percentile` interpolation is

@@ -52,4 +52,17 @@ class SimilaritySpec extends SparkSpec {
     // 0.92-0.96 at sf0.001/0.01/0.1; fail the build if params degrade
     assert(recall >= 0.85, s"ann_ivf recall $recall below floor 0.85")
   }
+
+  test("embed_qc covers every vector; clean corpus raises no flags") {
+    val rows = Similarity.embedQc(spark, sf).collect()
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      assert(r.getAs[Double]("norm6") > 0)
+      assert(r.getAs[Int]("flag_nonfinite") == 0)
+      assert(r.getAs[Int]("flag_zero") == 0)
+      assert(r.getAs[Int]("flag_dim") == 0)
+    }
+  }
 }
