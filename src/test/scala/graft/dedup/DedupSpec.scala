@@ -142,4 +142,26 @@ class DedupSpec extends SparkSpec {
         (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster")))
     }
   }
+
+  test("localForest preserves components and node coverage on a crafted graph") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // two components (a 5-clique 0-4 and a chain 10-13) plus a
+    // self-loop-only node, scattered across partitions so the
+    // per-partition union-find sees arbitrary slices
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (clique ++ chain ++ Seq((20L, 20L)))
+      .toDF("src", "dst").repartition(7)
+    val forest = Components.localForest(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // forest edges are a subset of the real input edges
+    assert(forest.toSet.subsetOf((clique ++ chain).toSet))
+    val labels = Components.minLabels(edges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lbl"))).toMap
+    assert((0L to 4L).forall(labels(_) == 0L))
+    assert((10L to 13L).forall(labels(_) == 10L))
+    // the self-loop-only node vanishes (no real edge), as before
+    assert(!labels.contains(20L))
+  }
 }
