@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -50,6 +53,8 @@ object GraftFunctions {
     "simhash32" -> (es => Simhash32(es.head)),
     "rolling_fp" ->
       (es => RollingFp(es(0), intLit("rolling_fp", es(1)))),
+    "vec_sum" ->
+      (es => VectorSumD(es.head).toAggregateExpression()),
   )
 
   /** Idempotent per-session registration; operators call this before
@@ -500,5 +505,76 @@ case class RollingFp(child: Expression, k: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.Mix.rollingFp($a, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Elementwise sum of a float-array column as `array<double>` — the
+  * centroid-accumulation aggregate of the IVF trainer (Similarity
+  * .annIvf). Replaces the posexplode → per-(cid, pos) avg shape, which
+  * shuffles |corpus| × dim rows; this buffers ONE dim-length double
+  * vector per group and merges buffers, so the shuffle carries
+  * groups × dim doubles with normal partial aggregation. Like any
+  * float summation its result is accumulation-order-dependent, so it
+  * belongs in recall-pinned (rows-checked) operators, not hash-verified
+  * ones. Buffer sizes lazily from the first row (dimension-agnostic);
+  * mismatched rows fold at the shorter length.
+  */
+case class VectorSumD(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val b = if (buf.length == 0) new Array[Double](arr.numElements()) else buf
+      var i = 0
+      val m = math.min(arr.numElements(), b.length)
+      while (i < m) { b(i) += arr.getFloat(i).toDouble; i += 1 }
+      b
+    }
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.length == 0) b2
+    else if (b2.length == 0) b1
+    else {
+      var i = 0
+      val m = math.min(b1.length, b2.length)
+      while (i < m) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.length == 0) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumD =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumD =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumD =
     copy(child = newChild)
 }

@@ -120,12 +120,15 @@ object Similarity {
         col("embedding").as("cvec"), col("norm").as("cnorm"))
     for (_ <- 1 to 2) {
       val memb = assign(centroids).join(e, "vec_id")
+      // centroid mean via the native vec_sum aggregate: ONE partial-agg
+      // shuffle of k × dim double buffers (the posexplode → per-(cid,
+      // pos) avg shape this replaces shuffled |corpus| × dim rows)
       centroids = memb
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+        .agg(call_function("vec_sum", col("embedding")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"),
+          expr("transform(sv, x -> CAST(x / cnt AS FLOAT))").as("cvec"))
         .withColumn("cnorm", norm64("cvec"))
       // no per-round checkpoint: two Lloyd rounds of lineage stay shallow
     }

@@ -86,6 +86,31 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_sum matches a posexplode elementwise sum (within float-order tolerance)") {
+    registered
+    val viaAgg = Tables.embeddings(spark, sf)
+      .groupBy((col("vec_id") % 7).as("g"))
+      .agg(call_function("vec_sum", col("embedding")).as("sv"))
+      .collect().map(r => r.getAs[Long]("g") -> r.getSeq[Double](1)).toMap
+    val viaExplode = Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 7).as("g"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("g", "pos").agg(sum(col("v").cast("double")).as("s"))
+      .collect()
+      .groupBy(_.getAs[Long]("g"))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("s")).toSeq
+      }
+    assert(viaAgg.keySet == viaExplode.keySet)
+    viaAgg.foreach { case (g, sv) =>
+      val ref = viaExplode(g)
+      assert(sv.length == ref.length)
+      sv.zip(ref).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)))
+      }
+    }
+  }
+
   test("native functions resolve from plain SQL") {
     registered
     val d = spark.sql(
@@ -104,7 +129,7 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftSparkExtensions().apply(ext)
     // injection itself must cover the full builder list; resolution is
     // covered by the plain-SQL test above on the shared session
-    assert(GraftFunctions.builders.size == 7)
+    assert(GraftFunctions.builders.size == 8)
   }
 
   test("registerViews exposes the full table surface to plain SQL") {
