@@ -61,4 +61,25 @@ object Pipeline {
     graft.curate.Curate.shardPackDocs(
       Tables.documents(spark, dir).select("doc_id", "text").join(keep, "doc_id"))
   }
+
+  /** Embedding index pipeline: QC gate → LSH ANN over the surviving
+    * vectors. Bad vectors (non-finite, zero, wrong dimension) never
+    * enter the index or the candidate space — the validation step a
+    * production vector store runs before ingest. The gate output is
+    * tiny (the flagged set), so the exclusion is a broadcast anti-join;
+    * everything downstream keeps annLsh's narrow-bucket shapes.
+    */
+  def indexEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    indexEmbeddingsFrom(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** `indexEmbeddings` over an arbitrary `(vec_id, embedding)` frame. */
+  def indexEmbeddingsFrom(emb: org.apache.spark.sql.DataFrame): DataFrame = {
+    val bad = graft.sim.Similarity.embedQcFrom(emb)
+      .filter(col("flag_nonfinite") === 1 || col("flag_zero") === 1 ||
+        col("flag_dim") === 1)
+      .select("vec_id")
+    val clean = emb.join(broadcast(bad), Seq("vec_id"), "left_anti")
+    graft.sim.Similarity.annLshFrom(clean)
+  }
 }

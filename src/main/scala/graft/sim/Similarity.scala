@@ -52,10 +52,15 @@ object Similarity {
     * approximate by construction (the SimilaritySpec floor keeps
     * parameter regressions from shipping).
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .withColumn("norm", norm64("embedding"))
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshFrom(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+
+  /** `annLsh` over an arbitrary `(vec_id, embedding)` frame — pipelines
+    * call this after gating the corpus (Pipeline.indexEmbeddings).
+    */
+  def annLshFrom(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.withColumn("norm", norm64("embedding"))
     val banded = withBandBuckets(e.select("vec_id", "embedding"), bands = 16, rows = 4)
       .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
     val qb = withProbeBuckets(
@@ -181,9 +186,16 @@ object Similarity {
     * mismatches. Scan-bound single projection — codegen'd higher-order
     * predicates over the float array, no shuffle, no explode.
     */
-  def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, dir)
+  def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
+    embedQcFrom(Tables.embeddings(spark, dir), expectDim).orderBy("vec_id")
+
+  /** `embedQc` over an arbitrary embeddings frame (unsorted — pipeline
+    * consumers filter it, and a global sort of a corpus-sized QC report
+    * is pure cost; the query entry adds the sort for readable diffs).
+    */
+  def embedQcFrom(emb: DataFrame, expectDim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb
       .select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(norm64("embedding"), 6).as("norm6"),
@@ -191,6 +203,5 @@ object Similarity {
           .as("flag_nonfinite"),
         expr("CAST(NOT exists(embedding, x -> x != 0.0F) AS INT)").as("flag_zero"))
       .withColumn("flag_dim", (col("dim") =!= expectDim).cast("int"))
-      .orderBy("vec_id")
   }
 }

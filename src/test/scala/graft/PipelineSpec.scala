@@ -48,4 +48,24 @@ class PipelineSpec extends SparkSpec {
       running += r.getAs[Long]("n_tokens")
     }
   }
+
+  test("indexEmbeddings equals annLsh on a clean corpus and drops poisoned vectors") {
+    val clean = Pipeline.indexEmbeddings(spark, sf).collect().map(_.toString).sorted
+    val plain = graft.sim.Similarity.annLsh(spark, sf).collect().map(_.toString).sorted
+    assert(clean.nonEmpty && clean.sameElements(plain))
+    // poison the corpus: a NaN vector, a zero vector, a short vector —
+    // none may surface as a neighbour
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val base = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val poisoned = base ++ Seq(
+      (900001L, Array.fill(64)(Float.NaN)),
+      (900002L, Array.fill(64)(0.0f)),
+      (900003L, Array.fill(3)(1.0f)))
+    val out = Pipeline.indexEmbeddingsFrom(poisoned.toDF("vec_id", "embedding"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_id") < 900000L))
+  }
 }
