@@ -39,8 +39,9 @@ object Graph {
     *
     * Scale shape: the edge list is built once (fact-table shuffle on the
     * join key, then a distinct) and cached with its out-degree attached,
-    * so each iteration is ONE shuffle of the node-sized rank frame to
-    * the edge partitioning plus a partial-agg sum on dst. At 100 TB the
+    * so each iteration moves ONLY the node-sized rank frame (broadcast
+    * under the budget, shuffle-hash past it) plus a partial-agg sum on
+    * dst. At 100 TB the
     * edge list is written bucketed by `src` (Sinks.writeBucketed), which
     * makes the per-iteration join exchange-free on the edge side — only
     * rank rows (16 bytes/node) move per round. The single driver-side
