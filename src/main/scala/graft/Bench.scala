@@ -60,9 +60,13 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
-      // release the finished query's checkpointed RDDs and shuffle files
-      // before timing the next one: ContextCleaner is GC-driven, and
-      // letting blocks pile up measurably inflates later queries
+      // release the finished query's cached frames and checkpointed RDDs
+      // before timing the next one: ContextCleaner is GC-driven, queries
+      // are independent, and letting tens of GB of dead blocks pile up
+      // measurably inflates (and destabilizes) later readings
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       (name, dt, err)
     }
