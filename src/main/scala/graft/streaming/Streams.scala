@@ -89,6 +89,84 @@ object Streams {
       }
       .start()
 
+  /** One open session per user held in the state store by
+    * `eventSessionsCustom`: bounds in epoch-nanos (full source
+    * precision), the running count, and the value sum in exact cents.
+    */
+  case class OpenSession(startNs: Long, endNs: Long, n: Long, cents: Long)
+
+  /** A closed session as `eventSessionsCustom` emits it. */
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, session_value: Double)
+
+  /** Input row shape for `eventSessionsCustom` (public: the Dataset
+    * encoder's generated code constructs it reflectively).
+    */
+  case class SessIn(user_id: Long, ts: Long,
+      ets: java.sql.Timestamp, value: Double)
+
+  /** Gap-based sessionization with EXPLICIT custom state —
+    * `flatMapGroupsWithState` + event-time timeout — the
+    * KeyValueGroupedDataset form of `eventSessions` for session logic
+    * `session_window` cannot express (per-session derived metrics,
+    * value caps, custom merge rules). One `OpenSession` per user lives
+    * in the state store; events within a micro-batch are sorted and
+    * folded in nanosecond precision (closing a session whenever the gap
+    * exceeds 30 minutes, exactly the batch operator's rule), closed
+    * sessions emit immediately, and the event-time timeout flushes the
+    * open session once the watermark passes its end + gap — so state is
+    * bounded by distinct active users, not stream length. Values
+    * accumulate in integer cents (the inputs are 2-decimal) so sums
+    * match the batch DECIMAL aggregation exactly. Cross-batch late
+    * events merge while the session is still open — the watermark bound
+    * every streaming sessionizer shares.
+    */
+  def eventSessionsCustom(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = gapMinutes * 60L * 1000000000L
+    def close(u: Long, o: OpenSession): ClosedSession =
+      ClosedSession(u, o.startNs / 1000, o.endNs / 1000, o.n, o.cents / 100.0)
+    def fold(user: Long, it: Iterator[SessIn],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var open = state.getOption
+        it.toSeq.sortBy(_.ts).foreach { e =>
+          val cents = math.round(e.value * 100)
+          open match {
+            case Some(o) if e.ts - o.endNs <= gapNs =>
+              open = Some(OpenSession(o.startNs, math.max(o.endNs, e.ts),
+                o.n + 1, o.cents + cents))
+            case Some(o) =>
+              out += close(user, o)
+              open = Some(OpenSession(e.ts, e.ts, 1, cents))
+            case None =>
+              open = Some(OpenSession(e.ts, e.ts, 1, cents))
+          }
+        }
+        open.foreach { o =>
+          state.update(o)
+          state.setTimeoutTimestamp(o.endNs / 1000000 + gapMinutes * 60L * 1000 + 1)
+        }
+        out.iterator
+      }
+    }
+    withEventTime(events)
+      .select(col("user_id"), col("ts"), col("ets"), col("value"))
+      .withWatermark("ets", s"$gapMinutes minutes")
+      .as[SessIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fold)
+      .toDF()
+  }
+
   /** Stream-stream click→purchase attribution: every purchase joined to
     * the same user's clicks from the preceding hour. Both sides carry a
     * watermark and the join predicate bounds the event-time distance, so

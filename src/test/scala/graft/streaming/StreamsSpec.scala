@@ -123,6 +123,20 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batchSessions)
   }
 
+  test("flatMapGroupsWithState sessionizer matches the batch sessionize operator") {
+    val got = runStream(Streams.eventSessionsCustom(_), "fmgs_sink")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))).sorted
+    val batch = graft.analytics.Analytics.sessionize(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))).sorted
+    assert(got.length > 0)
+    assert(got.sameElements(batch))
+  }
+
   test("stream-stream clickAttribution matches the identical batch join") {
     val got = runStream(Streams.clickAttribution(_), "attr_sink")
       .collect().map(_.toString).sorted
