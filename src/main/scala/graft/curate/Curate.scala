@@ -181,11 +181,15 @@ object Curate {
     *
     * Scale shape: one partial-agg pass over the corpus to cell level
     * (cells are dozens, not billions), then cell-level arithmetic
-    * against the broadcast 1-row totals frame. The totals join key is
-    * derived from data so the single-key broadcast join plans as a
-    * BroadcastHashJoin, not a nested loop (see Similarity.crossCentroids).
+    * against the broadcast 1-row totals frame. The plain crossJoin
+    * plans as a BroadcastHashJoin, not a nested loop, because the
+    * graft optimizer rule rewrites 1-row cross joins with a
+    * non-foldable derived key (plans.SingleRowCrossToEquiJoin — the
+    * automated form of the manual pmod-key idiom the other operators
+    * still spell out).
     */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val cells = Tables.documents(spark, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
@@ -193,9 +197,7 @@ object Curate {
     val totals = cells.agg(
       sum(col("cell_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_cells"))
-      .withColumn("one", pmod(col("n_cells"), lit(1)).cast("int"))
-    cells.withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
-      .join(broadcast(totals), "one")
+    cells.crossJoin(broadcast(totals))
       .withColumn("share_ppm", expr("CAST((1000000 * cell_tokens) DIV tot_tokens AS BIGINT)"))
       .withColumn("target_ppm", expr("CAST(1000000 DIV n_cells AS BIGINT)"))
       .withColumn("rate_ppm",

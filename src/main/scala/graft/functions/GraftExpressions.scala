@@ -72,6 +72,14 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }
     }
+    // the optimizer extension rides along: idempotent append of the
+    // single-row-cross rewrite (SURVEY §5) for programmatic sessions
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.SingleRowCrossToEquiJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.SingleRowCrossToEquiJoin
+    }
   }
 }
 
@@ -83,13 +91,15 @@ object GraftFunctions {
   * graft API call.
   */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SingleRowCrossToEquiJoin)
+  }
 }
 
 /** Exact dot product of two float-array columns as double, summing in

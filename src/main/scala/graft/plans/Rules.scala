@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal, Murmur3Hash, Pmod}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer extensions for plan shapes the engine keeps hitting.
+  *
+  * `SingleRowCrossToEquiJoin` automates the derived-constant-key idiom
+  * documented in SURVEY §5 (Curate.domainMix): a cross/inner join with
+  * no condition against a known 1-row side (a global aggregate — the
+  * "corpus totals" frame every normalization pass produces) is
+  * semantically a broadcast fan-out, but Spark plans it as a
+  * BroadcastNestedLoopJoin. A literal join key cannot fix it —
+  * ConstantFolding folds `lit(0) === lit(0)` to `true` and the nested
+  * loop returns — so the rule appends a NON-FOLDABLE zero key derived
+  * from each side's first output attribute (`pmod(hash(attr), 1)`,
+  * always 0, never foldable) and rewrites to an equi-join, which the
+  * planner then executes as a BroadcastHashJoin. Pure win: identical
+  * semantics (every row matches the single row; empty side → empty
+  * either way), hash-join instead of nested-loop.
+  *
+  * Registered two ways, mirroring GraftFunctions: injected through
+  * `GraftSparkExtensions` for SQL-first sessions, appended to
+  * `spark.experimental.extraOptimizations` by
+  * `GraftFunctions.register` for programmatic ones.
+  */
+object SingleRowCrossToEquiJoin extends Rule[LogicalPlan] {
+
+  private def singleRow(p: LogicalPlan): Boolean = p.maxRows.contains(1L)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner | Cross, None, hint)
+        if (singleRow(right) || singleRow(left)) &&
+          left.output.nonEmpty && right.output.nonEmpty =>
+      val lk = Alias(Pmod(Murmur3Hash(Seq(left.output.head), 42),
+        Literal(1)), "__graft_cross_lk")()
+      val rk = Alias(Pmod(Murmur3Hash(Seq(right.output.head), 42),
+        Literal(1)), "__graft_cross_rk")()
+      val rewritten = Join(
+        Project(left.output :+ lk, left),
+        Project(right.output :+ rk, right),
+        j.joinType,
+        Some(EqualTo(lk.toAttribute, rk.toAttribute)),
+        hint)
+      Project(j.output, rewritten)
+  }
+}

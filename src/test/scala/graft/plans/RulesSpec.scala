@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RulesSpec extends SparkSpec {
+
+  test("1-row cross joins rewrite to hash joins with identical results") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars")
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"))
+    val joined = docs.crossJoin(broadcast(totals))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"single-row cross join not rewritten:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    // semantics: every left row appears once, carrying the global totals
+    val rows = joined.collect()
+    val n = docs.count()
+    val tot = docs.agg(sum(col("n_chars"))).first().getLong(0)
+    assert(rows.length == n)
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_docs") == n && r.getAs[Long]("total_chars") == tot))
+  }
+
+  test("the rewrite leaves conditioned and multi-row joins alone") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "lang")
+    // multi-row cross join (5-row side): must stay a nested loop —
+    // rewriting it would change nothing semantically but the rule must
+    // not claim joins it cannot prove single-row
+    val langs = docs.select("lang").distinct().limit(5)
+    val cross = docs.crossJoin(broadcast(langs.select(col("lang").as("l2"))))
+    assert(cross.count() == docs.count() * langs.count())
+    // equi-join unaffected
+    val eq = docs.join(
+      docs.groupBy("lang").count().withColumnRenamed("lang", "l3"),
+      col("lang") === col("l3"))
+    assert(eq.count() == docs.count())
+  }
+}
