@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.GraftFunctions
 
 /** Term-relevance and corpus term-statistics operators — the ranking
   * side of the reference's search surface (meili.rs builds the search
@@ -36,19 +37,18 @@ object Relevance {
     * final shuffle).
     */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // corpus size as a 1-row frame; data-derived constant key makes the
-    // broadcast join a BroadcastHashJoin (see Curate.domainMix)
+    // corpus size as a 1-row frame; the SingleRowCrossToEquiJoin rule
+    // plans the crossJoin as a BroadcastHashJoin (see graft.plans)
     val totals = docs.agg(count(lit(1)).as("n_docs"))
-      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
     val scored = tf
-      .join(df.withColumn("one", pmod(col("df"), lit(1)).cast("int"))
-        .join(broadcast(totals), "one")
+      .join(df.crossJoin(broadcast(totals))
         .select(col("token"), col("df"),
           expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm")),
         "token")
@@ -83,6 +83,7 @@ object Relevance {
     * TakeOrderedAndProject — per-partition heads, no global sort.
     */
   def bm25Rank(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     val statCols =
@@ -91,7 +92,6 @@ object Relevance {
         QueryTerms.map(t =>
           sum(array_contains(col("l"), t).cast("long")).as(s"df_$t"))
     val stats = docs.agg(statCols.head, statCols.tail: _*)
-      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
     // fixed-order score expression, identical string shape to the oracle
     val tfc = QueryTerms.map { t =>
       s"""(tf_$t * (1.2 + 1) / (tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl
@@ -100,8 +100,7 @@ object Relevance {
     val idf = QueryTerms.map(t => s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))")
     val scoreSql = idf.zip(tfc).map { case (i, c) => s"$i * $c" }.mkString(" + ")
     val perDoc = docs
-      .withColumn("one", pmod(size(col("l")), lit(1)).cast("int"))
-      .join(broadcast(stats), "one")
+      .crossJoin(broadcast(stats))
       .withColumn("dl", size(col("l")).cast("double"))
       .select(
         (col("doc_id") +: col("dl") +: col("total_tokens") +: col("n_docs") +:
@@ -140,6 +139,7 @@ object Relevance {
     * vocabulary, never the corpus — and reduces per doc.
     */
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -147,9 +147,7 @@ object Relevance {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val totals = docs.agg(count(lit(1)).as("n_docs"))
-      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
-    val idf = df.withColumn("one", pmod(col("df"), lit(1)).cast("int"))
-      .join(broadcast(totals), "one")
+    val idf = df.crossJoin(broadcast(totals))
       .select(col("token"),
         expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm"))
     tf.join(idf, "token")
@@ -186,6 +184,7 @@ object Relevance {
     */
   def cooccurPmi(spark: SparkSession, dir: String,
       vocabCap: Int = 10000): DataFrame = {
+    GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val d0 = docs.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("t"))
@@ -208,12 +207,10 @@ object Relevance {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinPairCount)
     val totals = docs.agg(count(lit(1)).as("n_docs"))
-      .withColumn("one", pmod(col("n_docs"), lit(1)).cast("int"))
     pairs
       .join(df.select(col("token").as("token_a"), col("n").as("n_a")), "token_a")
       .join(df.select(col("token").as("token_b"), col("n").as("n_b")), "token_b")
-      .withColumn("one", pmod(col("n_ab"), lit(1)).cast("int"))
-      .join(broadcast(totals), "one")
+      .crossJoin(broadcast(totals))
       .select(col("token_a"), col("token_b"), col("n_ab"),
         col("n_a"), col("n_b"),
         expr("CAST((1000000 * n_ab * n_docs) DIV (n_a * n_b) AS BIGINT)")
