@@ -45,11 +45,25 @@ object Bench {
     // banding, union-find, label joins) — without it the first heavy
     // query absorbs tens of seconds of cold-JIT cost, swamping its
     // actual plan time.
-    SparkEntry.queries.get("q1_agg")
-      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    SparkEntry.queries.get("dedup_cluster")
-      .foreach(f => f(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save())
+    // warmup data: the smallest sibling scale factor of the configured
+    // root if present, else the configured root itself — never a
+    // hardcoded absolute path (Bench must start on any layout)
+    val warmDir = {
+      val parent = new java.io.File(sfDir).getParentFile
+      val small = if (parent == null) null else new java.io.File(parent, "sf0.001")
+      if (small != null && small.isDirectory) Some(small.getPath)
+      else if (new java.io.File(sfDir).isDirectory) Some(sfDir)
+      else { System.err.println(s"warmup skipped: no data at $sfDir"); None }
+    }
+    warmDir.foreach { wd =>
+      // q1 warms at the timed dir (parquet footers for the timed scans);
+      // the heavy dedup path warms at the small dir (pure JIT warmup)
+      val q1Dir = if (new java.io.File(sfDir).isDirectory) sfDir else wd
+      SparkEntry.queries.get("q1_agg")
+        .foreach(f => f(spark, q1Dir).write.format("noop").mode("overwrite").save())
+      SparkEntry.queries.get("dedup_cluster")
+        .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
+    }
     // optional comma-separated subset for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

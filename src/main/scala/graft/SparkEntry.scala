@@ -561,9 +561,15 @@ object SparkEntry {
         |  CAST(rarity_mass // n_tokens >= 2000000 AS INT) AS flagged
         |FROM s ORDER BY doc_id""".stripMargin,
     "cooccur_pmi" ->
+      // the top-10000-df vocabulary cap mirrors the Spark operator's
+      // vocabCap (identical ORDER BY n DESC, token tie-break) so the
+      // hash contract holds at any corpus vocabulary size, not just
+      // while test-scale vocab stays under the cap
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
-        |tok AS (SELECT doc_id, unnest(t) AS token FROM d),
-        |df AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+        |tok0 AS (SELECT doc_id, unnest(t) AS token FROM d),
+        |df AS (SELECT token, COUNT(*) AS n FROM tok0 GROUP BY 1),
+        |kept AS (SELECT token FROM df ORDER BY n DESC, token LIMIT 10000),
+        |tok AS (SELECT doc_id, token FROM tok0 JOIN kept USING (token)),
         |p AS (SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
         |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
         |      GROUP BY 1, 2),

@@ -30,10 +30,18 @@ object SingleRowCrossToEquiJoin extends Rule[LogicalPlan] {
 
   private def singleRow(p: LogicalPlan): Boolean = p.maxRows.contains(1L)
 
+  /** The rewrite hashes each side's first output attribute; types hash()
+    * rejects (MapType by default, VariantType) would make the injected
+    * expression fail analysis — fall through to the original join there.
+    */
+  private def hashable(p: LogicalPlan): Boolean =
+    Murmur3Hash(Seq(p.output.head), 42).checkInputDataTypes().isSuccess
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, None, hint)
         if (singleRow(right) || singleRow(left)) &&
-          left.output.nonEmpty && right.output.nonEmpty =>
+          left.output.nonEmpty && right.output.nonEmpty &&
+          hashable(left) && hashable(right) =>
       val lk = Alias(Pmod(Murmur3Hash(Seq(left.output.head), 42),
         Literal(1)), "__graft_cross_lk")()
       val rk = Alias(Pmod(Murmur3Hash(Seq(right.output.head), 42),

@@ -140,8 +140,14 @@ object Streams {
         it.toSeq.sortBy(_.ts).foreach { e =>
           val cents = math.round(e.value * 100)
           open match {
-            case Some(o) if e.ts - o.endNs <= gapNs =>
-              open = Some(OpenSession(o.startNs, math.max(o.endNs, e.ts),
+            // merge iff the event lands within gap of the session INTERVAL
+            // (not a signed diff against end: a cross-batch late event far
+            // BEFORE the open session must start its own session, and one
+            // within gap of the start must extend the start downward —
+            // exactly the batch operator's consecutive-gap rule applied to
+            // the sorted union of both batches)
+            case Some(o) if e.ts >= o.startNs - gapNs && e.ts <= o.endNs + gapNs =>
+              open = Some(OpenSession(math.min(o.startNs, e.ts), math.max(o.endNs, e.ts),
                 o.n + 1, o.cents + cents))
             case Some(o) =>
               out += close(user, o)

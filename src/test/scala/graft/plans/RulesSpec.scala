@@ -27,6 +27,19 @@ class RulesSpec extends SparkSpec {
       r.getAs[Long]("n_docs") == n && r.getAs[Long]("total_chars") == tot))
   }
 
+  test("the rewrite skips 1-row sides whose head attribute is unhashable") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
+    // a 1-row aggregate whose FIRST output column is a MapType — hash()
+    // rejects maps by default, so the rule must fall through and leave
+    // the (working) nested-loop plan in place rather than inject an
+    // expression that fails type checking
+    val totals = graft.core.Tables.documents(spark, sf)
+      .agg(map(lit("n"), count(lit(1))).as("m"))
+    val joined = docs.crossJoin(broadcast(totals))
+    assert(joined.count() == docs.count())
+  }
+
   test("the rewrite leaves conditioned and multi-row joins alone") {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "lang")

@@ -137,6 +137,38 @@ class StreamsSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("custom sessionizer merges a cross-batch late event and lowers the start") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val base = 1706140800000000000L // 2024-01-25T00:00:00Z in epoch-ns
+    val min = 60L * 1000000000L
+    val stream = MemoryStream[Ev](spark)
+    val query = Streams.eventSessionsCustom(stream.toDF())
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: the open session ends at `base`; watermark -> base - 30min
+      stream.addData(Ev(1, base, 7, "view", 2.0))
+      query.processAllAvailable()
+      // batch 2: a late event 10min BEFORE the open session's start but
+      // above the watermark — must merge and pull session_start down
+      // (the old signed gap check merged it but kept the higher start)
+      stream.addData(Ev(2, base - 10 * min, 7, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(Ev(-1, base + 86400L * 1000000000L, -1, "flush", 0.0))
+      query.processAllAvailable()
+      stream.addData(Ev(-2, base + 2 * 86400L * 1000000000L, -1, "flush", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("late_sink").filter(col("user_id") === 7).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("session_start_us") == (base - 10 * min) / 1000)
+    assert(r.getAs[Long]("session_end_us") == base / 1000)
+    assert(r.getAs[Long]("n_events") == 2)
+    assert(r.getAs[Double]("session_value") == 3.0)
+  }
+
   test("stream-stream clickAttribution matches the identical batch join") {
     val got = runStream(Streams.clickAttribution(_), "attr_sink")
       .collect().map(_.toString).sorted
