@@ -614,29 +614,53 @@ object SparkEntry {
         |WHERE 2 * len(list_intersect(a.t, b.t)) >=
         |      len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // 64-bit fingerprint assembled from two 32-bit md5-prefix halves
+    // (hex chars 1-8 = bits 63..32, chars 9-16 = bits 31..0), the high
+    // half recombined SIGNED so the product stays inside BIGINT — bit
+    // pattern identical to the native Simhash64 big-endian read
     "simhash_fp" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,
-        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
-        |      FROM d)
-        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
-        |  CASE WHEN list_sum(list_transform(hs, hv ->
-        |         CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hi,
+        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 9, 8))::BIGINT) AS lo
+        |      FROM d),
+        |f AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 32), j ->
+        |          CASE WHEN list_sum(list_transform(hi, hv ->
+        |                 CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS hi_fp,
+        |        CAST(list_sum(list_transform(range(0, 32), j ->
+        |          CASE WHEN list_sum(list_transform(lo, hv ->
+        |                 CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS lo_fp
+        |      FROM h)
+        |SELECT doc_id,
+        |  CAST((hi_fp - CASE WHEN hi_fp >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |    * 4294967296 + lo_fp AS BIGINT) AS simhash
+        |FROM f ORDER BY doc_id""".stripMargin,
     "simhash_near" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,
-        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hi,
+        |        list_transform(t, tk -> ('0x' || substr(md5(tk), 9, 8))::BIGINT) AS lo
         |      FROM d),
-        |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
-        |        CASE WHEN list_sum(list_transform(hs, hv ->
-        |               CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
-        |      FROM h)
+        |f AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 32), j ->
+        |          CASE WHEN list_sum(list_transform(hi, hv ->
+        |                 CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS hi_fp,
+        |        CAST(list_sum(list_transform(range(0, 32), j ->
+        |          CASE WHEN list_sum(list_transform(lo, hv ->
+        |                 CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS lo_fp
+        |      FROM h),
+        |s AS (SELECT doc_id,
+        |        CAST((hi_fp - CASE WHEN hi_fp >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |          * 4294967296 + lo_fp AS BIGINT) AS simhash
+        |      FROM f)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
-        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" ->

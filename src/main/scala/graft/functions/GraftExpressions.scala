@@ -51,6 +51,7 @@ object GraftFunctions {
     "ngram_hash_set" ->
       (es => NgramHashSet(es(0), intLit("ngram_hash_set", es(1)))),
     "simhash32" -> (es => Simhash32(es.head)),
+    "simhash64" -> (es => Simhash64(es.head)),
     "rolling_fp" ->
       (es => RollingFp(es(0), intLit("rolling_fp", es(1)))),
     "vec_sum" ->
@@ -246,6 +247,35 @@ object Mix {
     var out = 0L
     var j = 0
     while (j < 32) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  /** Full work of Simhash64 (shared by eval and codegen): for each token
+    * take the first 8 bytes of its MD5 as a big-endian 64-bit value
+    * (exactly the `substr(md5(t), 1, 16)` hex prefix), then set output
+    * bit j when the ±1 majority of the tokens' bit j is positive.
+    */
+  def simhash64(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= 1L << j; j += 1 }
     out
   }
 
@@ -493,6 +523,26 @@ case class Simhash32(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Mix.simhash32($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a distinct-token string array (Manku et al. 2007
+  * configuration), MD5 bit-parity with the portable
+  * `substr(md5(t), 1, 16)` + ±1-majority formulation the oracle
+  * reproduces as two 32-bit halves. Same fused-loop rationale as
+  * Simhash32 (which stays registered for narrow-fingerprint users).
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mix.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Mix.simhash64($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

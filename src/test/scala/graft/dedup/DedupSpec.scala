@@ -44,12 +44,23 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("simhash_fp fits in 32 bits and near-dup docs have close hashes") {
+  test("simhash_fp uses the full 64-bit range") {
     val rows = Dedup.simhashFp(spark, sf).collect()
     assert(rows.length == 500)
-    assert(rows.forall { r =>
-      val h = r.getAs[Long]("simhash"); h >= 0 && h < (1L << 32)
-    })
+    // fingerprint entropy must reach the high word (the whole point of
+    // the 64-bit upgrade: 4×65,536 pigeonhole keys instead of 4×256)
+    assert(rows.count(r => (r.getAs[Long]("simhash") >>> 32) != 0L) > 450)
+  }
+
+  test("simhash_near candidate paths (direct / components+grid) agree") {
+    val fp = Dedup.simhashFp(spark, sf).localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hd"))).toSet
+    val direct = pairSet(Dedup.simhashNearPairs(fp, directLimit = Double.MaxValue))
+    val dense = pairSet(Dedup.simhashNearPairs(fp, directLimit = -1.0))
+    assert(direct.nonEmpty)
+    assert(direct == dense)
   }
 
   test("ngram_jaccard pairs are symmetric-free and above threshold") {

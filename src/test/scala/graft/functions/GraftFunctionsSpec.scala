@@ -63,6 +63,27 @@ class GraftFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("simhash64 matches the two-half portable md5 formulation") {
+    registered
+    // the reference formulation the DuckDB oracle uses: 32-bit majority
+    // fingerprints over hex chars 9-16 (low word) and 1-8 (high word),
+    // recombined by a 32-bit shift — bit-identical to the native
+    // big-endian 8-byte read
+    def half(from: Int) =
+      s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc + IF(
+         |  aggregate(transform(toks,
+         |      t -> cast(conv(substring(md5(t), $from, 8), 16, 10) as bigint)),
+         |    0, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+         |  shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
+    val rows = docsTokens
+      .select(
+        call_function("simhash64", col("toks")).as("fast"),
+        expr(s"${half(9)} + shiftleft(${half(1)}, 32)").as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("ngram_hash_set has one hash per distinct 3-gram, sorted") {
     registered
     val rows = Tables.documents(spark, sf)
@@ -129,7 +150,7 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftSparkExtensions().apply(ext)
     // injection itself must cover the full builder list; resolution is
     // covered by the plain-SQL test above on the shared session
-    assert(GraftFunctions.builders.size == 8)
+    assert(GraftFunctions.builders.size == 9)
   }
 
   test("registerViews exposes the full table surface to plain SQL") {
@@ -155,6 +176,7 @@ class GraftFunctionsSpec extends SparkSpec {
     def results(): Seq[String] = {
       val t = docsTokens.select(col("doc_id"),
           call_function("simhash32", col("toks")).as("a"),
+          call_function("simhash64", col("toks")).as("a64"),
           call_function("ngram_hash_set", col("toks"), lit(3)).as("b"),
           call_function("sorted_intersect_count",
             array_sort(expr("transform(toks, x -> xxhash64(x))")),
