@@ -39,6 +39,9 @@ object SparkEntry {
     "snapshot_stats" -> (Sync.snapshotStats _),
     "retention_prune" -> ((s: SparkSession, d: String) => Sync.retentionPrune(s, d)),
     "scd2_history"   -> (Sync.scd2History _),
+    "sync_status_rollup" -> (Sync.syncStatusRollup _),
+    "queue_depth_stats"  -> (Sync.queueDepthStats _),
+    "outbox_depth_stats" -> (Sync.outboxDepthStats _),
     "json_props_extract" -> (JsonOps.jsonPropsExtract _),
     "inline_refs"        -> (JsonOps.inlineRefs _),
     "ref_resolve"        -> (JsonOps.refResolve _),
@@ -47,6 +50,7 @@ object SparkEntry {
     "doc_fingerprint"    -> (JsonOps.docFingerprint _),
     "search_doc"        -> (Indexing.searchDoc _),
     "inverted_index"    -> (Indexing.invertedIndex _),
+    "facet_count"       -> (Indexing.facetCount _),
     "pagerank_ppm"      -> (graft.graph.Graph.pagerankPpm _),
     "dim_enrich"        -> (Indexing.dimEnrich _),
     "template_assemble" -> (Indexing.templateAssemble _),
@@ -68,6 +72,7 @@ object SparkEntry {
     "simhash_near"    -> (Dedup.simhashNear _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_embedding_lsh" -> (Dedup.dedupEmbeddingLsh _),
     "decontaminate"     -> (Curate.decontaminate _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
@@ -263,6 +268,58 @@ object SparkEntry {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM o JOIN doomed ON o.snap_id = doomed.snap_id
         |GROUP BY o.snap_id ORDER BY o.snap_id""".stripMargin,
+    "sync_status_rollup" ->
+      """SELECT o_orderpriority AS dictionary,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'pending_fetch'
+        |       WHEN o_orderstatus = 'P' THEN 'pending_index'
+        |       ELSE 'idle' END AS sync_status,
+        |  COUNT(*) AS n_articles,
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS oldest_changed
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "queue_depth_stats" ->
+      """WITH s AS (
+        |  SELECT event_type AS namespace,
+        |    CASE CAST(event_id % 6 AS INT)
+        |      WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
+        |      WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END AS state
+        |  FROM events)
+        |SELECT namespace,
+        |  CAST(SUM(CASE WHEN state = 'pending' THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+        |  CAST(SUM(CASE WHEN state = 'running' THEN 1 ELSE 0 END) AS BIGINT) AS running,
+        |  CAST(SUM(CASE WHEN state = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+        |  CAST(SUM(CASE WHEN state = 'dead' THEN 1 ELSE 0 END) AS BIGINT) AS dead,
+        |  CAST(SUM(CASE WHEN state = 'scheduled' THEN 1 ELSE 0 END) AS BIGINT) AS scheduled,
+        |  CAST(SUM(CASE WHEN state = 'done' THEN 1 ELSE 0 END) AS BIGINT) AS done,
+        |  CAST(SUM(CASE WHEN state IN ('pending', 'running', 'scheduled') THEN 1 ELSE 0 END) AS BIGINT) AS backlog
+        |FROM s GROUP BY namespace ORDER BY namespace""".stripMargin,
+    "outbox_depth_stats" ->
+      """WITH ev AS (
+        |  SELECT event_type AS job_type,
+        |    CASE WHEN event_id % 3 <> 0 THEN epoch_ns(ts) END AS processed_at
+        |  FROM events),
+        |n AS (SELECT MAX(processed_at) AS now_ns FROM ev)
+        |SELECT job_type,
+        |  CAST(SUM(CASE WHEN processed_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+        |  CAST(SUM(CASE WHEN processed_at > now_ns - 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS processed_last_hour,
+        |  CAST(SUM(CASE WHEN processed_at > now_ns - 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS processed_last_day
+        |FROM ev, n GROUP BY ROLLUP(job_type)
+        |ORDER BY job_type NULLS FIRST""".stripMargin,
+    "facet_count" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority, c_mktsegment, n_name
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT 'priority' AS facet, o_orderpriority AS value, COUNT(*) AS n_docs
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'segment' AS facet, c_mktsegment AS value, COUNT(*) AS n_docs
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'nation' AS facet, n_name AS value, COUNT(*) AS n_docs
+        |FROM j GROUP BY 2
+        |ORDER BY facet, value""".stripMargin,
     "json_props_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,
@@ -691,6 +748,20 @@ object SparkEntry {
         |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos6 FROM p WHERE cos6 >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos6 FROM p WHERE cos6 >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
     "decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

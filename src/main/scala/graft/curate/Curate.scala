@@ -94,44 +94,85 @@ object Curate {
     */
   private val BlockDocs = 250L
 
+  /** A level's key frame at or under this row count takes the base-case
+    * single-partition window (a bounded, explicit straggler); above it
+    * the prefix sum recurses another level. 2^20 rows of (key, total)
+    * is a few-second single task; corpus/250 exceeds it only past ~260M
+    * docs, where one more level divides by another 250.
+    */
+  private val MaxWindowRows = 1L << 20
+
   /** Token-budget shard packing: documents are laid out in doc_id order
     * and cut into shards of ~20k tokens — the training-shard writer's
     * assignment step (each shard = one output file of bounded size).
     *
     * A running token total over the whole corpus ordered by doc_id is
     * the textbook single-partition window trap, so this computes it as a
-    * two-level distributed prefix sum: (1) an intra-block running sum,
+    * RECURSIVE distributed prefix sum: (1) an intra-block running sum,
     * windowed per block (parallel, one shuffle); (2) block totals — a
-    * frame 250× smaller than the corpus — get a block-level running
-    * sum and broadcast back. At 100 TB the block frame is still
-    * millions of rows, so level 2 reuses the same trick recursively;
-    * two levels bound the window frame at (corpus/250²) rows, which is
-    * driver-safe at any realistic scale.
+    * frame 250× smaller — get their own running sum by the same move,
+    * recursing until the frame fits `MaxWindowRows`, where one explicit
+    * single-partition window finishes. Depth is log_250(corpus/2^20):
+    * zero extra levels through ~260M docs, one at 1B-65B, never more at
+    * any physical scale — and CurateSpec forces multi-level recursion
+    * with shrunken parameters and checks against a driver prefix sum.
     */
   def shardPack(spark: SparkSession, dir: String): DataFrame =
     shardPackDocs(Tables.documents(spark, dir))
 
+  /** Exclusive prefix sum of `vtot` over `key` order for a `(key, vtot)`
+    * frame → `(key, off)`. Recursive two-level scheme (see `shardPack`);
+    * each level adds one window shuffle + one partial-agg + one join.
+    */
+  private def prefixOffsets(totals: DataFrame, blockDocs: Long,
+      maxWindowRows: Long): DataFrame = {
+    if (totals.count() <= maxWindowRows) {
+      // base case: bounded frame — partition on a data-derived constant
+      // so the (intentionally) single-partition window is explicit in
+      // the plan rather than a planner warning
+      val w = Window.partitionBy(pmod(col("key"), lit(1)))
+        .orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)
+      totals
+        .withColumn("off", coalesce(sum(col("vtot")).over(w), lit(0L)))
+        .select(col("key"), col("off"))
+    } else {
+      val withSuper = totals
+        .withColumn("skey", expr(s"CAST(key DIV $blockDocs AS BIGINT)"))
+      val intraW = Window.partitionBy(col("skey")).orderBy(col("key"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withIntra = withSuper.withColumn("intra",
+        coalesce(sum(col("vtot")).over(intraW), lit(0L)))
+      val superTotals = withSuper.groupBy(col("skey").as("key"))
+        .agg(sum(col("vtot")).as("vtot"))
+      val superOffsets = prefixOffsets(superTotals, blockDocs, maxWindowRows)
+        .select(col("key").as("skey"), col("off").as("soff"))
+      withIntra.join(superOffsets, "skey")
+        .select(col("key"), (col("soff") + col("intra")).as("off"))
+    }
+  }
+
   /** `shardPack` over an arbitrary documents frame (doc_id, text) —
     * pipelines call this after filtering the corpus down to survivors.
+    * `blockDocs`/`maxWindowRows` are exposed so specs can force deep
+    * recursion at test scale; the defaults are the production shape.
     */
-  def shardPackDocs(docs: DataFrame): DataFrame = {
+  def shardPackDocs(docs: DataFrame, blockDocs: Long = BlockDocs,
+      maxWindowRows: Long = MaxWindowRows): DataFrame = {
     val d = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("block", expr(s"CAST(doc_id DIV $BlockDocs AS BIGINT)"))
+      .withColumn("block", expr(s"CAST(doc_id DIV $blockDocs AS BIGINT)"))
     val intraW = Window.partitionBy(col("block")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withIntra = d.withColumn("intra",
       coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
-    val blockTotals = d.groupBy("block").agg(sum(col("n_tokens")).as("btot"))
-    // block-level running sum: the frame is corpus/250 rows — partition
-    // on a data-derived constant so the (intentionally) single-partition
-    // window is explicit in the plan rather than a planner warning
-    val offW = Window.partitionBy(pmod(col("block"), lit(1)))
-      .orderBy(col("block")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = blockTotals
-      .withColumn("boff", coalesce(sum(col("btot")).over(offW), lit(0L)))
-      .select(col("block"), col("boff"))
+    val blockTotals = d.groupBy(col("block").as("key"))
+      .agg(sum(col("n_tokens")).as("vtot"))
+    val offsets = prefixOffsets(blockTotals, blockDocs, maxWindowRows)
+      .select(col("key").as("block"), col("off").as("boff"))
+    // the offset frame is corpus/blockDocs rows — broadcastable through
+    // ~1B docs at the default block size; past that, drop the hint and
+    // let the shuffle join co-partition on block
     withIntra.join(broadcast(offsets), "block")
       .withColumn("start", col("boff") + col("intra"))
       .select(col("doc_id"), col("n_tokens"), col("start"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -48,6 +48,9 @@ object GraftFunctions {
     "lsh_packed_bands" ->
       (es => LshPackedBands(es(0), intLit("lsh_packed_bands", es(1)),
         intLit("lsh_packed_bands", es(2)))),
+    "lsh_band_buckets" ->
+      (es => LshBandBuckets(es(0), intLit("lsh_band_buckets", es(1)),
+        intLit("lsh_band_buckets", es(2)))),
     "ngram_hash_set" ->
       (es => NgramHashSet(es(0), intLit("ngram_hash_set", es(1)))),
     "simhash32" -> (es => Simhash32(es.head)),
@@ -479,6 +482,67 @@ case class LshPackedBands(child: Expression, bands: Int, rows: Int)
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed hyperplane-LSH band bucket keys in ONE fused pass:
+  * bucket_b = xxhash64(b, code_b) where code_b is LshPackedBands' packed
+  * sign code — bit-identical to Spark's `xxhash64(b, element_at(packed,
+  * b+1))` (replicated via the engine's own XXH64.hashInt, seed 42), so
+  * query-side multi-probe flips (`Vectors.withProbeBuckets`, computed
+  * with the SQL xxhash64) land in exactly these buckets.
+  *
+  * Exists because composing `lsh_packed_bands` with a per-band
+  * `transform` lambda is a performance trap: CollapseProject inlines the
+  * packing expression INTO the lambda, so the full bands×rows×dim
+  * packing re-evaluates once per band, interpreted — measured 768× the
+  * work at the dedup-LSH band count. One top-level native expression
+  * keeps the packing single-pass and inside whole-stage codegen.
+  */
+case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val weights: Array[Double] =
+    Array.tabulate(bands * rows * 64) { idx =>
+      graft.sim.Vectors.planeWeight(idx / 64, idx % 64)
+    }
+
+  private def compute(x: ArrayData, w: Array[Double]): GenericArrayData = {
+    val n = math.min(64, x.numElements())
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var packed = 0
+      var i = 0
+      while (i < rows) {
+        val p = b * rows + i
+        var dot = 0.0
+        var k = 0
+        while (k < n) { dot += w(p * 64 + k) * x.getFloat(k); k += 1 }
+        packed = packed * 2 + (if (dot > 0.0) 1 else 0)
+        i += 1
+      }
+      out(b) = XXH64.hashInt(packed, XXH64.hashInt(b, 42L))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBandBuckets", this, classOf[LshBandBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalArray($a);")
+  }
+
+  /** Codegen entry point (avoids regenerating the triple loop as source:
+    * the JIT compiles this one hot method once for all rows).
+    */
+  def evalArray(x: ArrayData): GenericArrayData = compute(x, weights)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

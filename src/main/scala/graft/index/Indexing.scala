@@ -120,6 +120,41 @@ object Indexing {
       .orderBy("s_suppkey")
   }
 
+  /** Faceted search counts — the query-side half of the search index
+    * (meili.rs configures the filterable/facet attributes the reference
+    * uploads; serving a search UI then means counting documents per
+    * attribute value UNDER the active filter). Facets here are the
+    * order-document's dimension attributes (priority, customer segment,
+    * nation) under a status filter; output is one (facet, value, n_docs)
+    * row per distinct attribute value.
+    *
+    * Scale shape: the filter pushes into the fact scan, dimensions
+    * resolve by broadcast (never shuffling the fact side), and ALL
+    * facets count in one pass — each fact row explodes into one narrow
+    * (facet, value) row per attribute, then a single partial-agg shuffle
+    * reduces to the facet-cardinality-sized result. One scan regardless
+    * of how many facet attributes the index declares, vs one pass per
+    * attribute.
+    */
+  def facetCount(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+      .filter(col("o_orderstatus") === "F")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(explode(array(
+        struct(lit("priority").as("facet"), col("o_orderpriority").as("value")),
+        struct(lit("segment").as("facet"), col("c_mktsegment").as("value")),
+        struct(lit("nation").as("facet"), col("n_name").as("value")))).as("f"))
+      .groupBy(col("f.facet").as("facet"), col("f.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("facet", "value")
+  }
+
   /** Inverted-index posting summary — the term-level view of the search
     * index the reference maintains (meili.rs:187+ uploads documents; the
     * index side keys them by term): per token, document frequency, total

@@ -52,20 +52,32 @@ object Similarity {
     * approximate by construction (the SimilaritySpec floor keeps
     * parameter regressions from shipping).
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame =
-    annLshFrom(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    annLshFrom(emb, emb.filter(col("vec_id") < Queries))
+  }
 
-  /** `annLsh` over an arbitrary `(vec_id, embedding)` frame — pipelines
-    * call this after gating the corpus (Pipeline.indexEmbeddings).
+  /** `annLsh` over an arbitrary corpus frame with the default query
+    * slice — pipelines call this after gating the corpus
+    * (Pipeline.indexEmbeddings).
     */
-  def annLshFrom(emb: DataFrame): DataFrame = {
+  def annLshFrom(emb: DataFrame): DataFrame =
+    annLshFrom(emb, emb.filter(col("vec_id") < Queries))
+
+  /** `annLsh` over arbitrary corpus AND query `(vec_id, embedding)`
+    * frames — the index answers whatever query set the caller brings
+    * (the corpus-side index never depends on it). The query side is
+    * assumed small relative to the corpus (it broadcasts twice: probe
+    * keys and exact re-score vectors); for corpus-sized query sets run
+    * the bucketed equi-join without the broadcasts.
+    */
+  def annLshFrom(emb: DataFrame, queries: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.withColumn("norm", norm64("embedding"))
+    val q = queries.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
     val banded = withBandBuckets(e.select("vec_id", "embedding"), bands = 16, rows = 4)
       .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
-    val qb = withProbeBuckets(
-        e.filter(col("vec_id") < Queries).select("vec_id", "embedding"),
-        bands = 16, rows = 4)
+    val qb = withProbeBuckets(q.select("vec_id", "embedding"), bands = 16, rows = 4)
       .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
     val cands = broadcast(qb).as("a")
       .join(banded.as("b"),
@@ -73,8 +85,8 @@ object Similarity {
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .distinct()
     val scored = cands
-      .join(broadcast(e.filter(col("vec_id") < Queries))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn")), "q_id")
+      .join(broadcast(q
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))), "q_id")
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn")), "n_id")
       .select(col("q_id"), col("n_id"),
         round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
@@ -97,10 +109,19 @@ object Similarity {
     * SimilaritySpec pins the floor against brute force).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    annIvfFrom(emb, emb.filter(col("vec_id") < Queries))
+  }
+
+  /** `annIvf` over arbitrary corpus AND query `(vec_id, embedding)`
+    * frames: the index (centroids + inverted lists) builds from the
+    * corpus only; any query frame probes it.
+    */
+  def annIvfFrom(emb: DataFrame, queries: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = 16
     val nProbe = 4
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val e = emb.select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
     // single-key broadcast join = BroadcastHashJoin fan-out of the tiny
     // centroid table (a raw cross join would plan a BroadcastNestedLoopJoin,
@@ -153,7 +174,7 @@ object Similarity {
       .filter(col("ark") <= 2)
       .select(col("vec_id"), col("cid"))
 
-    val q = e.filter(col("vec_id") < Queries)
+    val q = queries.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probed = crossCentroids(q, centroids)
       .withColumn("prk", row_number().over(wProbe))

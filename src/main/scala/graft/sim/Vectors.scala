@@ -53,18 +53,19 @@ object Vectors {
     * Candidate recall at cosine c is 1-(1-p^rows)^bands with
     * p = 1-acos(c)/π.
     *
-    * The packed sign codes come from the native loop expression
-    * graft.functions.LshPackedBands (same planeWeight matrix, identical
-    * bucket values to the unrolled-Column version it replaces — which
-    * measured ~7 ms/row because its giant expression tree defeated the
-    * JIT). The tiny per-band xxhash64 transform stays a Column lambda:
-    * `bands` evaluations per row is noise.
+    * The whole pack-and-hash is ONE native expression
+    * (graft.functions.LshBandBuckets). It replaced a
+    * `lsh_packed_bands` + per-band `transform(... xxhash64 ...)` lambda
+    * composition: CollapseProject inlined the packing expression INTO
+    * the lambda, re-running the full bands×rows×dim pack once PER BAND,
+    * interpreted — a 768× blow-up at the dedup-LSH band count. Bucket
+    * values are unchanged (the native hash replicates SQL
+    * `xxhash64(b, code)` exactly), so multi-probe query keys still
+    * land in these buckets.
     */
   def withBandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
-    withPackedBands(df, bands, rows)
-      .withColumn("bucket_arr",
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, element_at(packed, b + 1)))"))
-      .drop("packed")
+    df.withColumn("bucket_arr",
+      call_function("lsh_band_buckets", col("embedding"), lit(bands), lit(rows)))
 
   /** Adds the raw `packed` sign-code column (one `rows`-bit code per
     * band) without hashing to bucket keys — callers that probe multiple

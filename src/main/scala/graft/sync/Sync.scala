@@ -207,6 +207,89 @@ object Sync {
       .orderBy("snap_id")
   }
 
+  /** Sync-status state-machine rollup — the per-dictionary article
+    * breakdown the reference's ops dashboard fetches on every refresh
+    * (web.rs:672 `fetch_article_stats`: counts per sync_status for each
+    * dictionary; the idle → pending_fetch → pending_index transitions
+    * live in storage.rs:46-107). Statuses derive deterministically from
+    * the orders frame (order status 'O' → pending_fetch, 'P' →
+    * pending_index, else idle; the order date plays status_changed_at),
+    * and each (dictionary, status) cell reports its count plus the
+    * OLDEST change — the staleness signal a status dashboard sorts by.
+    * One partial-agg shuffle to a cells-sized frame.
+    */
+  def syncStatusRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderpriority").as("dictionary"),
+        when(col("o_orderstatus") === "O", "pending_fetch")
+          .when(col("o_orderstatus") === "P", "pending_index")
+          .otherwise("idle").as("sync_status"),
+        col("o_orderdate"))
+      .groupBy("dictionary", "sync_status")
+      .agg(
+        count(lit(1)).as("n_articles"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("oldest_changed"))
+      .orderBy("dictionary", "sync_status")
+  }
+
+  /** Queue depth statistics — the per-namespace worker-queue gauge the
+    * reference polls from its queue store (web.rs:580
+    * `fetch_queue_stats`: pending/running/failed/dead/done/scheduled per
+    * namespace). Here the event stream plays the job log: namespace =
+    * event_type, job state derived deterministically from the event id.
+    * ONE conditional-aggregation pass (partial-agg, namespace-sized
+    * output); `backlog` = pending + running + scheduled is the depth
+    * number the dashboard alerts on.
+    */
+  def queueDepthStats(spark: SparkSession, dir: String): DataFrame = {
+    val state = expr(
+      """CASE CAST(event_id % 6 AS INT)
+        |  WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
+        |  WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END""".stripMargin)
+    def n(s: String) = sum(when(col("state") === s, 1L).otherwise(0L)).as(s)
+    Tables.events(spark, dir)
+      .select(col("event_type").as("namespace"), state.as("state"))
+      .groupBy("namespace")
+      .agg(n("pending"), n("running"), n("failed"), n("dead"),
+        n("scheduled"), n("done"))
+      .withColumn("backlog", col("pending") + col("running") + col("scheduled"))
+      .orderBy("namespace")
+  }
+
+  /** Outbox depth statistics — the reference's outbox health query
+    * (web.rs:638 `fetch_outbox_stats`: per job_type, jobs still pending
+    * plus processed-in-last-hour/day counts, and the same three totals
+    * over all types). job_type = event_type; a job is processed when
+    * event_id % 3 != 0, at its event timestamp; "now" is the corpus max
+    * processed timestamp (deterministic stand-in for NOW()). The 1-row
+    * now frame broadcasts (SingleRowCrossToEquiJoin plans the cross join
+    * as a hash join) and ROLLUP emits the per-type rows and the totals
+    * row (job_type NULL) in one partial-agg pass.
+    */
+  def outboxDepthStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hourNs = 3600L * 1000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("job_type"),
+        when(col("event_id") % 3 =!= 0, col("ts")).as("processed_at"))
+    // a fresh scan for the 1-row "now" frame: deriving it from `ev`
+    // trips the ambiguous-self-join analyzer check on the cross join
+    val now = Tables.events(spark, dir)
+      .agg(max(when(col("event_id") % 3 =!= 0, col("ts"))).as("now_ns"))
+    ev.crossJoin(broadcast(now))
+      // Column-form rollup: the by-name overload re-resolves "job_type"
+      // through the join and trips the ambiguous-self-join check
+      .rollup(col("job_type"))
+      .agg(
+        sum(when(col("processed_at").isNull, 1L).otherwise(0L)).as("pending"),
+        sum(when(col("processed_at") > col("now_ns") - lit(hourNs), 1L)
+          .otherwise(0L)).as("processed_last_hour"),
+        sum(when(col("processed_at") > col("now_ns") - lit(24L * hourNs), 1L)
+          .otherwise(0L)).as("processed_last_day"))
+      .orderBy(col("job_type").asc_nulls_first)
+  }
+
   /** SCD type-2 revision history: the reference keeps per-article
     * revisions and serves latest-wins (storage.rs `ON CONFLICT` keyed by
     * (dictionary, id) with revision tracking); this materializes the

@@ -104,4 +104,29 @@ class CurateSpec extends SparkSpec {
           rate < 1000000L)
     })
   }
+
+  test("shard_pack recursive prefix sum matches a driver scan at forced depth") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    // blockDocs=4, window cap 8: 500 docs -> 125 blocks -> 32 -> 8 (base)
+    // = two recursion levels below the doc level
+    val deep = Curate.shardPackDocs(docs, blockDocs = 4L, maxWindowRows = 8L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start"), r.getAs[Long]("shard_id")))
+    // driver oracle: plain running sum in doc_id order
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    var acc = 0L
+    val expected = toks.map { case (id, n) =>
+      val start = acc; acc += n; (id, n, start, start / 20000L)
+    }
+    assert(deep.sortBy(_._1).toSeq == expected.toSeq)
+    // and the default-parameter operator agrees exactly
+    val prod = Curate.shardPackDocs(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start"), r.getAs[Long]("shard_id")))
+    assert(prod.sortBy(_._1).toSeq == expected.toSeq)
+  }
 }

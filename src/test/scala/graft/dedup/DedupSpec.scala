@@ -96,6 +96,40 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedup_embedding_lsh matches all-pairs on the corpus (no false positives)") {
+    // the driver corpus has no >= 0.8 pairs (max cosine ~0.51), so both
+    // sides are empty — this pins the no-false-positive half
+    val exact = Dedup.dedupEmbeddingExact(spark, sf)
+      .filter(col("cos6") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos6"))).toSet
+    val lsh = Dedup.dedupEmbeddingLsh(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos6"))).toSet
+    assert(lsh == exact)
+  }
+
+  test("dedup_embedding_lsh finds injected near-duplicates exactly (recall half)") {
+    // inject perturbed clones (per-dimension ±15% scaling, cosine ~0.99
+    // to the original) so the corpus HAS >= 0.8 pairs, then require the
+    // LSH path to equal the brute-force grid on the union
+    val base = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val clones = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+               CAST(x * (1.0 + 0.15 * CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT))""")
+          .as("embedding"))
+    val union = base.unionByName(clones)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos6"))).toSet
+    val exact = pairSet(Dedup.dedupEmbeddingExactFrom(union, 0.8))
+    val lsh = pairSet(Dedup.dedupEmbeddingLshFrom(union))
+    assert(exact.size >= 30)
+    assert(lsh == exact)
+  }
+
   test("dedup_embedding plan has no nested-loop or cartesian join") {
     val plan = Dedup.dedupEmbedding(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"))

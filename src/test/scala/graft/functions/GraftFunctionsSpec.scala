@@ -107,6 +107,23 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("lsh_band_buckets equals the packed-bands + SQL xxhash64 composition") {
+    registered
+    // the fused expression must produce bit-identical buckets to the
+    // two-step form (packing + per-band SQL xxhash64) it replaced —
+    // multi-probe query keys are still computed with the SQL xxhash64
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding"),
+        call_function("lsh_band_buckets", col("embedding"), lit(16), lit(4)).as("fused"),
+        call_function("lsh_packed_bands", col("embedding"), lit(16), lit(4)).as("packed"))
+      .withColumn("ref",
+        expr("transform(sequence(0, 15), b -> xxhash64(b, element_at(packed, b + 1)))"))
+      .select(col("fused"), col("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("vec_sum matches a posexplode elementwise sum (within float-order tolerance)") {
     registered
     val viaAgg = Tables.embeddings(spark, sf)
@@ -150,7 +167,7 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftSparkExtensions().apply(ext)
     // injection itself must cover the full builder list; resolution is
     // covered by the plain-SQL test above on the shared session
-    assert(GraftFunctions.builders.size == 9)
+    assert(GraftFunctions.builders.size == 10)
   }
 
   test("registerViews exposes the full table surface to plain SQL") {
@@ -186,6 +203,7 @@ class GraftFunctionsSpec extends SparkSpec {
       val e = Tables.embeddings(spark, sf).select(col("vec_id"),
           call_function("vec_dot", col("embedding"), col("embedding")).as("v"),
           call_function("lsh_packed_bands", col("embedding"), lit(8), lit(4)).as("p"),
+          call_function("lsh_band_buckets", col("embedding"), lit(8), lit(4)).as("pb"),
           call_function("minhash_band_buckets",
             expr("transform(embedding, x -> xxhash64(x))"), lit(16)).as("m"))
         .collect().map(_.toString).toSeq

@@ -67,4 +67,17 @@ class IndexingSpec extends SparkSpec {
       assert(r.getAs[Long]("top_doc") == expectTop)
     }
   }
+
+  test("facet_count totals per facet equal the filtered document count") {
+    import org.apache.spark.sql.functions._
+    val rows = Indexing.facetCount(spark, sf).collect()
+    val filtered = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F").count()
+    val byFacet = rows.groupBy(_.getAs[String]("facet"))
+    assert(byFacet.keySet == Set("priority", "segment", "nation"))
+    // each facet is a partition of the SAME filtered document set
+    byFacet.values.foreach { fr =>
+      assert(fr.map(_.getAs[Long]("n_docs")).sum == filtered)
+    }
+  }
 }

@@ -89,4 +89,36 @@ class SyncSpec extends SparkSpec {
       assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1)
     }
   }
+
+  test("sync_status_rollup cells cover every order with sane oldest dates") {
+    val rows = Sync.syncStatusRollup(spark, sf).collect()
+    val orders = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_articles")).sum == orders)
+    val statuses = rows.map(_.getAs[String]("sync_status")).toSet
+    assert(statuses.subsetOf(Set("idle", "pending_fetch", "pending_index")))
+    // every (dictionary, status) cell appears once
+    assert(rows.map(r => (r.getAs[String]("dictionary"),
+      r.getAs[String]("sync_status"))).distinct.length == rows.length)
+  }
+
+  test("queue_depth_stats states partition each namespace and backlog adds up") {
+    val rows = Sync.queueDepthStats(spark, sf).collect()
+    val events = graft.core.Tables.events(spark, sf).count()
+    val stateSum = rows.map(r => Seq("pending", "running", "failed", "dead",
+      "scheduled", "done").map(r.getAs[Long](_)).sum).sum
+    assert(stateSum == events)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("backlog") ==
+        r.getAs[Long]("pending") + r.getAs[Long]("running") + r.getAs[Long]("scheduled"))
+    }
+  }
+
+  test("outbox_depth_stats totals row equals the sum of the per-type rows") {
+    val rows = Sync.outboxDepthStats(spark, sf).collect()
+    val (totals, perType) = rows.partition(_.isNullAt(0))
+    assert(totals.length == 1 && perType.nonEmpty)
+    Seq("pending", "processed_last_hour", "processed_last_day").foreach { c =>
+      assert(totals.head.getAs[Long](c) == perType.map(_.getAs[Long](c)).sum)
+    }
+  }
 }
