@@ -1,12 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one line of JSON with per-query wall seconds.
+/** Benchmark main: one line of JSON with per-query wall seconds and
+  * shuffle bytes.
   *
   * Queries are materialized through the `noop` sink so the full plan
   * executes (a bare count() would let Spark prune projection-only
   * expressions such as hash computations).
+  *
+  * Shuffle write bytes accumulate per stage through a listener and are
+  * snapshotted around each query: wall seconds on this box swing 3-5×
+  * with JIT/GC, but shuffle volume is plan-determined — so a future
+  * regression is attributable (bytes moved → plan change; bytes flat →
+  * timing noise).
   */
+private class ShuffleBytesListener extends org.apache.spark.scheduler.SparkListener {
+  val bytes = new java.util.concurrent.atomic.AtomicLong
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,16 +80,23 @@ object Bench {
       SparkEntry.queries.get("dedup_cluster")
         .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
     }
+    val shuffle = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shuffle)
     // optional comma-separated subset for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val b0 = shuffle.bytes.get()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
+      // listener events are asynchronous; the save itself is synchronous,
+      // so a short drain keeps stage attribution under the right query
+      Thread.sleep(150)
+      val db = shuffle.bytes.get() - b0
       // release the finished query's cached frames and checkpointed RDDs
       // before timing the next one: ContextCleaner is GC-driven, queries
       // are independent, and letting tens of GB of dead blocks pile up
@@ -82,16 +105,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      (name, dt, err)
+      (name, dt, err, db)
     }
     // a failed query must surface as an error, never as a ~0s "win"
     val qs = results.map {
-      case (k, v, None)    => "\"" + k + "\":" + v
-      case (k, _, Some(e)) => "\"" + k + "\":\"ERROR:" + e + "\""
+      case (k, v, None, _)    => "\"" + k + "\":" + v
+      case (k, _, Some(e), _) => "\"" + k + "\":\"ERROR:" + e + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val sb = results.map { case (k, _, _, b) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
