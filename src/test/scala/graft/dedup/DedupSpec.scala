@@ -32,6 +32,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupMinhash(spark, sf).count() == exact)
   }
 
+  test("dedup_incremental equals the self-dedup pairs restricted to new x old") {
+    val mixed = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }
+    val expected = mixed.groupBy(_._1).map { case (n, ps) =>
+      n -> (ps.length.toLong, ps.map(_._2).min)
+    }
+    val rows = Dedup.dedupIncremental(spark, sf).collect()
+    assert(rows.length == 100) // 500 docs, every fifth is "new"
+    assert(expected.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      expected.get(id) match {
+        case Some((n, fd)) =>
+          assert(r.getAs[Long]("n_dups") == n)
+          assert(r.getAs[Long]("first_dup") == fd)
+          assert(r.getAs[Int]("is_dup") == 1)
+        case None =>
+          assert(r.getAs[Long]("n_dups") == 0L)
+          assert(r.isNullAt(r.fieldIndex("first_dup")))
+          assert(r.getAs[Int]("is_dup") == 0)
+      }
+    }
+  }
+
   test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
     val fp = Dedup.simhashFp(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
