@@ -143,13 +143,28 @@ object Indexing {
     val cust = Tables.customer(spark, dir)
       .select("c_custkey", "c_mktsegment", "c_nationkey")
     val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    ord
+    val joined = ord
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .select(explode(array(
-        struct(lit("priority").as("facet"), col("o_orderpriority").as("value")),
-        struct(lit("segment").as("facet"), col("c_mktsegment").as("value")),
-        struct(lit("nation").as("facet"), col("n_name").as("value")))).as("f"))
+    facetCountOver(joined, Map(
+      "priority" -> col("o_orderpriority"),
+      "segment" -> col("c_mktsegment"),
+      "nation" -> col("n_name")))
+  }
+
+  /** Facet counts over an ARBITRARY (already filtered) document frame
+    * and facet map — the serving-path form: a search UI declares its
+    * filterable attributes and active filter at query time; the entry
+    * above is the oracle-pinned instance. Still one pass for all
+    * facets (explode of (facet, value) structs → single partial-agg).
+    */
+  def facetCountOver(docs: DataFrame, facets: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    require(facets.nonEmpty, "facetCountOver needs at least one facet")
+    val structs = facets.toSeq.sortBy(_._1).map { case (name, c) =>
+      struct(lit(name).as("facet"), c.cast("string").as("value"))
+    }
+    docs
+      .select(explode(array(structs: _*)).as("f"))
       .groupBy(col("f.facet").as("facet"), col("f.value").as("value"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("facet", "value")

@@ -82,36 +82,47 @@ object Relevance {
     * via codegen'd array filters, no explode), and the top-20 is a
     * TakeOrderedAndProject — per-partition heads, no global sort.
     */
-  def bm25Rank(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+  def bm25Rank(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    bm25RankFor(spark, dir, QueryTerms, topK)
+
+  /** `bm25Rank` for an ARBITRARY term query — the serving-path form (a
+    * search engine ranks whatever the user typed; the fixed-term entry
+    * above is the oracle-pinned instance). Terms must be plain tokens
+    * (they are embedded in generated column names and filter lambdas).
+    */
+  def bm25RankFor(spark: SparkSession, dir: String, terms: Seq[String],
+      topK: Int = 20): DataFrame = {
     GraftFunctions.register(spark)
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"bm25RankFor terms must be plain tokens, got: $terms")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     val statCols =
       count(lit(1)).as("n_docs") +:
         sum(size(col("l")).cast("long")).as("total_tokens") +:
-        QueryTerms.map(t =>
+        terms.map(t =>
           sum(array_contains(col("l"), t).cast("long")).as(s"df_$t"))
     val stats = docs.agg(statCols.head, statCols.tail: _*)
     // fixed-order score expression, identical string shape to the oracle
-    val tfc = QueryTerms.map { t =>
+    val tfc = terms.map { t =>
       s"""(tf_$t * (1.2 + 1) / (tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl
          | / (CAST(total_tokens AS DOUBLE) / n_docs))))""".stripMargin
     }
-    val idf = QueryTerms.map(t => s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))")
+    val idf = terms.map(t => s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))")
     val scoreSql = idf.zip(tfc).map { case (i, c) => s"$i * $c" }.mkString(" + ")
     val perDoc = docs
       .crossJoin(broadcast(stats))
       .withColumn("dl", size(col("l")).cast("double"))
       .select(
         (col("doc_id") +: col("dl") +: col("total_tokens") +: col("n_docs") +:
-          QueryTerms.map(t => col(s"df_$t")) ++:
-          QueryTerms.map(t =>
+          terms.map(t => col(s"df_$t")) ++:
+          terms.map(t =>
             size(expr(s"filter(l, x -> x = '$t')")).cast("double").as(s"tf_$t"))): _*)
       .withColumn("score6", round(expr(scoreSql), 6))
       .select(col("doc_id"), col("dl").cast("long").as("n_tokens"), col("score6"))
       .orderBy(col("score6").desc, col("doc_id"))
       .limit(topK)
-    // rank the 20-row post-limit result; constant-size window at any scale
+    // rank the topK-row post-limit result; constant-size window at any scale
     val w = Window.partitionBy(pmod(col("n_tokens"), lit(1)))
       .orderBy(col("score6").desc, col("doc_id"))
     perDoc.withColumn("rk", row_number().over(w).cast("long")).orderBy("rk")

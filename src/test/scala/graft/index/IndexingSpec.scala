@@ -80,4 +80,18 @@ class IndexingSpec extends SparkSpec {
       assert(fr.map(_.getAs[Long]("n_docs")).sum == filtered)
     }
   }
+
+  test("facetCountOver counts an arbitrary facet map over a filtered frame") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf).filter(col("n_chars") > 200)
+    val got = Indexing.facetCountOver(docs, Map(
+      "lang" -> col("lang"), "source" -> col("source")))
+      .collect()
+    val n = docs.count()
+    val byFacet = got.groupBy(_.getAs[String]("facet"))
+    assert(byFacet.keySet == Set("lang", "source"))
+    byFacet.values.foreach { fr =>
+      assert(fr.map(_.getAs[Long]("n_docs")).sum == n)
+    }
+  }
 }

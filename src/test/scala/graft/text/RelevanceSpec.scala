@@ -104,4 +104,17 @@ class RelevanceSpec extends SparkSpec {
       assert(r.getAs[Long]("lift_ppm") == (1000000L * nab * n) / (na * nb))
     }
   }
+
+  test("bm25RankFor ranks an arbitrary term query") {
+    val rows = Relevance.bm25RankFor(spark, sf, Seq("data", "stream"), topK = 10)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 10L))
+    val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score6"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // non-token terms are rejected (they would be spliced into lambdas)
+    intercept[IllegalArgumentException] {
+      Relevance.bm25RankFor(spark, sf, Seq("bad term; drop"), 5)
+    }
+  }
 }
