@@ -16,10 +16,25 @@ import org.apache.spark.sql.SparkSession
   */
 private class ShuffleBytesListener extends org.apache.spark.scheduler.SparkListener {
   val bytes = new java.util.concurrent.atomic.AtomicLong
+  @volatile var lastEventNs: Long = System.nanoTime()
   override def onStageCompleted(
       sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
     val m = sc.stageInfo.taskMetrics
     if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    lastEventNs = System.nanoTime()
+  }
+
+  /** Wait until the listener bus has been quiet for `quietMs` (capped):
+    * the bus is asynchronous, so a fixed sleep races a deep backlog and
+    * leaks one query's stages into the next query's delta — quiescence
+    * tracks the actual drain instead of guessing its duration.
+    */
+  def drain(quietMs: Long = 100, capMs: Long = 2000): Unit = {
+    val deadline = System.nanoTime() + capMs * 1000000L
+    while (System.nanoTime() - lastEventNs < quietMs * 1000000L &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(10)
+    }
   }
 }
 
@@ -93,9 +108,9 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
-      // listener events are asynchronous; the save itself is synchronous,
-      // so a short drain keeps stage attribution under the right query
-      Thread.sleep(150)
+      // the save is synchronous but listener delivery is not: wait for
+      // bus quiescence so stages attribute to the query that ran them
+      shuffle.drain()
       val db = shuffle.bytes.get() - b0
       // release the finished query's cached frames and checkpointed RDDs
       // before timing the next one: ContextCleaner is GC-driven, queries

@@ -123,28 +123,38 @@ object Curate {
   /** Exclusive prefix sum of `vtot` over `key` order for a `(key, vtot)`
     * frame → `(key, off)`. Recursive two-level scheme (see `shardPack`);
     * each level adds one window shuffle + one partial-agg + one join.
+    * `totals` must arrive CHECKPOINTED with `rows` its row count —
+    * deeper levels checkpoint their own (geometrically smaller) frames
+    * before counting, so no level ever recomputes the chain below it.
+    * Sparse key spaces that stop shrinking (distinct `key DIV b` ==
+    * distinct `key`) fall back to the bounded single-partition window
+    * rather than recursing forever.
     */
-  private def prefixOffsets(totals: DataFrame, blockDocs: Long,
+  private def prefixOffsets(totals: DataFrame, rows: Long, blockDocs: Long,
       maxWindowRows: Long): DataFrame = {
-    if (totals.count() <= maxWindowRows) {
-      // base case: bounded frame — partition on a data-derived constant
-      // so the (intentionally) single-partition window is explicit in
-      // the plan rather than a planner warning
+    val withSuper = totals
+      .withColumn("skey", expr(s"CAST(key DIV $blockDocs AS BIGINT)"))
+    lazy val superTotals = withSuper.groupBy(col("skey").as("key"))
+      .agg(sum(col("vtot")).as("vtot"))
+      .localCheckpoint()
+    lazy val superRows = superTotals.count()
+    if (rows <= maxWindowRows || superRows * 2 > rows) {
+      // base case: bounded frame (or a sparse key space the grouping no
+      // longer shrinks — an explicit bounded straggler beats unbounded
+      // recursion) — partition on a data-derived constant so the
+      // (intentionally) single-partition window is explicit in the plan
+      // rather than a planner warning
       val w = Window.partitionBy(pmod(col("key"), lit(1)))
         .orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)
       totals
         .withColumn("off", coalesce(sum(col("vtot")).over(w), lit(0L)))
         .select(col("key"), col("off"))
     } else {
-      val withSuper = totals
-        .withColumn("skey", expr(s"CAST(key DIV $blockDocs AS BIGINT)"))
       val intraW = Window.partitionBy(col("skey")).orderBy(col("key"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val withIntra = withSuper.withColumn("intra",
         coalesce(sum(col("vtot")).over(intraW), lit(0L)))
-      val superTotals = withSuper.groupBy(col("skey").as("key"))
-        .agg(sum(col("vtot")).as("vtot"))
-      val superOffsets = prefixOffsets(superTotals, blockDocs, maxWindowRows)
+      val superOffsets = prefixOffsets(superTotals, superRows, blockDocs, maxWindowRows)
         .select(col("key").as("skey"), col("off").as("soff"))
       withIntra.join(superOffsets, "skey")
         .select(col("key"), (col("soff") + col("intra")).as("off"))
@@ -158,6 +168,9 @@ object Curate {
     */
   def shardPackDocs(docs: DataFrame, blockDocs: Long = BlockDocs,
       maxWindowRows: Long = MaxWindowRows): DataFrame = {
+    require(blockDocs >= 2 && maxWindowRows >= 1,
+      s"shardPackDocs needs blockDocs >= 2 and maxWindowRows >= 1, " +
+        s"got ($blockDocs, $maxWindowRows)")
     val d = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -166,9 +179,13 @@ object Curate {
       .rowsBetween(Window.unboundedPreceding, -1)
     val withIntra = d.withColumn("intra",
       coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+    // checkpoint the block frame ONCE: the count that steers the
+    // recursion and the offset chain both read the materialized copy,
+    // so choosing a depth never re-runs the corpus aggregation
     val blockTotals = d.groupBy(col("block").as("key"))
       .agg(sum(col("n_tokens")).as("vtot"))
-    val offsets = prefixOffsets(blockTotals, blockDocs, maxWindowRows)
+      .localCheckpoint()
+    val offsets = prefixOffsets(blockTotals, blockTotals.count(), blockDocs, maxWindowRows)
       .select(col("key").as("block"), col("off").as("boff"))
     // the offset frame is corpus/blockDocs rows — broadcastable through
     // ~1B docs at the default block size; past that, drop the hint and

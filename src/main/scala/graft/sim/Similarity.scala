@@ -70,8 +70,16 @@ object Similarity {
     * assumed small relative to the corpus (it broadcasts twice: probe
     * keys and exact re-score vectors); for corpus-sized query sets run
     * the bucketed equi-join without the broadcasts.
+    *
+    * `excludeSelf` (default true) drops the corpus vector whose vec_id
+    * EQUALS the query's — right when queries are drawn from the corpus
+    * id space (the default slice, pipeline re-query). Pass false for
+    * EXTERNAL query frames whose ids are unrelated to corpus ids, or a
+    * corpus vector that merely shares an id number would silently
+    * vanish from that query's neighbours.
     */
-  def annLshFrom(emb: DataFrame, queries: DataFrame): DataFrame = {
+  def annLshFrom(emb: DataFrame, queries: DataFrame,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.withColumn("norm", norm64("embedding"))
     val q = queries.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
@@ -79,9 +87,10 @@ object Similarity {
       .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
     val qb = withProbeBuckets(q.select("vec_id", "embedding"), bands = 16, rows = 4)
       .select(col("vec_id"), explode(col("bucket_arr")).as("bucket"))
+    val selfGuard =
+      if (excludeSelf) col("a.vec_id") =!= col("b.vec_id") else lit(true)
     val cands = broadcast(qb).as("a")
-      .join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket") && selfGuard)
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .distinct()
     val scored = cands
@@ -115,9 +124,12 @@ object Similarity {
 
   /** `annIvf` over arbitrary corpus AND query `(vec_id, embedding)`
     * frames: the index (centroids + inverted lists) builds from the
-    * corpus only; any query frame probes it.
+    * corpus only; any query frame probes it. `excludeSelf` as in
+    * `annLshFrom`: true for corpus-id-space queries, false for
+    * external frames whose ids are unrelated to corpus ids.
     */
-  def annIvfFrom(emb: DataFrame, queries: DataFrame): DataFrame = {
+  def annIvfFrom(emb: DataFrame, queries: DataFrame,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = 16
     val nProbe = 4
@@ -181,7 +193,7 @@ object Similarity {
       .filter(col("prk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val cands = probed.join(index, "cid")
-      .filter(col("vec_id") =!= col("q_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("n_id"))
       // multi-assigned vectors can reach a query through two probed
       // lists; score each candidate once

@@ -95,6 +95,11 @@ object Relevance {
     GraftFunctions.register(spark)
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
       s"bm25RankFor terms must be plain tokens, got: $terms")
+    // duplicate (or case-colliding, under case-insensitive resolution)
+    // terms would alias two df_/tf_ columns identically and fail
+    // analysis with an ambiguous-reference error — reject up front
+    require(terms.map(_.toLowerCase).distinct.size == terms.size,
+      s"bm25RankFor terms must be distinct (case-insensitively), got: $terms")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     val statCols =
