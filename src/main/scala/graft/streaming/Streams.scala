@@ -89,6 +89,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental near-dup gate — the reference's continuous
+    * poller crossed with the batch `Dedup.dedupIncrementalDocs`: a
+    * stream of newly-crawled `(doc_id, text)` documents is flagged per
+    * micro-batch against a STATIC existing-corpus frame (the
+    * stream-static join pattern), and verdict rows append to a
+    * parquet sink keyed by batch. foreachBatch reuses the exact batch
+    * operator, so stream output equals the batch result row-for-row (a
+    * replayed micro-batch rewrites identical rows — idempotent like the
+    * reference's ON CONFLICT upserts). The existing side re-bands per
+    * micro-batch here; production persists its `(doc_id, bucket)` index
+    * and signature frame instead. Returns the started query; the caller
+    * owns its lifecycle.
+    */
+  def incrementalDedupGate(newDocs: DataFrame, existing: DataFrame,
+      path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.Dedup.dedupIncrementalDocs(batch.toDF(), existing)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("batch_id")
+            .parquet(path)
+        }
+        ()
+      }
+      .start()
+
   /** One open session per user held in the state store by
     * `eventSessionsCustom`: bounds in epoch-nanos (full source
     * precision), the running count, and the value sum in exact cents.

@@ -116,6 +116,35 @@ class StreamsSpec extends SparkSpec {
     assert(sizes.forall(_.getAs[Long]("count") <= 100))
   }
 
+  test("incrementalDedupGate flags streamed docs exactly like the batch operator") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val existing = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("incgate").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val query = Streams.incrementalDedupGate(
+      stream.toDS().toDF("doc_id", "text"), existing, out)
+    try {
+      // two micro-batches: split the crawl mid-way
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_dups", "first_dup", "is_dup")
+      .collect().map(_.toString).sorted
+    val batch = graft.dedup.Dedup.dedupIncremental(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(got.length == newDocs.length)
+    assert(got.sameElements(batch))
+  }
+
   test("streaming sessionize agrees with the batch sessionize session count") {
     val batchSessions = graft.analytics.Analytics.sessionize(spark, sf).count()
     val streamed = spark.table("sessions_sink")
