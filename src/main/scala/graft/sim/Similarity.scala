@@ -26,12 +26,24 @@ object Similarity {
     * partitioned per query — a per-partition top-k merge at scale.
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .withColumn("norm", norm64("embedding"))
-    val q = e.filter(col("vec_id") < Queries)
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    cosineTopKFrom(emb, emb.filter(col("vec_id") < Queries))
+  }
+
+  /** `cosineTopK` over arbitrary corpus and query frames — the exact
+    * baseline the approximate paths are recall-pinned against, with the
+    * same query-side parameterization (`excludeSelf` as in
+    * `annLshFrom`).
+    */
+  def cosineTopKFrom(emb: DataFrame, queries: DataFrame,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
+    val q = queries.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
+    val selfGuard =
+      if (excludeSelf) col("a.vec_id") =!= col("b.vec_id") else lit(true)
     val scored = broadcast(q).as("a")
-      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .join(e.as("b"), selfGuard)
       .select(
         col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         round(dot64("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 6).as("cos6"))

@@ -78,6 +78,27 @@ class PlanAuditSpec extends SparkSpec {
       "tfidf_topk lost its WindowGroupLimit pushdown")
   }
 
+  test("round-5 ops keep their scale shapes") {
+    // facet counting: dims broadcast, the status filter reaches the scan
+    val facet = SparkEntry.queries("facet_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(facet.contains("BroadcastHashJoin"), "facet_count lost its dim broadcasts")
+    assert(facet.contains("EqualTo(o_orderstatus,F)") || facet.contains("o_orderstatus"),
+      "facet_count filter not pushed toward the scan")
+    // outbox stats: the 1-row "now" frame must hash-join (rule rewrite),
+    // never nested-loop
+    val outbox = SparkEntry.queries("outbox_depth_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(outbox.contains("BroadcastHashJoin"), "outbox_depth_stats lost its now broadcast")
+    // the dashboard rollups stay single partial-agg passes: no joins at all
+    Seq("sync_status_rollup", "queue_depth_stats").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name grew an unexpected join")
+      assert(plan.contains("HashAggregate"), s"$name lost partial aggregation")
+    }
+  }
+
   test("scan-bound text queries prune the documents scan to used columns") {
     val plan = SparkEntry.queries("text_stats")(spark, sf)
       .queryExecution.executedPlan.toString
