@@ -34,10 +34,11 @@ object Sources {
       .json(path)
 
   /** Partitioned JDBC range read — the scale-correct form of the
-    * reference's paged list fetch. `partitionColumn` must be indexed and
-    * roughly uniform; each of the `numPartitions` tasks issues its own
-    * bounded WHERE scan. (No database ships in this environment, so this
-    * path is exercised only by its plan construction.)
+    * reference's paged list fetch (uib_client.rs:189-272).
+    * `partitionColumn` must be indexed and roughly uniform; each of the
+    * `numPartitions` tasks issues its own bounded WHERE scan.
+    * Exercised end-to-end against an embedded Derby database in
+    * SourcesSinksSpec (partition count, contents, predicate pushdown).
     */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,

@@ -115,4 +115,33 @@ class SourcesSinksSpec extends SparkSpec {
       if (k % 2 == 0) v == orig(k) + 5000.0 else v == orig(k)
     })
   }
+
+  test("jdbc source reads a real embedded database as partitioned range scans") {
+    // Apache Derby (on the Spark classpath) embedded in-memory: the
+    // partitioned JDBC read runs against an actual database, not just
+    // plan construction
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, name VARCHAR(32), val DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO items VALUES (?, ?, ?)")
+      (0 until 100).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"n$i"); ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      st.close(); ps.close()
+    } finally conn.close()
+    val df = graft.sources.Sources.jdbc(spark, url, "items", "id", 0L, 100L, 4)
+    // four bounded WHERE range scans, one per partition
+    assert(df.rdd.getNumPartitions == 4)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getAs[Long]("ID")).sorted.toSeq == (0L until 100L).toSeq)
+    assert(rows.forall(r => r.getAs[Double]("VAL") == r.getAs[Long]("ID") * 1.5))
+    // predicate pushdown reaches the database as a WHERE clause
+    assert(df.filter(col("ID") < 10).count() == 10)
+  }
 }
