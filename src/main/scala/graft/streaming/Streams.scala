@@ -79,9 +79,14 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          // dynamic partition overwrite: a REPLAYED micro-batch rewrites
+          // its own batch_id partitions instead of appending duplicates —
+          // this is what makes the sink actually idempotent, not just
+          // deterministic
           graft.sinks.Sinks.withChunks(batch, "event_type", "event_id", chunkSize)
             .withColumn("batch_id", lit(batchId))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "event_type", "chunk_id")
             .parquet(path)
         }
@@ -109,9 +114,12 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          // dynamic partition overwrite — see outboxRelay: replayed
+          // micro-batches rewrite their partition, never duplicate it
           graft.dedup.Dedup.dedupIncrementalDocs(batch.toDF(), existing)
             .withColumn("batch_id", lit(batchId))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(path)
         }

@@ -116,6 +116,19 @@ class StreamsSpec extends SparkSpec {
     assert(sizes.forall(_.getAs[Long]("count") <= 100))
   }
 
+  test("a replayed batch partition overwrites instead of duplicating (sink idempotence)") {
+    // the write mode both streaming sinks use: dynamic partition
+    // overwrite must rewrite a batch_id partition on replay, not append
+    val out = java.nio.file.Files.createTempDirectory("replay").toString
+    val df = spark.range(10).select(col("id").as("doc_id"), lit(0L).as("batch_id"))
+    def write(): Unit = df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(out)
+    write(); write()
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
   test("incrementalDedupGate flags streamed docs exactly like the batch operator") {
     val sql = spark.sqlContext
     import sql.implicits._
