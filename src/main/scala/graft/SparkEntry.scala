@@ -61,6 +61,7 @@ object SparkEntry {
     "token_bpe"      -> (TextOps.tokenBpe _),
     "quality_score"  -> (TextOps.qualityScore _),
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
+    "bpe_learn"      -> ((s: SparkSession, d: String) => TextOps.bpeLearn(s, d)),
     "tfidf_topk"  -> (Relevance.tfidfTopK _),
     "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
     "cooccur_pmi" -> ((s: SparkSession, d: String) => Relevance.cooccurPmi(s, d)),
@@ -87,8 +88,45 @@ object SparkEntry {
     "mm_chunk"        -> (Multimodal.mmChunk _)
   )
 
+  /** The BPE-learning oracle unrolls the Spark operator's rounds in SQL
+    * (like pagerank_ppm's iterations): round i counts adjacent symbol
+    * pairs weighted by word frequency, takes the deterministic arg-max
+    * (count desc, then lexicographic), and applies the merge with the
+    * same greedy left-to-right fold the operator uses. DuckDB list
+    * slicing is INCLUSIVE, hence `list_slice(acc, 1, len(acc) - 1)`
+    * for drop-last.
+    */
+  private def bpeLearnOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT p.l AS l, p.r AS r, SUM(cnt) AS n FROM w${i - 1},
+         |    unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(l := syms[CAST(i AS INT)], r := syms[CAST(i AS INT) + 1]))) AS t(p)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> CAST([s] AS VARCHAR[]))),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.l AND x[1] = m$i.r
+         |                     THEN list_append(list_slice(acc, 1, len(acc) - 1), m$i.l || m$i.r)
+         |                     ELSE list_append(acc, x[1]) END) AS syms, cnt
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS k, l, r, n FROM m$i").mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS (SELECT list_transform(range(1, len(w) + 1),
+       |         i -> substr(w, CAST(i AS INT), 1)) AS syms, cnt FROM wc),
+       |$rounds
+       |SELECT CAST(k AS BIGINT) AS merge_rank, l AS merge_left, r AS merge_right,
+       |  CAST(n AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
   def oracleSql: Map[String, String] = Map(
+    "bpe_learn" -> bpeLearnOracle(10),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -193,4 +193,65 @@ object TextOps {
         element_at(col("fp"), 2).as("win_fp"))
       .orderBy("doc_id")
   }
+
+  /** Distributed BPE merge LEARNING (Sennrich et al. 2016, the
+    * word-frequency formulation tokenizer trainers actually use) — the
+    * step beyond `tokenBpe`'s fixed pre-tokenizer accounting: learn the
+    * top-`merges` byte-pair merges from the corpus. Each round counts
+    * adjacent symbol pairs weighted by word frequency, takes the
+    * arg-max pair (count desc, then lexicographic — fully
+    * deterministic), and applies the merge greedily left-to-right to
+    * every word.
+    *
+    * Scale shape: the working frame is the distinct-WORD table with
+    * counts — Zipf-bounded vocabulary, not the corpus — so each round
+    * is one partial-agg pair count plus one vocab-sized projection;
+    * the arg-max is a 1-row TakeOrdered, and only the K merge rows
+    * ever reach the driver (the same bounded-driver-state shape as the
+    * IVF Lloyd rounds). Hash-checked against a DuckDB oracle that
+    * unrolls the identical rounds in SQL.
+    */
+  def bpeLearn(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= merges && !done) {
+      // the size >= 2 guard matters: Spark's sequence(1, 0) DESCENDS
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, n) = (best.head.getAs[String]("l"),
+          best.head.getAs[String]("r"), best.head.getAs[Long]("n"))
+        out += ((k.toLong, l, r, n))
+        def q(s: String) = s.replace("'", "''")
+        // greedy left-to-right merge fold; comparing against the LITERAL
+        // last output symbol gives standard non-overlapping BPE ("aaa"
+        // under (a,a) -> ["aa","a"])
+        words = words.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |IF(size(acc) > 0 AND element_at(acc, -1) = '${q(l)}' AND x = '${q(r)}',
+             |   concat(slice(acc, 1, size(acc) - 1), array('${q(l)}${q(r)}')),
+             |   concat(acc, array(x))))""".stripMargin))
+          .localCheckpoint(eager = false)
+        k += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+  }
 }

@@ -36,4 +36,38 @@ class TextOpsSpec extends SparkSpec {
     val counts = sorted.map(_.getAs[Long]("cnt"))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("bpe_learn merges match an independent driver-side BPE trainer") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.bpeLearn(spark, sf, merges = 6).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("merge_left"),
+        r.getAs[String]("merge_right"), r.getAs[Long]("pair_count"))).toSeq
+    // reference: exact greedy word-frequency BPE on the driver
+    var vocab = graft.core.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[String]("w").map(_.toString).toVector -> r.getAs[Long]("c"))
+      .toSeq
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to 6) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c)
+      }
+      val ((l, r), n) = pairs.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+      expected += ((k.toLong, l, r, n))
+      vocab = vocab.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toVector -> c
+      }
+    }
+    assert(got == expected.toSeq)
+    // every learned merge was actually observed in the corpus
+    assert(got.forall(_._4 > 0))
+  }
 }
