@@ -66,6 +66,7 @@ object SparkEntry {
     "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
     "cooccur_pmi" -> ((s: SparkSession, d: String) => Relevance.cooccurPmi(s, d)),
     "rarity_score" -> (Relevance.rarityScore _),
+    "lm_score"     -> (Relevance.lmScore _),
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
@@ -677,6 +678,22 @@ object SparkEntry {
         |       JOIN df db ON token_b = db.token, n
         |WHERE n_ab >= 10
         |ORDER BY token_a, token_b""".stripMargin,
+    "lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM d,
+        |  unnest(list_transform(range(1, len(l)),
+        |    i -> struct_pack(w1 := l[CAST(i AS INT)], w2 := l[CAST(i AS INT) + 1]))) AS t(p)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         SUM((1000000 * c12) // c1) AS mass
+        |       FROM big JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(mass // n_bigrams AS BIGINT) AS lm_ppm,
+        |  CAST(mass // n_bigrams < 32000 AS INT) AS flagged
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),

@@ -177,6 +177,55 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  /** Documents whose mean bigram conditional probability falls below
+    * this (ppm) are flagged by `lmScore`: on this corpus the per-doc
+    * mean ranges ~30k-49k ppm with median ~34.5k, so 32k flags the
+    * low tail — the statistically "surprising" documents a perplexity
+    * filter would drop.
+    */
+  private val LmFlagPpm = 32000L
+
+  /** Bigram language-model quality gate — the integer-exact stand-in
+    * for CCNet/KenLM-style perplexity filtering, one step past
+    * `rarityScore`'s unigram form: per document, the mean over token
+    * positions of the corpus bigram conditional probability
+    * `P(w_i | w_{i-1})` as `(1e6 * c(w_{i-1}, w_i)) div c_ctx(w_{i-1})`
+    * (log-free — a mean of per-position integer surrogates instead of a
+    * log-prob sum, monotone in the same signal), plus the keep/drop
+    * flag at the low tail. OCR noise, shuffled boilerplate, and
+    * generation loops all score low: their token SEQUENCES are
+    * improbable even when their token SETS are common.
+    *
+    * Scale shape: the bigram stream is generated map-side per document
+    * (narrow (doc, w1, w2) rows); the bigram-count and context-count
+    * tables are Zipf-bounded partial aggregations; scoring is two
+    * shuffle joins keyed by bigram/context (build sides are the count
+    * tables, never the corpus) and one per-doc partial agg.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val big = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+          |  i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctxCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .withColumn("cond_ppm", expr("CAST((1000000 * c12) DIV c1 AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("mass"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST(mass DIV n_bigrams AS BIGINT)").as("lm_ppm"),
+        expr(s"CAST(mass DIV n_bigrams < $LmFlagPpm AS INT)").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Pairs below this corpus-wide co-occurrence count are dropped by
     * `cooccurPmi` (keeps the association table to the statistically
     * meaningful pairs).

@@ -117,4 +117,19 @@ class RelevanceSpec extends SparkSpec {
       Relevance.bm25RankFor(spark, sf, Seq("bad term; drop"), 5)
     }
   }
+
+  test("lm_score bigram means are consistent and the flag matches the threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = Relevance.lmScore(spark, sf).collect()
+    val expectN = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == expectN(r.getAs[Long]("doc_id")))
+      val ppm = r.getAs[Long]("lm_ppm")
+      assert(ppm > 0 && ppm < 1000000)
+      assert((r.getAs[Int]("flagged") == 1) == (ppm < 32000))
+    }
+  }
 }
