@@ -34,9 +34,10 @@ object Pipeline {
   }
 
   /** The full training-corpus curation flow, the published-pipeline
-    * stage order (Gopher/RefinedWeb-shape): composite quality gate +
-    * intra-doc repetition filter + rare-token (rarity) gate → near-dup
-    * cluster survivors → benchmark decontamination → token-budget shard
+    * stage order (Gopher/RefinedWeb/CCNet-shape): composite quality
+    * gate + intra-doc repetition filter + rare-token (rarity) gate +
+    * bigram-LM gate (the perplexity-filter stage) → near-dup cluster
+    * survivors → benchmark decontamination → token-budget shard
     * packing. Returns one row per surviving doc with its shard
     * assignment — the manifest a shard writer consumes.
     *
@@ -52,11 +53,14 @@ object Pipeline {
       .filter(col("flagged") === 0).select("doc_id")
     val common = graft.text.Relevance.rarityScore(spark, dir)
       .filter(col("flagged") === 0).select("doc_id")
+    val probable = graft.text.Relevance.lmScore(spark, dir)
+      .filter(col("flagged") === 0).select("doc_id")
     val survivors = graft.dedup.Dedup.dedupCluster(spark, dir)
       .filter(col("keep") === 1).select("doc_id")
     val clean = graft.curate.Curate.decontaminate(spark, dir)
       .filter(col("contaminated") === 0).select("doc_id")
     val keep = quality.join(unrepeated, "doc_id").join(common, "doc_id")
+      .join(probable, "doc_id")
       .join(survivors, "doc_id").join(clean, "doc_id")
     graft.curate.Curate.shardPackDocs(
       Tables.documents(spark, dir).select("doc_id", "text").join(keep, "doc_id"))

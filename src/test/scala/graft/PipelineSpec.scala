@@ -37,8 +37,11 @@ class PipelineSpec extends SparkSpec {
       .filter(col("flagged") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
     val common = graft.text.Relevance.rarityScore(spark, sf)
       .filter(col("flagged") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val probable = graft.text.Relevance.lmScore(spark, sf)
+      .filter(col("flagged") === 0).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept ==
-      (quality intersect unrepeated intersect common intersect survivors intersect clean))
+      (quality intersect unrepeated intersect common intersect probable
+        intersect survivors intersect clean))
     assert(kept.nonEmpty)
     // shard manifest integrity: running totals consistent, shards ordered
     val sorted = manifest.sortBy(_.getAs[Long]("doc_id"))
