@@ -103,4 +103,22 @@ class ExpressionPropertySpec extends AnyFunSuite {
       assert(shared.isEmpty)
     }
   }
+
+  test("simhash64: deterministic, near-dup multisets land within small hamming distance") {
+    (1 to 50).foreach { _ =>
+      val toks = Array.fill(30 + rnd.nextInt(30))(s"t${rnd.nextInt(60)}")
+      def arr(ts: Array[String]): ArrayData =
+        new GenericArrayData(ts.map(t => UTF8String.fromString(t).asInstanceOf[Any]))
+      val h1 = Mix.simhash64(arr(toks))
+      assert(h1 == Mix.simhash64(arr(toks.clone())))
+      // drop one token: the fingerprint moves by at most a few bits
+      // (simhash's defining property), while an unrelated token set is
+      // ~32 bits away on average
+      val h2 = Mix.simhash64(arr(toks.drop(1)))
+      assert(java.lang.Long.bitCount(h1 ^ h2) <= 16)
+      val other = Array.fill(40)(s"u${rnd.nextInt(60)}")
+      val h3 = Mix.simhash64(arr(other))
+      assert(java.lang.Long.bitCount(h1 ^ h3) >= 10)
+    }
+  }
 }
