@@ -690,10 +690,12 @@ object SparkEntry {
         |         SUM((1000000 * c12) // c1) AS mass
         |       FROM big JOIN bc USING (w1, w2) JOIN ctx USING (w1)
         |       GROUP BY 1)
-        |SELECT doc_id, n_bigrams,
-        |  CAST(mass // n_bigrams AS BIGINT) AS lm_ppm,
-        |  CAST(mass // n_bigrams < 32000 AS INT) AS flagged
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |SELECT docs.doc_id AS doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(sc.mass // sc.n_bigrams AS BIGINT) AS lm_ppm,
+        |  CAST(COALESCE(sc.mass // sc.n_bigrams < 32000, FALSE) AS INT) AS flagged
+        |FROM documents docs LEFT JOIN sc ON docs.doc_id = sc.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),

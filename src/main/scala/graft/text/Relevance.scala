@@ -214,7 +214,7 @@ object Relevance {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val pairCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctxCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-    big
+    val scored = big
       .join(pairCounts, Seq("w1", "w2"))
       .join(ctxCounts, Seq("w1"))
       .withColumn("cond_ppm", expr("CAST((1000000 * c12) DIV c1 AS BIGINT)"))
@@ -223,6 +223,16 @@ object Relevance {
       .select(col("doc_id"), col("n_bigrams"),
         expr("CAST(mass DIV n_bigrams AS BIGINT)").as("lm_ppm"),
         expr(s"CAST(mass DIV n_bigrams < $LmFlagPpm AS INT)").as("flagged"))
+    // TOTAL over the corpus: documents with fewer than 2 tokens have no
+    // bigrams to judge — they surface with a NULL score and flagged = 0
+    // (cannot-assess means keep), so pipeline gates that inner-join on
+    // doc_id never silently drop them
+    Tables.documents(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_ppm"),
+        coalesce(col("flagged"), lit(0)).as("flagged"))
       .orderBy("doc_id")
   }
 

@@ -239,7 +239,11 @@ object TextOps {
         val (l, r, n) = (best.head.getAs[String]("l"),
           best.head.getAs[String]("r"), best.head.getAs[Long]("n"))
         out += ((k.toLong, l, r, n))
-        def q(s: String) = s.replace("'", "''")
+        // Spark SQL string literals treat backslash as an escape: double
+        // it FIRST, then double single quotes — a symbol containing
+        // either would otherwise break (or silently corrupt) the
+        // interpolated merge expression
+        def q(s: String) = s.replace("\\", "\\\\").replace("'", "''")
         // greedy left-to-right merge fold; comparing against the LITERAL
         // last output symbol gives standard non-overlapping BPE ("aaa"
         // under (a,a) -> ["aa","a"])

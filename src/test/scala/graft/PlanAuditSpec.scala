@@ -83,8 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     val facet = SparkEntry.queries("facet_count")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(facet.contains("BroadcastHashJoin"), "facet_count lost its dim broadcasts")
-    assert(facet.contains("EqualTo(o_orderstatus,F)") || facet.contains("o_orderstatus"),
-      "facet_count filter not pushed toward the scan")
+    // `EqualTo(col,val)` only prints inside PushedFilters — a post-scan
+    // Filter node renders as `(o_orderstatus#n = F)` and would fail this
+    assert(facet.contains("EqualTo(o_orderstatus,F)"),
+      "facet_count status filter not pushed into the scan")
     // outbox stats: the 1-row "now" frame must hash-join (rule rewrite),
     // never nested-loop
     val outbox = SparkEntry.queries("outbox_depth_stats")(spark, sf)

@@ -119,8 +119,12 @@ class SourcesSinksSpec extends SparkSpec {
   test("jdbc source reads a real embedded database as partitioned range scans") {
     // Apache Derby (on the Spark classpath) embedded in-memory: the
     // partitioned JDBC read runs against an actual database, not just
-    // plan construction
-    val url = "jdbc:derby:memory:graftdb;create=true"
+    // plan construction. derby.log goes to /tmp, the db name is unique
+    // per run (a memory db lives for the JVM — a fixed name would fail
+    // CREATE TABLE on suite re-run), and the db drops afterwards.
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val dbName = s"graftdb${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$dbName;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
@@ -134,14 +138,26 @@ class SourcesSinksSpec extends SparkSpec {
       ps.executeBatch()
       st.close(); ps.close()
     } finally conn.close()
-    val df = graft.sources.Sources.jdbc(spark, url, "items", "id", 0L, 100L, 4)
-    // four bounded WHERE range scans, one per partition
-    assert(df.rdd.getNumPartitions == 4)
-    val rows = df.collect()
-    assert(rows.length == 100)
-    assert(rows.map(_.getAs[Long]("ID")).sorted.toSeq == (0L until 100L).toSeq)
-    assert(rows.forall(r => r.getAs[Double]("VAL") == r.getAs[Long]("ID") * 1.5))
-    // predicate pushdown reaches the database as a WHERE clause
-    assert(df.filter(col("ID") < 10).count() == 10)
+    try {
+      val df = graft.sources.Sources.jdbc(spark, url, "items", "id", 0L, 100L, 4)
+      // four bounded WHERE range scans, one per partition
+      assert(df.rdd.getNumPartitions == 4)
+      val rows = df.collect()
+      assert(rows.length == 100)
+      assert(rows.map(_.getAs[Long]("ID")).sorted.toSeq == (0L until 100L).toSeq)
+      assert(rows.forall(r => r.getAs[Double]("VAL") == r.getAs[Long]("ID") * 1.5))
+      // predicate pushdown genuinely reaches the connector: the filter
+      // appears as a PushedFilters entry on the JDBC relation scan
+      val filtered = df.filter(col("ID") < 10)
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("LessThan(ID,10)"),
+        s"JDBC filter not pushed to the database:\n$plan")
+      assert(filtered.count() == 10)
+    } finally {
+      // in-memory Derby drops via the drop=true connection, which
+      // SIGNALS success with SQLState 08006
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+      catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
+    }
   }
 }

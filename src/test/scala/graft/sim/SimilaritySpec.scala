@@ -98,6 +98,9 @@ class SimilaritySpec extends SparkSpec {
       val recall = hit.toDouble / (5.0 * qids.size)
       assert(recall >= floor, s"$name recall $recall below $floor")
     }
+    // the exact baseline entry point must agree with the driver-side
+    // brute force EXACTLY on the same query frame
+    check(Similarity.cosineTopKFrom(emb, queries), 1.0, "cosineTopKFrom")
     // this test pins the API (arbitrary query frames are served), not a
     // new recall guarantee — at 10 queries each missed neighbour costs
     // 2 recall points, so the IVF floor sits below the 0.85 the
@@ -105,5 +108,17 @@ class SimilaritySpec extends SparkSpec {
     // queries whose neighbours sit past the nProbe=4 probed lists)
     check(Similarity.annLshFrom(emb, queries), 0.9, "annLshFrom")
     check(Similarity.annIvfFrom(emb, queries), 0.7, "annIvfFrom")
+    // EXTERNAL query frame (ids disjoint from the corpus id space):
+    // with excludeSelf = false the corpus copy of each query vector
+    // surfaces as its own top-1 at cosine 1.0 — nothing is excluded by
+    // id, which is exactly the contract external frames need
+    val external = queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val ext = Similarity.cosineTopKFrom(emb, external, excludeSelf = false).collect()
+    val top1 = ext.filter(_.getAs[Long]("rk") == 1L)
+    assert(top1.map(_.getAs[Long]("q_id")).toSet == qids.map(_ + 100000L))
+    top1.foreach { r =>
+      assert(r.getAs[Long]("n_id") == r.getAs[Long]("q_id") - 100000L)
+      assert(r.getAs[Double]("cos6") == 1.0)
+    }
   }
 }

@@ -118,15 +118,22 @@ class StreamsSpec extends SparkSpec {
 
   test("a replayed batch partition overwrites instead of duplicating (sink idempotence)") {
     // the write mode both streaming sinks use: dynamic partition
-    // overwrite must rewrite a batch_id partition on replay, not append
+    // overwrite must rewrite ONLY the replayed batch_id partition —
+    // append would duplicate it, STATIC overwrite would wipe the other
+    // batches' partitions; the batch0-batch1-replay-batch0 sequence
+    // distinguishes all three
     val out = java.nio.file.Files.createTempDirectory("replay").toString
-    val df = spark.range(10).select(col("id").as("doc_id"), lit(0L).as("batch_id"))
-    def write(): Unit = df.write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(out)
-    write(); write()
-    assert(spark.read.parquet(out).count() == 10)
+    def write(batchId: Long): Unit =
+      spark.range(10)
+        .select((col("id") + batchId * 10).as("doc_id"), lit(batchId).as("batch_id"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(out)
+    write(0); write(1); write(0) // replay batch 0
+    val got = spark.read.parquet(out)
+    assert(got.count() == 20)
+    assert(got.select("batch_id").distinct().count() == 2)
   }
 
   test("incrementalDedupGate flags streamed docs exactly like the batch operator") {
