@@ -51,6 +51,9 @@ object GraftFunctions {
     "lsh_band_buckets" ->
       (es => LshBandBuckets(es(0), intLit("lsh_band_buckets", es(1)),
         intLit("lsh_band_buckets", es(2)))),
+    "lsh_probe_buckets" ->
+      (es => LshBandBuckets(es(0), intLit("lsh_probe_buckets", es(1)),
+        intLit("lsh_probe_buckets", es(2)), probeFlips = true)),
     "ngram_hash_set" ->
       (es => NgramHashSet(es(0), intLit("ngram_hash_set", es(1)))),
     "simhash32" -> (es => Simhash32(es.head)),
@@ -490,18 +493,22 @@ case class LshPackedBands(child: Expression, bands: Int, rows: Int)
 /** Hashed hyperplane-LSH band bucket keys in ONE fused pass:
   * bucket_b = xxhash64(b, code_b) where code_b is LshPackedBands' packed
   * sign code — bit-identical to Spark's `xxhash64(b, element_at(packed,
-  * b+1))` (replicated via the engine's own XXH64.hashInt, seed 42), so
-  * query-side multi-probe flips (`Vectors.withProbeBuckets`, computed
-  * with the SQL xxhash64) land in exactly these buckets.
+  * b+1))` (replicated via the engine's own XXH64.hashInt, seed 42).
+  * With `probeFlips` set (the `lsh_probe_buckets` registration) each
+  * band emits `rows + 1` keys — its own bucket plus every 1-bit sign
+  * flip (`xxhash64(b, code ^ (1 << i))`, the multi-probe LSH query
+  * side) — so corpus keys and probe keys come from the same compute.
   *
   * Exists because composing `lsh_packed_bands` with a per-band
   * `transform` lambda is a performance trap: CollapseProject inlines the
   * packing expression INTO the lambda, so the full bands×rows×dim
-  * packing re-evaluates once per band, interpreted — measured 768× the
-  * work at the dedup-LSH band count. One top-level native expression
-  * keeps the packing single-pass and inside whole-stage codegen.
+  * packing re-evaluates once per band (per flip, on the probe side),
+  * interpreted — measured 768× the work at the dedup-LSH band count.
+  * One top-level native expression keeps the packing single-pass and
+  * inside whole-stage codegen.
   */
-case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
+case class LshBandBuckets(child: Expression, bands: Int, rows: Int,
+    probeFlips: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -537,7 +544,8 @@ case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
   private def compute(x: ArrayData): GenericArrayData = {
     val (off, idx, sgn) = sparse
     val n = math.min(64, x.numElements())
-    val out = new Array[Long](bands)
+    val perBand = if (probeFlips) rows + 1 else 1
+    val out = new Array[Long](bands * perBand)
     var b = 0
     while (b < bands) {
       var packed = 0
@@ -555,7 +563,15 @@ case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
         packed = packed * 2 + (if (dot > 0.0) 1 else 0)
         i += 1
       }
-      out(b) = XXH64.hashInt(packed, XXH64.hashInt(b, 42L))
+      val seed = XXH64.hashInt(b, 42L)
+      out(b * perBand) = XXH64.hashInt(packed, seed)
+      if (probeFlips) {
+        var f = 0
+        while (f < rows) {
+          out(b * perBand + 1 + f) = XXH64.hashInt(packed ^ (1 << f), seed)
+          f += 1
+        }
+      }
       b += 1
     }
     new GenericArrayData(out)

@@ -82,17 +82,16 @@ object Vectors {
     * plane disagrees (Lv et al., multi-probe LSH), so probing 1-bit
     * flips recovers most of the recall a bigger index would buy —
     * query-side only, the corpus index never grows.
+    *
+    * Fused native expression (`lsh_probe_buckets` — LshBandBuckets with
+    * probe flips): the previous packed-bands + flatten/transform lambda
+    * composition had the same CollapseProject trap as the corpus side —
+    * the packing re-evaluated once per (band × flip), interpreted —
+    * harmless on a 20-row query slice, ~80× waste on a large query
+    * frame. Bucket values are unchanged (spec-pinned against the SQL
+    * formulation).
     */
-  def withProbeBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // flips stay INT: packed codes are array<int>, and xxhash64 hashes by
-    // input type — a BIGINT-promoted xor would hash different bytes than
-    // the corpus side's plain element_at
-    val flips = (Seq(0) ++ (0 until rows).map(1 << _)).mkString(",")
-    withPackedBands(df, bands, rows)
-      .withColumn("bucket_arr",
-        expr(s"""flatten(transform(sequence(0, ${bands - 1}), b ->
-                transform(array($flips), f ->
-                  xxhash64(b, element_at(packed, b + 1) ^ f))))"""))
-      .drop("packed")
-  }
+  def withProbeBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
+    df.withColumn("bucket_arr",
+      call_function("lsh_probe_buckets", col("embedding"), lit(bands), lit(rows)))
 }

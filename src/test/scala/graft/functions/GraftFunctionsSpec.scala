@@ -124,6 +124,22 @@ class GraftFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("lsh_probe_buckets equals the packed-bands + SQL flip composition") {
+    registered
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding"),
+        call_function("lsh_probe_buckets", col("embedding"), lit(16), lit(4)).as("fused"),
+        call_function("lsh_packed_bands", col("embedding"), lit(16), lit(4)).as("packed"))
+      .withColumn("ref",
+        expr("""flatten(transform(sequence(0, 15), b ->
+               transform(array(0, 1, 2, 4, 8), f ->
+                 xxhash64(b, element_at(packed, b + 1) ^ f))))"""))
+      .select(col("fused"), col("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("vec_sum matches a posexplode elementwise sum (within float-order tolerance)") {
     registered
     val viaAgg = Tables.embeddings(spark, sf)
@@ -167,7 +183,7 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftSparkExtensions().apply(ext)
     // injection itself must cover the full builder list; resolution is
     // covered by the plain-SQL test above on the shared session
-    assert(GraftFunctions.builders.size == 10)
+    assert(GraftFunctions.builders.size == 11)
   }
 
   test("registerViews exposes the full table surface to plain SQL") {
