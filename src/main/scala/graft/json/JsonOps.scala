@@ -69,7 +69,7 @@ object JsonOps {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct")
       )
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Inline-reference RESOLUTION (storage.rs:443-495, extraction.rs:607-710):
@@ -132,7 +132,7 @@ object JsonOps {
         expr("aggregate(parsed.events, cast(0 as bigint), (a, e) -> a + e.k)").as("sum_k"),
         size(array_distinct(col("parsed.events.k"))).cast("long").as("n_distinct_k"),
         concat_ws(",", array_distinct(col("parsed.events.k"))).as("k_ids"))
-      .orderBy("user_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Content fingerprint for dedup-by-content (storage.rs upsert identity):
@@ -144,6 +144,6 @@ object JsonOps {
         col("doc_id"),
         md5(trim(col("text"))).as("fingerprint")
       )
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 }

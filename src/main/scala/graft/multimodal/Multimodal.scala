@@ -68,7 +68,7 @@ object Multimodal {
           .as("chunk_bytes"),
         md5(expr(s"substring(text, chunk_id * $ChunkBytes + 1, $ChunkBytes)"))
           .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 }
 

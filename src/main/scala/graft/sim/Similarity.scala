@@ -232,7 +232,8 @@ object Similarity {
     * predicates over the float array, no shuffle, no explode.
     */
   def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
-    embedQcFrom(Tables.embeddings(spark, dir), expectDim).orderBy("vec_id")
+    // no global ORDER BY — corpus-sized QC report (see embedQcFrom doc)
+    embedQcFrom(Tables.embeddings(spark, dir), expectDim)
 
   /** `embedQc` over an arbitrary embeddings frame (unsorted — pipeline
     * consumers filter it, and a global sort of a corpus-sized QC report

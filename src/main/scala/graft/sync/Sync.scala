@@ -47,7 +47,7 @@ object Sync {
           .when(col("rev_remote") =!= col("rev_local"), "changed")
           .otherwise("unchanged").as("status")
       )
-      .orderBy("key")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Latest-wins upsert merge (storage.rs:118+ ON CONFLICT DO UPDATE):
@@ -73,7 +73,7 @@ object Sync {
         col("o_totalprice").as("rev"),
         col("src").cast("long").as("src")
       )
-      .orderBy("key")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Deterministic batch assignment: the outbox poller's fixed-size chunks
@@ -90,7 +90,7 @@ object Sync {
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id")
       )
-      .orderBy("event_type", "batch_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Backfill selection (sync_service.rs:829-860): the resync path picks
@@ -136,7 +136,7 @@ object Sync {
       .distinct()
     pending
       .join(claimed, col("o_orderkey") === col("l_orderkey"), "left_anti")
-      .orderBy("o_orderkey")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Orphan re-queue (sync_service.rs:577-627): items held by workers whose
@@ -156,7 +156,7 @@ object Sync {
     ev.filter(col("event_type") === "view")
       .join(broadcast(dead), col("user_id") === col("dead_user"))
       .select(col("event_id"), col("user_id"))
-      .orderBy("event_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Snapshot statistics roll-up (snapshot.rs:259): corpus counts at every

