@@ -29,12 +29,18 @@ private class ShuffleBytesListener extends org.apache.spark.scheduler.SparkListe
     * leaks one query's stages into the next query's delta — quiescence
     * tracks the actual drain instead of guessing its duration.
     */
-  def drain(quietMs: Long = 100, capMs: Long = 2000): Unit = {
+  /** @return true if the bus reached quiescence; false if the cap cut
+    * the wait short — in that case stages may still be in flight and the
+    * caller's byte delta can cross-attribute to the next query, so the
+    * caller must mark the reading suspect rather than present it as exact.
+    */
+  def drain(quietMs: Long = 100, capMs: Long = 2000): Boolean = {
     val deadline = System.nanoTime() + capMs * 1000000L
     while (System.nanoTime() - lastEventNs < quietMs * 1000000L &&
         System.nanoTime() < deadline) {
       Thread.sleep(10)
     }
+    System.nanoTime() - lastEventNs >= quietMs * 1000000L
   }
 }
 
@@ -109,8 +115,11 @@ object Bench {
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
       // the save is synchronous but listener delivery is not: wait for
-      // bus quiescence so stages attribute to the query that ran them
-      shuffle.drain()
+      // bus quiescence so stages attribute to the query that ran them.
+      // A capped (non-quiescent) drain means this delta — and the next
+      // one — may cross-attribute; record it so the reading isn't
+      // presented as exact.
+      val quiesced = shuffle.drain()
       val db = shuffle.bytes.get() - b0
       // release the finished query's cached frames and checkpointed RDDs
       // before timing the next one: ContextCleaner is GC-driven, queries
@@ -120,18 +129,42 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      (name, dt, err, db)
+      (name, dt, err, db, quiesced)
     }
-    // a failed query must surface as an error, never as a ~0s "win"
+    // a failed query must surface as an error, never as a ~0s "win".
+    // Seconds are rounded to 3 decimals: the harness that collects this
+    // output keeps only the LAST ~2000 characters of the log, so the
+    // final JSON line must stay comfortably inside that window —
+    // full-precision doubles plus the shuffle-bytes map overflowed it
+    // once and the run was recorded as unparseable.
+    // 2 decimals: single-box timings swing 3-5× run-to-run, so the third
+    // decimal is pure noise — and every character counts against the
+    // tail window as the query inventory grows
+    def s3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map {
-      case (k, v, None, _)    => "\"" + k + "\":" + v
-      case (k, _, Some(e), _) => "\"" + k + "\":\"ERROR:" + e + "\""
+      case (k, v, None, _, _)    => "\"" + k + "\":" + s3(v)
+      case (k, _, Some(e), _, _) => "\"" + k + "\":\"ERROR:" + e + "\""
     }.mkString("{", ",", "}")
-    val sb = results.map { case (k, _, _, b) => "\"" + k + "\":" + b }
+    val sb = results.map { case (k, _, _, b, _) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _) => v }.sum
+    val total = results.collect { case (_, v, None, _, _) => v }.sum
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}""")
+    // a capped drain taints its own delta AND the following query's
+    // (leftover stages land in the next window)
+    val tainted = results.map(_._1).zipWithIndex.collect {
+      case (k, i) if !results(i)._5 || (i > 0 && !results(i - 1)._5) => k
+    }
+    // shuffle bytes go on their OWN line (and to a local file) so the
+    // plan-change detector survives without bloating the tail-parsed line
+    val taintJson = tainted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val shuffleLine =
+      s"""{"metric":"shuffle_bytes","queries":$sb,"suspect":$taintJson,"sf":"$sfDir"}"""
+    println(shuffleLine)
+    try {
+      val w = new java.io.PrintWriter("bench_shuffle_last.json")
+      try w.println(shuffleLine) finally w.close()
+    } catch { case _: Throwable => () } // best-effort: cwd may be read-only
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -126,36 +126,78 @@ object Curate {
     * `totals` must arrive CHECKPOINTED with `rows` its row count —
     * deeper levels checkpoint their own (geometrically smaller) frames
     * before counting, so no level ever recomputes the chain below it.
-    * Sparse key spaces that stop shrinking (distinct `key DIV b` ==
-    * distinct `key`) fall back to the bounded single-partition window
-    * rather than recursing forever.
+    * Sparse key spaces the `key DIV b` grouping no longer shrinks (e.g.
+    * random 64-bit keys) are RE-KEYED to a dense 0..rows-1 ordinal —
+    * order-preserving, fully parallel — so the recursion ALWAYS shrinks
+    * and the single-partition base case only ever sees a frame bounded
+    * by `maxWindowRows`.
     */
   private def prefixOffsets(totals: DataFrame, rows: Long, blockDocs: Long,
-      maxWindowRows: Long): DataFrame = {
+      maxWindowRows: Long, denseKeys: Boolean = false): DataFrame = {
     val withSuper = totals
       .withColumn("skey", expr(s"CAST(key DIV $blockDocs AS BIGINT)"))
     lazy val superTotals = withSuper.groupBy(col("skey").as("key"))
       .agg(sum(col("vtot")).as("vtot"))
       .localCheckpoint()
     lazy val superRows = superTotals.count()
-    if (rows <= maxWindowRows || superRows * 2 > rows) {
-      // base case: bounded frame (or a sparse key space the grouping no
-      // longer shrinks — an explicit bounded straggler beats unbounded
-      // recursion) — partition on a data-derived constant so the
-      // (intentionally) single-partition window is explicit in the plan
-      // rather than a planner warning
+    if (rows <= maxWindowRows) {
+      // base case: bounded frame — partition on a data-derived constant
+      // so the (intentionally) single-partition window is explicit in
+      // the plan rather than a planner warning
       val w = Window.partitionBy(pmod(col("key"), lit(1)))
         .orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)
       totals
         .withColumn("off", coalesce(sum(col("vtot")).over(w), lit(0L)))
         .select(col("key"), col("off"))
+    } else if (superRows * 2 > rows && !denseKeys) {
+      // (`denseKeys` guards re-entry: a 0..rows-1 ordinal frame shrinks
+      // by exactly blockDocs, but at blockDocs = 2 with odd rows,
+      // ceil(rows/2) * 2 = rows + 1 still trips this test — without the
+      // guard the re-key path would re-key its own output forever)
+      // sparse key space: `key DIV b` stops shrinking (random 64-bit
+      // keys in the extreme), so re-key to a DENSE ordinal first —
+      // range-repartition by key (Spark samples balanced, ordered,
+      // non-overlapping ranges), rank locally within each partition
+      // (parallel windows), then add per-partition count offsets (a
+      // partition-count-sized frame, trivially bounded). The ordinal
+      // preserves key order, so prefix sums over it ARE prefix sums
+      // over key order; and ordinals 0..rows-1 grouped by DIV b shrink
+      // by exactly b, so the recursion terminates without ever running
+      // a window wider than maxWindowRows.
+      val np = totals.sparkSession.sessionState.conf.numShufflePartitions
+      // checkpoint pins the range-partition assignment so pid reads
+      // identically in the rank pass and the count pass
+      val ranged = totals.repartitionByRange(np, col("key"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val localW = Window.partitionBy(col("pid")).orderBy(col("key"))
+      val withLocal = ranged
+        .withColumn("lrk", row_number().over(localW).cast("long"))
+      val pidW = Window.partitionBy(pmod(col("pid"), lit(1)))
+        .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val pidOff = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("poff", coalesce(sum(col("cnt")).over(pidW), lit(0L)))
+        .select(col("pid"), col("poff"))
+      val dense = withLocal.join(broadcast(pidOff), "pid")
+        .select((col("poff") + col("lrk") - 1).as("dkey"),
+          col("key").as("orig_key"), col("vtot"))
+        .localCheckpoint()
+      val denseOffs = prefixOffsets(
+        dense.select(col("dkey").as("key"), col("vtot")).localCheckpoint(),
+        rows, blockDocs, maxWindowRows, denseKeys = true)
+        .select(col("key").as("dkey"), col("off"))
+      dense.select(col("dkey"), col("orig_key")).join(denseOffs, "dkey")
+        .select(col("orig_key").as("key"), col("off"))
     } else {
       val intraW = Window.partitionBy(col("skey")).orderBy(col("key"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val withIntra = withSuper.withColumn("intra",
         coalesce(sum(col("vtot")).over(intraW), lit(0L)))
-      val superOffsets = prefixOffsets(superTotals, superRows, blockDocs, maxWindowRows)
-        .select(col("key").as("skey"), col("off").as("soff"))
+      // super-keys of a dense frame are dense again (dkey DIV b is
+      // contiguous), so the flag propagates
+      val superOffsets =
+        prefixOffsets(superTotals, superRows, blockDocs, maxWindowRows, denseKeys)
+          .select(col("key").as("skey"), col("off").as("soff"))
       withIntra.join(superOffsets, "skey")
         .select(col("key"), (col("soff") + col("intra")).as("off"))
     }

@@ -518,7 +518,9 @@ case class LshBandBuckets(child: Expression, bands: Int, rows: Int,
     * FINITE inputs (skipping a zero-weight term only drops `0.0 * x`,
     * an exact no-op; a NaN component in a skipped dimension would no
     * longer poison the dot, which is why non-finite vectors must be
-    * QC-gated before indexing — Pipeline.indexEmbeddings does).
+    * QC-gated before indexing — Pipeline.indexEmbeddings and
+    * Dedup.dedupEmbeddingLshFrom both enforce the gate at the call
+    * site).
     * Flat arrays with a prefix-offset index keep the walk cache-linear.
     */
   @transient private lazy val sparse: (Array[Int], Array[Int], Array[Double]) = {

@@ -179,11 +179,15 @@ object Streams {
           val cents = math.round(e.value * 100)
           open match {
             // merge iff the event lands within gap of the session INTERVAL
-            // (not a signed diff against end: a cross-batch late event far
-            // BEFORE the open session must start its own session, and one
-            // within gap of the start must extend the start downward —
-            // exactly the batch operator's consecutive-gap rule applied to
-            // the sorted union of both batches)
+            // (not a signed diff against end: an event within gap of the
+            // start extends the start downward). Fidelity bound: with ONE
+            // open session in state, only events within gap of that
+            // interval merge exactly; a cross-batch late event EARLIER
+            // than start - gap closes the open (later) session and starts
+            // an earlier one, so a subsequent event could open a session
+            // overlapping the one just emitted. In-watermark-order
+            // streams (and any single batch, which is sorted here) match
+            // the batch operator's consecutive-gap rule exactly.
             case Some(o) if e.ts >= o.startNs - gapNs && e.ts <= o.endNs + gapNs =>
               open = Some(OpenSession(math.min(o.startNs, e.ts), math.max(o.endNs, e.ts),
                 o.n + 1, o.cents + cents))

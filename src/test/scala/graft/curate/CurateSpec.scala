@@ -129,4 +129,27 @@ class CurateSpec extends SparkSpec {
         r.getAs[Long]("start"), r.getAs[Long]("shard_id")))
     assert(prod.sortBy(_._1).toSeq == expected.toSeq)
   }
+
+  test("shard_pack prefix sum survives a sparse key space (dense re-key path)") {
+    import org.apache.spark.sql.functions._
+    // doc_ids spread over a huge sparse range: `block DIV b` stops
+    // shrinking the key frame, which (pre-fix) dropped the recursion
+    // into a corpus-sized single-partition window. The re-key path must
+    // produce the identical prefix sum (order preserved by the dense
+    // ordinal), terminating at windows bounded by maxWindowRows.
+    val docs = graft.core.Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id") * lit(1000003L) + lit(7L))
+    val got = Curate.shardPackDocs(docs, blockDocs = 4L, maxWindowRows = 8L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start"), r.getAs[Long]("shard_id")))
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    var acc = 0L
+    val expected = toks.map { case (id, n) =>
+      val start = acc; acc += n; (id, n, start, start / 20000L)
+    }
+    assert(got.sortBy(_._1).toSeq == expected.toSeq)
+  }
 }
