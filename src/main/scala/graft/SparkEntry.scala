@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Analytics
-import graft.curate.Curate
+import graft.curate.{Curate, Pii}
+import graft.ops.Profile
 import graft.dedup.Dedup
 import graft.index.Indexing
 import graft.json.JsonOps
@@ -81,6 +82,12 @@ object SparkEntry {
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
     "repetition_stats"  -> (Curate.repetitionStats _),
+    "importance_weights" -> (Curate.importanceWeights _),
+    "pii_stats"         -> (Pii.piiStats _),
+    "pii_redact"        -> (Pii.piiRedact _),
+    "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
+    "profile_stats"     -> (Profile.profileStats _),
+    "length_histogram"  -> (TextOps.lengthHistogram _),
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
@@ -935,6 +942,107 @@ object SparkEntry {
         |  CAST(chunk_id * 256 AS BIGINT) AS off,
         |  CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS chunk_bytes,
         |  md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_md5
-        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "importance_weights" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |src AS (SELECT token, COUNT(*) AS src_cnt FROM tok GROUP BY 1),
+        |tgt AS (SELECT token, COUNT(*) AS tgt_cnt FROM tok WHERE doc_id % 97 = 0 GROUP BY 1),
+        |st AS (SELECT SUM(src_cnt) AS s_total FROM src),
+        |tt AS (SELECT SUM(tgt_cnt) AS t_total FROM tgt),
+        |r AS (SELECT token,
+        |        (1000000 * COALESCE(tgt_cnt, 0) * s_total) // (src_cnt * t_total) AS ratio_ppm
+        |      FROM src LEFT JOIN tgt USING (token), st, tt),
+        |s AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(ratio_ppm) AS mass
+        |      FROM tok JOIN r USING (token) GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(mass // n_tokens AS BIGINT) AS weight_ppm,
+        |  CAST(mass // n_tokens >= 1000000 AS INT) AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "pii_stats" ->
+      s"""WITH c AS (SELECT c_custkey, ${Pii.ContactCardSql} AS card FROM customer)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(card, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(card, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(card, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(card, '${Pii.EmailRe}'))
+         |       + len(regexp_extract_all(card, '${Pii.PhoneRe}'))
+         |       + len(regexp_extract_all(card, '${Pii.Ipv4Re}')) > 0 AS INT) AS has_pii
+         |FROM c ORDER BY c_custkey""".stripMargin,
+    "pii_redact" ->
+      s"""WITH c AS (SELECT c_custkey, ${Pii.ContactCardSql} AS card FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(card,
+         |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Pii.PhoneRe}', '<PHONE>', 'g'),
+         |    '${Pii.Ipv4Re}', '<IP>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(card, '${Pii.EmailRe}'))
+         |       + len(regexp_extract_all(card, '${Pii.PhoneRe}'))
+         |       + len(regexp_extract_all(card, '${Pii.Ipv4Re}')) AS BIGINT) AS n_redacted
+         |FROM c ORDER BY c_custkey""".stripMargin,
+    "para_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |paras AS (
+        |  -- DuckDB 1.0 binder rejects a nested function call inside a
+        |  -- struct_pack named argument within a lambda: pack the raw
+        |  -- slice, stringify one level up
+        |  SELECT doc_id, p.ci AS ci, array_to_string(p.pl, ' ') AS para FROM d,
+        |    unnest(list_transform(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT)),
+        |      i -> struct_pack(ci := i,
+        |        pl := list_slice(w, CAST(i * 16 + 1 AS INT), CAST(i * 16 + 16 AS INT))))) AS t(p)),
+        |dup AS (SELECT md5(para) AS ph FROM paras
+        |        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |j AS (SELECT paras.doc_id, ci, para, (dup.ph IS NOT NULL) AS isdup
+        |      FROM paras LEFT JOIN dup ON md5(paras.para) = dup.ph)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CAST(isdup AS INT)) AS BIGINT) AS n_dup_paras,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT isdup THEN para END, ' ' ORDER BY ci), '')) AS clean_fp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "profile_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |    MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders
+        |) ORDER BY column_name""".stripMargin,
+    "length_histogram" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |h AS (SELECT CAST(n_tokens // 16 AS BIGINT) AS bucket, COUNT(*) AS n_docs FROM d GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM d)
+        |SELECT CAST(bucket * 16 AS BIGINT) AS bucket_lo, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST((1000000 * n_docs) // total AS BIGINT) AS share_ppm
+        |FROM h, t ORDER BY bucket_lo""".stripMargin
   )
 }

@@ -307,4 +307,55 @@ object Curate {
         col("share_ppm"), col("target_ppm"), col("rate_ppm"))
       .orderBy("lang", "source")
   }
+
+  /** DSIR-style importance weighting: score each document by how much
+    * its unigram distribution resembles a TARGET domain relative to the
+    * source corpus — the data-selection signal behind importance
+    * resampling (select pretraining data whose n-gram statistics match
+    * the downstream/eval domain). The target is the same deterministic
+    * held-out slice `decontaminate` uses (doc_id % 97); a real pipeline
+    * substitutes its target corpus via `importanceWeightsFor`.
+    *
+    * Per token, the importance ratio is the target/source relative
+    * frequency ratio in ppm, integer-exact and log-free:
+    * `(1e6 * tgt_cnt * s_total) DIV (src_cnt * t_total)` (1e6 = the
+    * token is exactly as common in target as in source; 0 = absent from
+    * target). A document's weight is the mean ratio over its token
+    * stream (repeats included), and `flagged` marks docs at or above
+    * parity (1e6) — the ones importance resampling keeps with
+    * probability ∝ weight. The BIGINT product bounds exactness to
+    * `tgt_cnt * s_total < 9.2e12`; past that (trillion-token corpora)
+    * the same formula runs in DECIMAL(38,0) at ~2× cost.
+    *
+    * Scale shape: identical to `rarityScore` — vocab-sized count
+    * frames, a 1-row totals broadcast (SingleRowCrossToEquiJoin), one
+    * token-keyed shuffle join whose build side is the vocabulary, one
+    * per-doc partial agg. The corpus text never shuffles.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeightsFor(Tables.documents(spark, dir),
+      Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(EvalMod)) === 0))
+
+  /** `importanceWeights` with an explicit target corpus frame. */
+  def importanceWeightsFor(docs: DataFrame, target: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tokT = target.select(explode(split(col("text"), " ")).as("token"))
+    val src = tok.groupBy("token").agg(count(lit(1)).as("src_cnt"))
+    val tgt = tokT.groupBy("token").agg(count(lit(1)).as("tgt_cnt"))
+    val totals = src.agg(sum(col("src_cnt")).as("s_total"))
+      .crossJoin(broadcast(tgt.agg(sum(col("tgt_cnt")).as("t_total"))))
+    val ratios = src.join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("token"), expr(
+        """CAST((1000000 * COALESCE(tgt_cnt, 0) * s_total)
+          |  DIV (src_cnt * t_total) AS BIGINT)""".stripMargin).as("ratio_ppm"))
+    tok.join(ratios, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_ppm")).as("mass"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(mass DIV n_tokens AS BIGINT)").as("weight_ppm"),
+        expr("CAST(mass DIV n_tokens >= 1000000 AS INT)").as("flagged"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Data-profiling summary — the per-column health report an ingest
+  * pipeline publishes next to its sync stats (the reference surfaces
+  * corpus-level stats through web.rs's status endpoints; a column
+  * profile is the table-shaped generalization every warehouse attaches
+  * to a dataset): row count, null count, exact distinct count, and
+  * min/max rendered as strings per column.
+  *
+  * Scale shape: one aggregation per column, UNION'd — each scans ONE
+  * column of the columnar file (ReadSchema prunes to it), so the whole
+  * profile costs k pruned scans, not one k-wide expand (Spark plans
+  * multi-distinct aggregates by replicating every row per distinct
+  * column — k× the corpus through the shuffle; the union shape keeps
+  * each pass narrow and independently parallel). Exact distinct is a
+  * partial-agg shuffle of the column's values; past ~1e9 distincts per
+  * column `approx_count_distinct` is the documented fallback (same
+  * contract as `percentile_stats`).
+  */
+object Profile {
+
+  /** One column's profile row: typed min/max are rendered through
+    * `render` so both engines print identical strings (doubles go
+    * through DECIMAL(18,2), timestamps through a fixed format —
+    * raw casts of either would drift between engines).
+    */
+  private def profileOne(t: DataFrame, cname: String,
+      render: Column => Column): DataFrame =
+    t.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(cname).isNull, 1L).otherwise(0L)).as("n_null"),
+      count_distinct(col(cname)).as("n_distinct"),
+      render(min(col(cname))).as("min_s"),
+      render(max(col(cname))).as("max_s"))
+      .select(lit(cname).as("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+
+  private def str(c: Column): Column = c.cast("string")
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)").cast("string")
+  private def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Query entry: full column profile of the orders table. */
+  def profileStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Seq(
+      profileOne(o, "o_orderkey", str),
+      profileOne(o, "o_custkey", str),
+      profileOne(o, "o_orderstatus", str),
+      profileOne(o, "o_totalprice", dec2),
+      profileOne(o, "o_orderdate", tsFmt),
+      profileOne(o, "o_orderpriority", str))
+      .reduce(_.unionAll(_))
+      .orderBy("column_name") // bounded output: one row per column
+  }
+}

@@ -258,4 +258,29 @@ object TextOps {
     }
     out.toSeq.toDF("merge_rank", "merge_left", "merge_right", "pair_count")
   }
+
+  /** Bucket width (tokens) for `lengthHistogram`. */
+  private val LenBucket = 16L
+
+  /** Corpus length-distribution histogram: documents per token-count
+    * bucket with corpus share in ppm — the report every curation run
+    * publishes (length filters, truncation budgets, and packing
+    * efficiency all read off this distribution). One scan-bound
+    * projection + one partial-agg shuffle of bucket ids; the totals row
+    * broadcasts through SingleRowCrossToEquiJoin. Output is bounded by
+    * max-doc-length/bucket — a dimension rollup, so the terminal sort
+    * is constant cost.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("n_tokens"))
+    val h = d.groupBy(expr(s"CAST(n_tokens DIV $LenBucket AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = d.agg(count(lit(1)).as("total"))
+    h.crossJoin(broadcast(tot))
+      .select((col("bucket") * LenBucket).as("bucket_lo"), col("n_docs"),
+        expr("CAST((1000000 * n_docs) DIV total AS BIGINT)").as("share_ppm"))
+      .orderBy("bucket_lo")
+  }
 }

@@ -152,4 +152,30 @@ class CurateSpec extends SparkSpec {
     }
     assert(got.sortBy(_._1).toSeq == expected.toSeq)
   }
+
+  test("importance weights hit exact parity when target equals source") {
+    // tgt_cnt = src_cnt and t_total = s_total make every token ratio
+    // exactly 1e6, so every document's mean is exactly 1e6 and flagged —
+    // a crisp integer-arithmetic invariant of the DSIR formula
+    val docs = graft.core.Tables.documents(spark, sf)
+    val rows = Curate.importanceWeightsFor(docs, docs).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Long]("weight_ppm") == 1000000L &&
+      r.getAs[Int]("flagged") == 1))
+  }
+
+  test("importance weights rank target-like docs above disjoint-vocab docs") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val w = Curate.importanceWeightsFor(docs, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_ppm")).toMap
+    // doc 1 is pure target vocabulary, doc 2 shares none, doc 3 is half
+    assert(w(1L) > w(3L) && w(3L) > w(2L) && w(2L) == 0L)
+  }
 }

@@ -235,4 +235,34 @@ class DedupSpec extends SparkSpec {
     // the self-loop-only node vanishes (no real edge), as before
     assert(!labels.contains(20L))
   }
+
+  test("paraDedup drops cross-doc repeated paragraphs, keeps within-doc repeats") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // 4-word paragraphs. Docs 1 and 2 share "shared boiler plate text";
+    // doc 3 repeats its own paragraph twice but shares nothing across
+    // docs; doc 4 is all-unique.
+    val docs = Seq(
+      (1L, "shared boiler plate text unique one content here"),
+      (2L, "other lead in words shared boiler plate text"),
+      (3L, "self repeat chunk here self repeat chunk here"),
+      (4L, "completely unique words that nobody else wrote")
+    ).toDF("doc_id", "text")
+    val got = Dedup.paraDedupDocs(docs, paraWords = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_dup_paras"),
+          r.getAs[String]("clean_fp")))).toMap
+    // docs 1-2: the shared paragraph drops, the rest survives in order
+    assert(got(1L) == ((2L, 1L, md5hex("unique one content here"))))
+    assert(got(2L) == ((2L, 1L, md5hex("other lead in words"))))
+    // doc 3: repeated WITHIN one doc only — ≥2 distinct docs is the
+    // boilerplate rule, so nothing drops
+    assert(got(3L) == ((2L, 0L,
+      md5hex("self repeat chunk here self repeat chunk here"))))
+    assert(got(4L) == ((2L, 0L,
+      md5hex("completely unique words that nobody else wrote"))))
+  }
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+
+  test("profile_stats matches driver-computed column facts") {
+    val o = graft.core.Tables.orders(spark, sf)
+    val n = o.count()
+    val rows = Profile.profileStats(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s") ||
+        // numeric strings compare numerically in the engine, not lexically
+        r.getAs[String]("column_name") != "o_orderstatus")
+    }
+    val distinctKeys = o.select(count_distinct(col("o_orderkey"))).collect().head.getLong(0)
+    assert(rows("o_orderkey").getAs[Long]("n_distinct") == distinctKeys)
+    val minKey = o.agg(min(col("o_orderkey"))).collect().head.getLong(0)
+    assert(rows("o_orderkey").getAs[String]("min_s") == minKey.toString)
+    val minPrice = o.agg(min(col("o_totalprice"))).collect().head.getDouble(0)
+    assert(rows("o_totalprice").getAs[String]("min_s") ==
+      new java.math.BigDecimal(minPrice).setScale(2, java.math.RoundingMode.HALF_UP).toPlainString)
+  }
+
+  test("profile scans stay column-pruned (one column per union leg)") {
+    val plan = Profile.profileStats(spark, sf).queryExecution.executedPlan.toString
+    // every parquet scan in the union must read a single column
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(s => s.count(_ == ':') == 1), s"multi-column scan: $reads")
+  }
+}

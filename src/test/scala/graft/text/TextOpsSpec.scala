@@ -70,4 +70,26 @@ class TextOpsSpec extends SparkSpec {
     // every learned merge was actually observed in the corpus
     assert(got.forall(_._4 > 0))
   }
+
+  test("length_histogram partitions the corpus exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val total = docs.count()
+    val rows = TextOps.lengthHistogram(spark, sf).collect()
+    // buckets are disjoint 16-wide ranges covering every doc exactly once
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val los = rows.map(_.getAs[Long]("bucket_lo"))
+    assert(los.distinct.length == los.length)
+    assert(los.forall(_ % 16 == 0))
+    // shares are floor-ppm: sum within (total - buckets, total] millionths
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    // spot-check one bucket against a direct count
+    val lo = los.head
+    val direct = docs
+      .filter(size(split(col("text"), " ")) >= lo &&
+        size(split(col("text"), " ")) < lo + 16).count()
+    assert(rows.find(_.getAs[Long]("bucket_lo") == lo)
+      .get.getAs[Long]("n_docs") == direct)
+  }
 }
