@@ -132,17 +132,15 @@ object Bench {
       (name, dt, err, db, quiesced)
     }
     // a failed query must surface as an error, never as a ~0s "win".
-    // Seconds are rounded to 3 decimals: the harness that collects this
+    // Seconds are rounded to 2 decimals: the harness that collects this
     // output keeps only the LAST ~2000 characters of the log, so the
     // final JSON line must stay comfortably inside that window —
     // full-precision doubles plus the shuffle-bytes map overflowed it
-    // once and the run was recorded as unparseable.
-    // 2 decimals: single-box timings swing 3-5× run-to-run, so the third
-    // decimal is pure noise — and every character counts against the
-    // tail window as the query inventory grows
-    def s3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // once and the run was recorded as unparseable. (Single-box timings
+    // swing 3-5× run-to-run anyway, so the dropped decimals were noise.)
+    def s2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map {
-      case (k, v, None, _, _)    => "\"" + k + "\":" + s3(v)
+      case (k, v, None, _, _)    => "\"" + k + "\":" + s2(v)
       case (k, _, Some(e), _, _) => "\"" + k + "\":\"ERROR:" + e + "\""
     }.mkString("{", ",", "}")
     val sb = results.map { case (k, _, _, b, _) => "\"" + k + "\":" + b }
@@ -164,7 +162,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_shuffle_last.json")
       try w.println(shuffleLine) finally w.close()
     } catch { case _: Throwable => () } // best-effort: cwd may be read-only
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -182,8 +182,11 @@ object Curate {
         .select((col("poff") + col("lrk") - 1).as("dkey"),
           col("key").as("orig_key"), col("vtot"))
         .localCheckpoint()
+      // `dense` is checkpointed above; the narrow projection recomputes
+      // from that materialized copy for free, so it satisfies the
+      // arrive-checkpointed contract without pinning a second full copy
       val denseOffs = prefixOffsets(
-        dense.select(col("dkey").as("key"), col("vtot")).localCheckpoint(),
+        dense.select(col("dkey").as("key"), col("vtot")),
         rows, blockDocs, maxWindowRows, denseKeys = true)
         .select(col("key").as("dkey"), col("off"))
       dense.select(col("dkey"), col("orig_key")).join(denseOffs, "dkey")

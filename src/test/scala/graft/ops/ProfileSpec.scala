@@ -13,12 +13,14 @@ class ProfileSpec extends SparkSpec {
       .map(r => r.getAs[String]("column_name") -> r).toMap
     assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority"))
+    // lexical min<=max only holds for genuinely string-typed columns
+    // (numeric/date strings compare numerically in the engine)
+    val lexicalCols = Set("o_orderstatus", "o_orderpriority", "o_orderdate")
     rows.values.foreach { r =>
       assert(r.getAs[Long]("n_rows") == n)
       assert(r.getAs[Long]("n_null") == 0L)
-      assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s") ||
-        // numeric strings compare numerically in the engine, not lexically
-        r.getAs[String]("column_name") != "o_orderstatus")
+      if (lexicalCols(r.getAs[String]("column_name")))
+        assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s"))
     }
     val distinctKeys = o.select(count_distinct(col("o_orderkey"))).collect().head.getLong(0)
     assert(rows("o_orderkey").getAs[Long]("n_distinct") == distinctKeys)
