@@ -83,6 +83,8 @@ object SparkEntry {
     "domain_mix"        -> (Curate.domainMix _),
     "repetition_stats"  -> (Curate.repetitionStats _),
     "importance_weights" -> (Curate.importanceWeights _),
+    "importance_sample" -> (Curate.importanceSample _),
+    "seq_pack"          -> (Curate.seqPack _),
     "pii_stats"         -> (Pii.piiStats _),
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
@@ -958,6 +960,35 @@ object SparkEntry {
         |  CAST(mass // n_tokens AS BIGINT) AS weight_ppm,
         |  CAST(mass // n_tokens >= 1000000 AS INT) AS flagged
         |FROM s ORDER BY doc_id""".stripMargin,
+    "importance_sample" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |src AS (SELECT token, COUNT(*) AS src_cnt FROM tok GROUP BY 1),
+        |tgt AS (SELECT token, COUNT(*) AS tgt_cnt FROM tok WHERE doc_id % 97 = 0 GROUP BY 1),
+        |st AS (SELECT SUM(src_cnt) AS s_total FROM src),
+        |tt AS (SELECT SUM(tgt_cnt) AS t_total FROM tgt),
+        |r AS (SELECT token,
+        |        (1000000 * COALESCE(tgt_cnt, 0) * s_total) // (src_cnt * t_total) AS ratio_ppm
+        |      FROM src LEFT JOIN tgt USING (token), st, tt),
+        |s AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(ratio_ppm) AS mass
+        |      FROM tok JOIN r USING (token) GROUP BY 1),
+        |w AS (SELECT doc_id, CAST(mass // n_tokens AS BIGINT) AS weight_ppm,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS skey
+        |      FROM s)
+        |SELECT doc_id, weight_ppm, CAST(skey AS BIGINT) AS skey,
+        |  CAST(skey < least(weight_ppm, 1000000) AS INT) AS kept
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |      FROM d)
+        |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+        |  CAST(start // 2048 AS BIGINT) AS first_seq,
+        |  CAST((start + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+        |  CAST((start + n_tokens - 1) // 2048 - start // 2048 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pii_stats" ->
       s"""WITH c AS (SELECT c_custkey, ${Pii.ContactCardSql} AS card FROM customer)
          |SELECT c_custkey,

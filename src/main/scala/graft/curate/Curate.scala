@@ -339,6 +339,61 @@ object Curate {
     importanceWeightsFor(Tables.documents(spark, dir),
       Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(EvalMod)) === 0))
 
+  /** Tokens per packed training sequence for `seqPack` (a GPT-style
+    * context length).
+    */
+  private val SeqTokens = 2048L
+
+  /** GPT-style sequence-packing manifest: conceptually concatenate the
+    * corpus token stream in doc_id order and cut it every `seqTokens`
+    * tokens; emit, per document, the global token offset and the span of
+    * training sequences it lands in. Unlike `shardPack` (whole-doc
+    * assignment to output files), documents here SPAN cut boundaries —
+    * first_seq/last_seq/n_seqs is exactly what a training-batch loader
+    * needs to locate every document's tokens, and `n_seqs > 1` rows
+    * quantify cross-boundary fragmentation. Same distributed recursive
+    * prefix sum as `shardPack` (no corpus-sized window anywhere); the
+    * derived columns are one codegen'd projection.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackDocs(Tables.documents(spark, dir))
+
+  /** `seqPack` over an arbitrary documents frame. */
+  def seqPackDocs(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame = {
+    require(seqTokens >= 1, s"seqPackDocs needs seqTokens >= 1, got $seqTokens")
+    // shardPackDocs carries the global running-total machinery; its
+    // start column is budget-independent (shard_id is just dropped here)
+    shardPackDocs(docs)
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        expr(s"CAST(start DIV $seqTokens AS BIGINT)").as("first_seq"),
+        expr(s"CAST((start + n_tokens - 1) DIV $seqTokens AS BIGINT)").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+  }
+
+  /** DSIR importance RESAMPLING — the selection step `importanceWeights`
+    * scores for: keep each document with probability proportional to its
+    * weight (capped at 1), decided DETERMINISTICALLY by comparing the
+    * md5-derived per-doc uniform hash (the same reproducible-sampling
+    * recipe `sampleStratified` uses) against the weight — so the sample
+    * is identical across engines, runs, and partitionings, and a
+    * pipeline can re-derive membership without storing it. Scan-bound
+    * projection over the weights frame; no extra shuffle.
+    */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame =
+    importanceSampleOf(importanceWeights(spark, dir))
+
+  /** `importanceSample` over a precomputed `(doc_id, weight_ppm, ...)`
+    * weights frame.
+    */
+  def importanceSampleOf(weights: DataFrame): DataFrame =
+    weights
+      .withColumn("skey",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)))
+      .withColumn("kept",
+        (col("skey") < least(col("weight_ppm"), lit(1000000L))).cast("int"))
+      .select(col("doc_id"), col("weight_ppm"), col("skey"), col("kept"))
+
   /** `importanceWeights` with an explicit target corpus frame. */
   def importanceWeightsFor(docs: DataFrame, target: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)

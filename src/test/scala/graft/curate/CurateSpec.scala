@@ -164,6 +164,50 @@ class CurateSpec extends SparkSpec {
       r.getAs[Int]("flagged") == 1))
   }
 
+  test("seq_pack spans are consistent with a driver prefix sum") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val expected = toks.map { case (id, n) =>
+      val start = acc; acc += n
+      (id, n, start, start / 2048L, (start + n - 1) / 2048L,
+        (start + n - 1) / 2048L - start / 2048L + 1L)
+    }
+    val got = Curate.seqPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start"), r.getAs[Long]("first_seq"),
+        r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs")))
+      .sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // packing covers the stream: consecutive docs abut exactly
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + a._2 == b._3)
+    }
+  }
+
+  test("importance sample keeps parity-weight docs iff hash < weight") {
+    // with target == source every weight is exactly 1e6, so every doc
+    // must be kept (skey < 1e6 always) — and the skey column must match
+    // the stratified-sampling md5 recipe bit-for-bit
+    val docs = graft.core.Tables.documents(spark, sf)
+    val rows = Curate.importanceSampleOf(
+      Curate.importanceWeightsFor(docs, docs)).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Int]("kept") == 1))
+    assert(rows.forall(r => r.getAs[Long]("skey") >= 0 &&
+      r.getAs[Long]("skey") < 1000000L))
+    // zero-weight docs are never kept
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val zero = Curate.importanceSampleOf(
+      Seq((1L, 0L), (2L, 500000L)).toDF("doc_id", "weight_ppm")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("kept")).toMap
+    assert(zero(1L) == 0)
+  }
+
   test("importance weights rank target-like docs above disjoint-vocab docs") {
     val sql = spark.sqlContext
     import sql.implicits._
