@@ -101,6 +101,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-6 ops keep their scale shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // paragraph dedup: the corpus text never shuffles — every exchange
+    // carries only narrow rows (ids, chunk indices, hashes, drop lists).
+    // AQE's wrapper hides the physical children from collect(), so the
+    // structural walk runs with AQE off (the exchange set is identical;
+    // AQE only re-plans within it)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val shuffled = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("para_dedup")(spark, sf)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(shuffled.nonEmpty)
+    shuffled.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "para" || c == "w"),
+        s"para_dedup shuffles corpus text: $cols")
+    }
+    // PII ops are scan-bound projections: zero exchanges, zero joins
+    Seq("pii_stats", "pii_redact").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name grew a shuffle")
+      assert(!plan.contains("Join"), s"$name grew a join")
+    }
+    // importance weighting joins build on the vocabulary side and
+    // broadcasts the 1-row totals (rule rewrite), never nested-loop
+    val iw = SparkEntry.queries("importance_weights")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(iw.contains("BroadcastHashJoin"),
+      "importance_weights lost its totals broadcast")
+    // seq_pack: no single-partition window over the corpus — windows
+    // partition on block keys (plus the bounded base-case frame)
+    val sp = SparkEntry.queries("seq_pack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("Window"), "seq_pack lost its windowed prefix sum")
+  }
+
   test("scan-bound text queries prune the documents scan to used columns") {
     val plan = SparkEntry.queries("text_stats")(spark, sf)
       .queryExecution.executedPlan.toString
