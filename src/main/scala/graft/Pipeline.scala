@@ -66,6 +66,40 @@ object Pipeline {
       Tables.documents(spark, dir).select("doc_id", "text").join(keep, "doc_id"))
   }
 
+  /** The per-document curation DECISION TABLE: every gate's verdict side
+    * by side plus the final keep — exactly the AND `curateCorpus`
+    * computes, but surfaced per doc so a pipeline operator can audit WHY
+    * a document dropped (the report every production curation run
+    * publishes next to its survivor manifest). Domain matches
+    * `curateCorpus`'s join semantics: non-eval docs that every gate can
+    * assess (all docs on this corpus).
+    *
+    * Scale shape: each gate keeps its own operator's plan (SURVEY §5);
+    * the composition joins six narrow per-doc flag frames on doc_id —
+    * text is scanned by the gates, never shuffled between them.
+    */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.text.TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val rep = graft.curate.Curate.repetitionStats(spark, dir)
+      .select(col("doc_id"), col("flagged").as("rep_flagged"))
+    val rare = graft.text.Relevance.rarityScore(spark, dir)
+      .select(col("doc_id"), col("flagged").as("rare_flagged"))
+    val lm = graft.text.Relevance.lmScore(spark, dir)
+      .select(col("doc_id"), col("flagged").as("lm_flagged"))
+    val cl = graft.dedup.Dedup.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    val dc = graft.curate.Curate.decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    q.join(rep, "doc_id").join(rare, "doc_id").join(lm, "doc_id")
+      .join(cl, "doc_id").join(dc, "doc_id")
+      .withColumn("keep",
+        (col("q_keep") === 1 && col("rep_flagged") === 0 &&
+          col("rare_flagged") === 0 && col("lm_flagged") === 0 &&
+          col("dedup_keep") === 1 && col("contaminated") === 0).cast("int"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
+
   /** Embedding index pipeline: QC gate → LSH ANN over the surviving
     * vectors. Bad vectors (non-finite, zero, wrong dimension) never
     * enter the index or the candidate space — the validation step a

@@ -85,6 +85,7 @@ object SparkEntry {
     "importance_weights" -> (Curate.importanceWeights _),
     "importance_sample" -> (Curate.importanceSample _),
     "seq_pack"          -> (Curate.seqPack _),
+    "curation_report"   -> (Pipeline.curationReport _),
     "pii_stats"         -> (Pii.piiStats _),
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
@@ -989,6 +990,101 @@ object SparkEntry {
         |  CAST((start + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
         |  CAST((start + n_tokens - 1) // 2048 - start // 2048 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    // every gate's oracle unchanged, prefixed and joined — the composed
+    // decision table is the AND of the individual hash-checked gates
+    "curation_report" ->
+      """WITH RECURSIVE
+        |qs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t <> '' AND translate(t,
+        |          'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') = '')) AS n_alpha
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id, n_tokens,
+        |    (1000000 * n_stop) // n_tokens AS stop_ppm,
+        |    (1000000 * n_distinct) // n_tokens AS ttr_ppm,
+        |    (1000000 * n_alpha) // n_tokens AS alpha_ppm
+        |  FROM qs),
+        |qg AS (
+        |  SELECT doc_id, CAST(
+        |    100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 40 END)
+        |        - (CASE WHEN stop_ppm BETWEEN 20000 AND 600000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN ttr_ppm >= 200000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN alpha_ppm >= 600000 THEN 0 ELSE 20 END) >= 60 AS INT) AS q_keep
+        |  FROM qm),
+        |rpd AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |rpg AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(l)),
+        |            i -> l[i] || ' ' || l[i+1])) AS gram
+        |        FROM rpd),
+        |rpc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM rpg GROUP BY 1, 2),
+        |rp AS (SELECT doc_id, CAST((1000000 *
+        |           SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)) // SUM(cnt)
+        |           >= 200000 AS INT) AS rep_flagged
+        |       FROM rpc GROUP BY 1),
+        |rtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |rtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM rtok GROUP BY 1, 2),
+        |rdf AS (SELECT token, COUNT(*) AS df FROM rtf GROUP BY 1),
+        |rn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ridf AS (SELECT token, (1000000 * n_docs) // df AS idf_ppm FROM rdf, rn),
+        |rr AS (SELECT doc_id, CAST(SUM(tf * idf_ppm) // SUM(tf) >= 2000000 AS INT)
+        |         AS rare_flagged
+        |       FROM rtf JOIN ridf USING (token) GROUP BY 1),
+        |ld AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 2),
+        |lbig AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM ld,
+        |  unnest(list_transform(range(1, len(l)),
+        |    i -> struct_pack(w1 := l[CAST(i AS INT)], w2 := l[CAST(i AS INT) + 1]))) AS t(p)),
+        |lbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM lbig GROUP BY 1, 2),
+        |lctx AS (SELECT w1, COUNT(*) AS c1 FROM lbig GROUP BY 1),
+        |lsc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          SUM((1000000 * c12) // c1) AS mass
+        |        FROM lbig JOIN lbc USING (w1, w2) JOIN lctx USING (w1)
+        |        GROUP BY 1),
+        |lmf AS (SELECT docs.doc_id AS doc_id,
+        |          CAST(COALESCE(lsc.mass // lsc.n_bigrams < 32000, FALSE) AS INT) AS lm_flagged
+        |        FROM documents docs LEFT JOIN lsc ON docs.doc_id = lsc.doc_id),
+        |cd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |cpairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM cd a JOIN cd b ON a.doc_id <> b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |creach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM cd
+        |  UNION
+        |  SELECT p.y, creach.lbl FROM creach JOIN cpairs p ON p.x = creach.node
+        |  WHERE creach.lbl < p.y),
+        |cl AS (SELECT node AS doc_id, CAST(node = MIN(lbl) AS INT) AS dedup_keep
+        |       FROM creach GROUP BY node),
+        |dd AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |dg AS (SELECT doc_id, list_distinct(CASE WHEN len(l) >= 8
+        |        THEN list_transform(range(1, len(l) - 6), i ->
+        |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |          l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])
+        |        ELSE []::VARCHAR[] END) AS grams
+        |      FROM dd),
+        |dev AS (SELECT DISTINCT unnest(grams) AS gram FROM dg WHERE doc_id % 97 = 0),
+        |dtr AS (SELECT doc_id, grams FROM dg WHERE doc_id % 97 <> 0),
+        |dsh AS (SELECT doc_id, COUNT(*) AS n_shared
+        |        FROM (SELECT doc_id, unnest(grams) AS gram FROM dtr) x
+        |        JOIN dev USING (gram) GROUP BY doc_id),
+        |dc AS (SELECT dtr.doc_id AS doc_id,
+        |         CAST(COALESCE(dsh.n_shared, 0) > 0 AS INT) AS contaminated
+        |       FROM dtr LEFT JOIN dsh ON dtr.doc_id = dsh.doc_id)
+        |SELECT doc_id, q_keep, rep_flagged, rare_flagged, lm_flagged, dedup_keep,
+        |  contaminated,
+        |  CAST(q_keep = 1 AND rep_flagged = 0 AND rare_flagged = 0 AND
+        |       lm_flagged = 0 AND dedup_keep = 1 AND contaminated = 0 AS INT) AS keep
+        |FROM qg JOIN rp USING (doc_id) JOIN rr USING (doc_id)
+        |  JOIN lmf USING (doc_id) JOIN cl USING (doc_id) JOIN dc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "pii_stats" ->
       s"""WITH c AS (SELECT c_custkey, ${Pii.ContactCardSql} AS card FROM customer)
          |SELECT c_custkey,

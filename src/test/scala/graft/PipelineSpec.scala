@@ -71,4 +71,20 @@ class PipelineSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("n_id") < 900000L))
   }
+
+  test("curationReport's keep set equals curateCorpus's survivor manifest") {
+    val reported = Pipeline.curationReport(spark, sf).collect()
+    val kept = reported.filter(_.getAs[Int]("keep") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val manifest = Pipeline.curateCorpus(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == manifest)
+    // keep is exactly the AND of the per-gate columns
+    reported.foreach { r =>
+      val expect = r.getAs[Int]("q_keep") == 1 && r.getAs[Int]("rep_flagged") == 0 &&
+        r.getAs[Int]("rare_flagged") == 0 && r.getAs[Int]("lm_flagged") == 0 &&
+        r.getAs[Int]("dedup_keep") == 1 && r.getAs[Int]("contaminated") == 0
+      assert(r.getAs[Int]("keep") == (if (expect) 1 else 0))
+    }
+  }
 }
