@@ -96,7 +96,8 @@ object SparkEntry {
     "ann_ivf"     -> (Similarity.annIvf _),
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
-    "mm_chunk"        -> (Multimodal.mmChunk _)
+    "mm_chunk"        -> (Multimodal.mmChunk _),
+    "mm_frame_sample" -> (Multimodal.mmFrameSample _)
   )
 
   /** The BPE-learning oracle unrolls the Spark operator's rounds in SQL
@@ -945,6 +946,17 @@ object SparkEntry {
         |  CAST(chunk_id * 256 AS BIGINT) AS off,
         |  CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS chunk_bytes,
         |  md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents),
+        |ch AS (SELECT doc_id, text, n_bytes,
+        |         unnest(range(0, CAST((n_bytes + 255) // 256 AS BIGINT), 5)) AS chunk_id
+        |       FROM d)
+        |SELECT doc_id, CAST(chunk_id // 5 AS BIGINT) AS frame_seq,
+        |  CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 256 AS BIGINT) AS off,
+        |  CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS frame_bytes,
+        |  md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS frame_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "importance_weights" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -70,6 +70,41 @@ object Multimodal {
           .as("chunk_md5"))
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
+
+  /** Every k-th chunk is a sampled "frame" for `mmFrameSample`. */
+  private val FrameStride = 5
+
+  /** Deterministic frame sampling over the chunked payload stream —
+    * the "process every k-th frame" step a video/audio pipeline runs
+    * before expensive per-frame decode (uniform temporal subsampling;
+    * the real decoder then sees stride-spaced work units). Built on the
+    * same shuffle-free generate as `mmChunk`: the stride filter is
+    * applied to the generated chunk index BEFORE the payload slice is
+    * computed, so skipped frames cost nothing — no digesting, no slice
+    * materialization. Emits per sampled frame its index within the
+    * sample (`frame_seq`) so a downstream batch decoder can reassemble
+    * temporal order without a sort.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        posexplode(expr(
+          s"""sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1,
+             |  $FrameStride)""".stripMargin))
+          .as(Seq("frame_seq", "chunk_id")))
+      .select(
+        col("doc_id"),
+        col("frame_seq").cast("long").as("frame_seq"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkBytes).cast("long").as("off"),
+        least(lit(ChunkBytes.toLong), col("n_bytes") - col("chunk_id") * ChunkBytes)
+          .as("frame_bytes"),
+        md5(expr(s"substring(text, chunk_id * $ChunkBytes + 1, $ChunkBytes)"))
+          .as("frame_md5"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
 }
 
 /** Typed record for a decoded media asset. */

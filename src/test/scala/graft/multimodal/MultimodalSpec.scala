@@ -54,4 +54,28 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("chunk_md5") == mdHex)
     }
   }
+
+  test("mm_frame_sample is exactly every 5th chunk with sequential frame ids") {
+    val chunks = Multimodal.mmChunk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("chunk_bytes"), r.getAs[String]("chunk_md5"))).toMap
+    val frames = Multimodal.mmFrameSample(spark, sf).collect()
+    frames.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      // sampled ids stride by 5 from 0; frame_seq renumbers them densely
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        sorted.indices.map(_ * 5L))
+      assert(sorted.map(_.getAs[Long]("frame_seq")).toSeq ==
+        sorted.indices.map(_.toLong))
+      // each sampled frame is bit-identical to the corresponding chunk
+      sorted.foreach { f =>
+        val (bytes, md5hex) = chunks((id, f.getAs[Long]("chunk_id")))
+        assert(f.getAs[Long]("frame_bytes") == bytes)
+        assert(f.getAs[String]("frame_md5") == md5hex)
+      }
+    }
+    // every doc with any chunks contributes at least frame 0
+    assert(frames.map(_.getAs[Long]("doc_id")).distinct.length ==
+      chunks.keys.map(_._1).toSeq.distinct.length)
+  }
 }
