@@ -29,6 +29,9 @@ object SparkEntry {
     "asof_join"     -> (Analytics.asofJoin _),
     "sessionize"    -> (Analytics.sessionize _),
     "window_hourly" -> (Analytics.windowHourly _),
+    "window_sliding" -> (Analytics.windowSliding _),
+    "funnel_steps"   -> (Analytics.funnelSteps _),
+    "cohort_retention" -> (Analytics.cohortRetention _),
     "percentile_stats" -> (Analytics.percentileStats _),
     "min_cost_supplier" -> (Analytics.minCostSupplier _),
     "sync_diff"      -> (Sync.syncDiff _),
@@ -213,6 +216,40 @@ object SparkEntry {
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_sliding" ->
+      """WITH x AS (
+        |  SELECT ((epoch_ns(ts) // 900000000000) - k) * 900000000000 AS win_ns,
+        |    user_id, value
+        |  FROM events, unnest(range(0, 4)) AS t(k))
+        |SELECT win_ns, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "funnel_steps" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(epoch_ns(ts)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND epoch_ns(ts) > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_ns(ts)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND epoch_ns(ts) > t_click GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n1 FROM v),
+        |u AS (SELECT 1 AS step, 'view' AS step_name,
+        |        (SELECT COUNT(*) FROM v) AS n_users
+        |      UNION ALL SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+        |      UNION ALL SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p))
+        |SELECT CAST(step AS BIGINT) AS step, step_name,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST((1000000 * n_users) // n1 AS BIGINT) AS conv_ppm
+        |FROM u, n ORDER BY step""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, cohort_week, week - cohort_week AS week_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "percentile_stats" ->
       """SELECT event_type, COUNT(*) AS n,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

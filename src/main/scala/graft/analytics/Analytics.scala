@@ -236,6 +236,82 @@ object Analytics {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
+  /** Sliding-window event rollup (1 h window, 15 min slide): each event
+    * belongs to exactly 4 overlapping windows, generated MAP-SIDE as 4
+    * narrow (win_ns, user, value) rows — never a window self-join or a
+    * range join. One partial-agg shuffle keyed by window start; output
+    * rows are bounded by wall-clock-range/slide, not by corpus size, so
+    * the terminal sort is a dimension-rollup sort. The batch twin of a
+    * `window(ts, "1 hour", "15 minutes")` streaming aggregation, kept in
+    * integer ns arithmetic (epoch-ns exceeds double's exact range — a
+    * float divide would corrupt bucket boundaries; see windowHourly).
+    */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("value"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .select(expr("((ts div 900000000000) - k) * 900000000000").as("win_ns"),
+        col("user_id"), col("value"))
+      .groupBy("win_ns")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("win_ns")
+  }
+
+  /** Ordered-funnel conversion: view → click-after-view →
+    * purchase-after-click, each step the user's EARLIEST qualifying
+    * event strictly after the previous step (the standard product
+    * funnel). Three per-user partial-agg passes chained by user-keyed
+    * joins — each join's build side is the (shrinking) survivor frame,
+    * and nothing ever compares event pairs row-by-row. One row per step
+    * with the user count and the conversion rate vs step 1 (ppm,
+    * integer-exact via the broadcast 1-row base).
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val base = v.agg(count(lit(1)).as("n1"))
+    def step(n: Long, name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("step"), lit(name).as("step_name"), col("n_users"))
+    step(1L, "view", v)
+      .unionAll(step(2L, "view>click", c))
+      .unionAll(step(3L, "view>click>purchase", p))
+      .crossJoin(broadcast(base))
+      .select(col("step"), col("step_name"), col("n_users"),
+        expr("CAST((1000000 * n_users) DIV n1 AS BIGINT)").as("conv_ppm"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort-retention matrix: users grouped by first-active week,
+    * counted per week offset — the activation dashboard every
+    * events-bearing product ships. Two user-keyed partial-agg passes
+    * (first-seen week, then distinct (user, cohort, offset)) and one
+    * rollup; output is bounded by weeks², never by corpus size.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+    val first = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    e.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   def percentileStats(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy("event_type")

@@ -93,4 +93,52 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("p99") == p99)
     }
   }
+
+  test("window_sliding places every event in exactly 4 overlapping windows") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val rows = Analytics.windowSliding(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 4 * nEvents)
+    // window starts stride the 15-minute grid
+    assert(rows.forall(_.getAs[Long]("win_ns") % 900000000000L == 0))
+    // each hourly window's count equals a direct range count (spot check)
+    val w = rows(rows.length / 2)
+    val lo = w.getAs[Long]("win_ns")
+    import org.apache.spark.sql.functions._
+    val direct = ev.filter(col("ts") >= lo && col("ts") < lo + 3600000000000L).count()
+    assert(w.getAs[Long]("n_events") == direct)
+  }
+
+  test("funnel_steps shrinks monotonically and chains strictly-after times") {
+    val rows = Analytics.funnelSteps(spark, sf).collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("view", "view>click", "view>click>purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+    assert(rows.head.getAs[Long]("conv_ppm") == 1000000L)
+    // driver recompute of step 2 from raw events
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tView = ev.filter(_._2 == "view").groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._3).min }
+    val n2 = tView.count { case (u, tv) =>
+      ev.exists(e => e._1 == u && e._2 == "click" && e._3 > tv) }
+    assert(ns(1) == n2.toLong)
+  }
+
+  test("cohort_retention's offset-0 diagonal covers every user exactly once") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val nUsers = ev.select("user_id").distinct().count()
+    val rows = Analytics.cohortRetention(spark, sf).collect()
+    val diag = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    // every user is active in their own cohort week by definition
+    assert(diag.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // retention never exceeds the cohort size
+    val size = diag.map(r => r.getAs[Long]("cohort_week") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= size(r.getAs[Long]("cohort_week")))
+      assert(r.getAs[Long]("week_offset") >= 0L)
+    }
+  }
 }
