@@ -255,4 +255,26 @@ object Streams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("approx_users"), col("total_value")
       )
+
+  /** Watermarked SLIDING-window aggregation (1 h window, 15 min slide) —
+    * the streaming twin of `Analytics.windowSliding`. Spark's `window()`
+    * with a slide materializes each event's 4 memberships exactly like
+    * the batch operator's map-side generate; the watermark bounds state
+    * to the open windows (4 per key at any instant) and late data merges
+    * until window end + delay passes the watermark. Same declarative
+    * plan shape in both modes, so the spec pins the streaming output to
+    * the batch twin row-for-row.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .select(
+        col("window.start").as("win_start"),
+        col("n_events"), col("total_value")
+      )
 }

@@ -65,6 +65,33 @@ class StreamsSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("streaming slidingCounts matches the batch sliding-window rollup") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val got = rows(runStream(ev => Streams.slidingCounts(ev), "sliding_sink"))
+    // batch twin over the same events INCLUDING the flush markers the
+    // stream saw (they are real rows in its windows)
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev].collect().toSeq
+    val maxTs = events.map(_.ts).max
+    val all = events ++ Seq(
+      Ev(-1, maxTs + 86400L * 1000000000L, -1, "flush", 0.0),
+      Ev(-2, maxTs + 2 * 86400L * 1000000000L, -1, "flush", 0.0))
+    val batch = rows(Streams.slidingCounts(all.toDF()))
+    assert(got.nonEmpty)
+    // every window the stream emitted agrees with the batch result
+    // exactly (the final flush windows may be withheld by the watermark)
+    assert(got.subsetOf(batch))
+    // and every real-event window closed before the watermark advances,
+    // so all of them must have been emitted
+    val realClosed = batch.filter { case (startMs, _, _) =>
+      startMs + 3600000L <= maxTs / 1000000L + 3600000L }
+    assert(realClosed.map(_._1).subsetOf(got.map(_._1)))
+  }
+
   test("streaming dedupEvents drops duplicate event ids, keeps all distinct ones") {
     val sql = spark.sqlContext
     import sql.implicits._
