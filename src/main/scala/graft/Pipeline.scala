@@ -70,9 +70,16 @@ object Pipeline {
     * by side plus the final keep — exactly the AND `curateCorpus`
     * computes, but surfaced per doc so a pipeline operator can audit WHY
     * a document dropped (the report every production curation run
-    * publishes next to its survivor manifest). Domain matches
-    * `curateCorpus`'s join semantics: non-eval docs that every gate can
-    * assess (all docs on this corpus).
+    * publishes next to its survivor manifest).
+    *
+    * Domain contract: one row per CANDIDATE doc — every non-eval doc
+    * (eval docs are the benchmark, not corpus candidates; decontaminate
+    * defines that split). Gates that cannot assess a doc keep it by
+    * convention (the rule `lmScore` documents): repetition needs ≥ 2
+    * tokens, so sub-2-token docs LEFT-join it with flagged coalesced to
+    * 0 — they still fail `q_keep` (the quality gate dislikes them for
+    * better reasons), so the keep set equals `curateCorpus`'s manifest
+    * exactly while the report stays TOTAL over candidates.
     *
     * Scale shape: each gate keeps its own operator's plan (SURVEY §5);
     * the composition joins six narrow per-doc flag frames on doc_id —
@@ -91,8 +98,9 @@ object Pipeline {
       .select(col("doc_id"), col("keep").as("dedup_keep"))
     val dc = graft.curate.Curate.decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
-    q.join(rep, "doc_id").join(rare, "doc_id").join(lm, "doc_id")
-      .join(cl, "doc_id").join(dc, "doc_id")
+    dc.join(q, "doc_id").join(rep, Seq("doc_id"), "left").join(rare, "doc_id")
+      .join(lm, "doc_id").join(cl, "doc_id")
+      .withColumn("rep_flagged", coalesce(col("rep_flagged"), lit(0)))
       .withColumn("keep",
         (col("q_keep") === 1 && col("rep_flagged") === 0 &&
           col("rare_flagged") === 0 && col("lm_flagged") === 0 &&

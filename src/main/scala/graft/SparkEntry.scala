@@ -240,7 +240,7 @@ object SparkEntry {
         |      UNION ALL SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p))
         |SELECT CAST(step AS BIGINT) AS step, step_name,
         |  CAST(n_users AS BIGINT) AS n_users,
-        |  CAST((1000000 * n_users) // n1 AS BIGINT) AS conv_ppm
+        |  CAST((1000000 * n_users) // greatest(n1, 1) AS BIGINT) AS conv_ppm
         |FROM u, n ORDER BY step""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
@@ -1127,12 +1127,12 @@ object SparkEntry {
         |dc AS (SELECT dtr.doc_id AS doc_id,
         |         CAST(COALESCE(dsh.n_shared, 0) > 0 AS INT) AS contaminated
         |       FROM dtr LEFT JOIN dsh ON dtr.doc_id = dsh.doc_id)
-        |SELECT doc_id, q_keep, rep_flagged, rare_flagged, lm_flagged, dedup_keep,
-        |  contaminated,
-        |  CAST(q_keep = 1 AND rep_flagged = 0 AND rare_flagged = 0 AND
+        |SELECT doc_id, q_keep, COALESCE(rep_flagged, 0) AS rep_flagged,
+        |  rare_flagged, lm_flagged, dedup_keep, contaminated,
+        |  CAST(q_keep = 1 AND COALESCE(rep_flagged, 0) = 0 AND rare_flagged = 0 AND
         |       lm_flagged = 0 AND dedup_keep = 1 AND contaminated = 0 AS INT) AS keep
-        |FROM qg JOIN rp USING (doc_id) JOIN rr USING (doc_id)
-        |  JOIN lmf USING (doc_id) JOIN cl USING (doc_id) JOIN dc USING (doc_id)
+        |FROM dc JOIN qg USING (doc_id) LEFT JOIN rp USING (doc_id)
+        |  JOIN rr USING (doc_id) JOIN lmf USING (doc_id) JOIN cl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "pii_stats" ->
       s"""WITH c AS (SELECT c_custkey, ${Pii.ContactCardSql} AS card FROM customer)

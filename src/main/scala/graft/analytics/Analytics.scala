@@ -269,7 +269,6 @@ object Analytics {
     * integer-exact via the broadcast 1-row base).
     */
   def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
@@ -288,8 +287,10 @@ object Analytics {
       .unionAll(step(2L, "view>click", c))
       .unionAll(step(3L, "view>click>purchase", p))
       .crossJoin(broadcast(base))
+      // greatest(n1, 1): an events slice with zero step-1 users must
+      // report a 0-conversion funnel, not raise DIVIDE_BY_ZERO (ANSI)
       .select(col("step"), col("step_name"), col("n_users"),
-        expr("CAST((1000000 * n_users) DIV n1 AS BIGINT)").as("conv_ppm"))
+        expr("CAST((1000000 * n_users) DIV greatest(n1, 1L) AS BIGINT)").as("conv_ppm"))
       .orderBy("step")
   }
 

@@ -57,6 +57,12 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_bytes"))
+      // empty payloads have no chunks: without the guard, the two-arg
+      // sequence(0, -1) silently generates a DESCENDING [0, -1] and
+      // emits two bogus chunk rows (the oracle's range(0, 0) correctly
+      // yields none) — totality bug found by review, latent because the
+      // driver corpus has no empty documents
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("text"), col("n_bytes"),
         posexplode(expr(s"sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1)"))
           .as(Seq("pos", "chunk_id")))
@@ -89,6 +95,11 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_bytes"))
+      // empty payloads: the three-arg sequence(0, -1, 5) THROWS under
+      // Spark's boundary check (positive step needs start <= stop) — the
+      // guard makes the operator total and matches the oracle's empty
+      // range(0, 0, 5)
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("text"), col("n_bytes"),
         posexplode(expr(
           s"""sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1,
