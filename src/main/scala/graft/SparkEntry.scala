@@ -93,6 +93,7 @@ object SparkEntry {
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
     "profile_stats"     -> (Profile.profileStats _),
+    "outlier_stats"     -> (Profile.outlierStats _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
@@ -1213,6 +1214,20 @@ object SparkEntry {
         |    MIN(o_orderpriority), MAX(o_orderpriority)
         |  FROM orders
         |) ORDER BY column_name""".stripMargin,
+    "outlier_stats" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+        |         SUM(cents * cents) AS q
+        |       FROM e GROUP BY 1),
+        |f AS (SELECT e.event_type, n, s,
+        |        CAST((n * cents - s) * (n * cents - s) > 4 * (n * q - s * s) AS INT) AS flag
+        |      FROM e JOIN st USING (event_type))
+        |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(MIN(s) // MIN(n) AS BIGINT) AS mean_cents,
+        |  CAST(SUM(flag) AS BIGINT) AS n_outliers,
+        |  CAST((1000000 * SUM(flag)) // MIN(n) AS BIGINT) AS outlier_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "length_histogram" ->
       """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
         |h AS (SELECT CAST(n_tokens // 16 AS BIGINT) AS bucket, COUNT(*) AS n_docs FROM d GROUP BY 1),

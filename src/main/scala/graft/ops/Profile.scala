@@ -44,6 +44,41 @@ object Profile {
   private def dec2(c: Column): Column = c.cast("decimal(18,2)").cast("string")
   private def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Integer-exact 2σ outlier screen over event values — the anomaly
+    * gauge a data-quality monitor runs per metric stream. No float math
+    * anywhere: values are exact cents (2-decimal inputs through a
+    * DECIMAL cast), and `|x − μ| > 2σ` is decided by the equivalent
+    * integer comparison `(n·x − Σx)² > 4·(n·Σx² − (Σx)²)` (both sides ×
+    * n², so mean and variance never materialize as floats — the same
+    * log-free trick the ppm family uses for ratios). Per event type:
+    * count, integer mean cents, outlier count + ppm.
+    *
+    * Scale shape: one partial-agg pass builds the per-type (n, Σx, Σx²)
+    * stats (one row per metric stream — KB), which broadcast back onto
+    * the scan for the flag projection; one more partial agg rolls up.
+    * The corpus is scanned twice and shuffled never. BIGINT bounds
+    * exactness to n·x < 3e9·√1 (dev² < 9.2e18) — past ~1e9 high-value
+    * events per stream the same comparison runs in DECIMAL(38,0).
+    */
+  def outlierStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val st = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("flag", expr(
+        "CAST((n * cents - s) * (n * cents - s) > 4 * (n * q - s * s) AS INT)"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        expr("CAST(first(s) DIV first(n) AS BIGINT)").as("mean_cents"),
+        sum(col("flag")).cast("long").as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("CAST((1000000 * n_outliers) DIV n AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
   /** Query entry: full column profile of the orders table. */
   def profileStats(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -31,6 +31,28 @@ class ProfileSpec extends SparkSpec {
       new java.math.BigDecimal(minPrice).setScale(2, java.math.RoundingMode.HALF_UP).toPlainString)
   }
 
+  test("outlier_stats integer comparison equals the float 2-sigma rule") {
+    val vals = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val got = Profile.outlierStats(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mean_cents"),
+          r.getAs[Long]("n_outliers")))).toMap
+    vals.foreach { case (t, xs) =>
+      val n = xs.length.toLong
+      val mean = xs.sum.toDouble / n
+      val varPop = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val expect = xs.count(x => (x - mean) * (x - mean) > 4 * varPop)
+      val (gn, gMean, gOut) = got(t)
+      assert(gn == n)
+      assert(gMean == xs.sum / n) // integer floor mean
+      assert(gOut == expect.toLong,
+        s"$t: integer rule disagrees with float 2-sigma ($gOut vs $expect)")
+    }
+  }
+
   test("profile scans stay column-pruned (one column per union leg)") {
     val plan = Profile.profileStats(spark, sf).queryExecution.executedPlan.toString
     // every parquet scan in the union must read a single column
