@@ -246,11 +246,22 @@ object Analytics {
     * integer ns arithmetic (epoch-ns exceeds double's exact range — a
     * float divide would corrupt bucket boundaries; see windowHourly).
     */
-  def windowSliding(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    windowSlidingOf(Tables.events(spark, dir))
+
+  /** `windowSliding` over an arbitrary events frame with configurable
+    * geometry. `windowNs` must be a multiple of `slideNs` (that multiple
+    * is the per-event membership count).
+    */
+  def windowSlidingOf(events: DataFrame, windowNs: Long = 3600000000000L,
+      slideNs: Long = 900000000000L): DataFrame = {
+    require(slideNs > 0 && windowNs % slideNs == 0,
+      s"window ($windowNs ns) must be a positive multiple of slide ($slideNs ns)")
+    val memberships = windowNs / slideNs
+    events
       .select(col("ts"), col("user_id"), col("value"),
-        explode(expr("sequence(0, 3)")).as("k"))
-      .select(expr("((ts div 900000000000) - k) * 900000000000").as("win_ns"),
+        explode(expr(s"sequence(0, ${memberships - 1}L)")).as("k"))
+      .select(expr(s"((ts div $slideNs) - k) * $slideNs").as("win_ns"),
         col("user_id"), col("value"))
       .groupBy("win_ns")
       .agg(count(lit(1)).as("n_events"),
@@ -268,24 +279,33 @@ object Analytics {
     * with the user count and the conversion rate vs step 1 (ppm,
     * integer-exact via the broadcast 1-row base).
     */
-  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("t_view"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("t_click"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-    val base = v.agg(count(lit(1)).as("n1"))
-    def step(n: Long, name: String, frame: DataFrame): DataFrame =
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelStepsFor(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** `funnelSteps` over an arbitrary events frame and an arbitrary
+    * ordered step chain: step i+1 is the user's earliest `steps(i+1)`
+    * event STRICTLY after their step-i time. Each stage is a per-user
+    * min partial agg joined to the shrinking survivor frame, folded over
+    * the chain — an n-step funnel is n-1 narrow user-keyed joins, never
+    * an event-pair comparison.
+    */
+  def funnelStepsFor(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsFor needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val stages = steps.tail.scanLeft(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t_prev"))) { (prev, et) =>
+      ev.filter(col("event_type") === et)
+        .join(prev.select(col("user_id"), col("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_prev"))
+    }
+    val base = stages.head.agg(count(lit(1)).as("n1"))
+    val names = steps.tail.scanLeft(steps.head)((acc, s) => s"$acc>$s")
+    stages.zip(names).zipWithIndex.map { case ((frame, name), i) =>
       frame.agg(count(lit(1)).as("n_users"))
-        .select(lit(n).as("step"), lit(name).as("step_name"), col("n_users"))
-    step(1L, "view", v)
-      .unionAll(step(2L, "view>click", c))
-      .unionAll(step(3L, "view>click>purchase", p))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_.unionAll(_))
       .crossJoin(broadcast(base))
       // greatest(n1, 1): an events slice with zero step-1 users must
       // report a 0-conversion funnel, not raise DIVIDE_BY_ZERO (ANSI)
@@ -300,9 +320,15 @@ object Analytics {
     * (first-seen week, then distinct (user, cohort, offset)) and one
     * rollup; output is bounded by weeks², never by corpus size.
     */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, dir))
+
+  /** `cohortRetention` over an arbitrary events frame. */
+  def cohortRetentionOf(events: DataFrame,
+      bucketNs: Long = 604800000000000L): DataFrame = {
+    require(bucketNs > 0, s"cohortRetentionOf needs a positive bucket, got $bucketNs")
+    val e = events
+      .select(col("user_id"), expr(s"ts div $bucketNs").as("week"))
     val first = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     e.join(first, "user_id")
       .select(col("user_id"), col("cohort_week"),

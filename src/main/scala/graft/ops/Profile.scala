@@ -60,10 +60,18 @@ object Profile {
     * exactness to n·x < 3e9·√1 (dev² < 9.2e18) — past ~1e9 high-value
     * events per stream the same comparison runs in DECIMAL(38,0).
     */
-  def outlierStats(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+  def outlierStats(spark: SparkSession, dir: String): DataFrame =
+    outlierStatsOf(Tables.events(spark, dir), "event_type", "value")
+
+  /** `outlierStats` over an arbitrary frame: per `keyCol` stream, flag
+    * `valueCol` rows beyond 2σ (2-decimal values assumed; see the query
+    * entry's doc for the integer formulation).
+    */
+  def outlierStatsOf(frame: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val e = frame
+      .select(col(keyCol).as("event_type"),
+        expr(s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
     val st = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
         sum(col("cents") * col("cents")).as("q"))

@@ -127,6 +127,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(ns(1) == n2.toLong)
   }
 
+  test("funnelStepsFor handles an arbitrary chain (signup > error, driver-checked)") {
+    val rows = Analytics.funnelStepsFor(
+      graft.core.Tables.events(spark, sf), Seq("signup", "error"))
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("signup", "signup>error"))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tSignup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val n2 = tSignup.count { case (u, t0) =>
+      ev.exists(e => e._1 == u && e._2 == "error" && e._3 > t0) }
+    assert(rows(0).getAs[Long]("n_users") == tSignup.size.toLong)
+    assert(rows(1).getAs[Long]("n_users") == n2.toLong)
+  }
+
+  test("windowSlidingOf honors alternate geometry (30 min window, 15 min slide)") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val rows = Analytics.windowSlidingOf(ev,
+      windowNs = 1800000000000L, slideNs = 900000000000L).collect()
+    // each event in exactly 2 windows now
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 2 * ev.count())
+  }
+
   test("cohort_retention's offset-0 diagonal covers every user exactly once") {
     val ev = graft.core.Tables.events(spark, sf)
     val nUsers = ev.select("user_id").distinct().count()
