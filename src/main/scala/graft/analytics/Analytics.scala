@@ -255,7 +255,11 @@ object Analytics {
     */
   def windowSlidingOf(events: DataFrame, windowNs: Long = 3600000000000L,
       slideNs: Long = 900000000000L): DataFrame = {
-    require(slideNs > 0 && windowNs % slideNs == 0,
+    // windowNs >= slideNs keeps memberships >= 1: a zero/negative window
+    // would make the two-arg sequence() below generate a DESCENDING
+    // range and fan events into phantom future windows (the same
+    // sequence(0, -1) trap mmChunk guards against)
+    require(slideNs > 0 && windowNs >= slideNs && windowNs % slideNs == 0,
       s"window ($windowNs ns) must be a positive multiple of slide ($slideNs ns)")
     val memberships = windowNs / slideNs
     events

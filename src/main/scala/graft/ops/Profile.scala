@@ -56,9 +56,11 @@ object Profile {
     * Scale shape: one partial-agg pass builds the per-type (n, Σx, Σx²)
     * stats (one row per metric stream — KB), which broadcast back onto
     * the scan for the flag projection; one more partial agg rolls up.
-    * The corpus is scanned twice and shuffled never. BIGINT bounds
-    * exactness to n·x < 3e9·√1 (dev² < 9.2e18) — past ~1e9 high-value
-    * events per stream the same comparison runs in DECIMAL(38,0).
+    * The corpus is scanned twice and shuffled never. The BIGINT
+    * envelope saturates first at the Σx² ACCUMULATOR (< 9.2e18 — about
+    * 1e9 events at ~$30, under ANSI an overflow raises rather than
+    * corrupts), before the dev² terms; past that, the accumulators and
+    * the comparison both move to DECIMAL(38,0) at ~2× cost.
     */
   def outlierStats(spark: SparkSession, dir: String): DataFrame =
     outlierStatsOf(Tables.events(spark, dir), "event_type", "value")
@@ -79,8 +81,14 @@ object Profile {
       .withColumn("flag", expr(
         "CAST((n * cents - s) * (n * cents - s) > 4 * (n * q - s * s) AS INT)"))
       .groupBy("event_type")
+      // FLOOR division for the mean (pmod keeps the remainder
+      // non-negative): Spark's DIV truncates toward zero but the
+      // DuckDB oracle's // floors, and they disagree on negative sums —
+      // refund/adjustment streams through outlierStatsOf would
+      // hash-mismatch by one cent
       .agg(first(col("n")).as("n"),
-        expr("CAST(first(s) DIV first(n) AS BIGINT)").as("mean_cents"),
+        expr("CAST((first(s) - pmod(first(s), first(n))) DIV first(n) AS BIGINT)")
+          .as("mean_cents"),
         sum(col("flag")).cast("long").as("n_outliers"))
       .withColumn("outlier_ppm",
         expr("CAST((1000000 * n_outliers) DIV n AS BIGINT)"))

@@ -31,7 +31,7 @@ class ProfileSpec extends SparkSpec {
       new java.math.BigDecimal(minPrice).setScale(2, java.math.RoundingMode.HALF_UP).toPlainString)
   }
 
-  test("outlier_stats integer comparison equals the float 2-sigma rule") {
+  test("outlier_stats matches an exact driver recompute and the float 2-sigma rule") {
     val vals = graft.core.Tables.events(spark, sf)
       .select("event_type", "value").collect()
       .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
@@ -41,16 +41,42 @@ class ProfileSpec extends SparkSpec {
         ((r.getAs[Long]("n"), r.getAs[Long]("mean_cents"),
           r.getAs[Long]("n_outliers")))).toMap
     vals.foreach { case (t, xs) =>
-      val n = xs.length.toLong
-      val mean = xs.sum.toDouble / n
-      val varPop = xs.map(x => (x - mean) * (x - mean)).sum / n
-      val expect = xs.count(x => (x - mean) * (x - mean) > 4 * varPop)
+      val n = BigInt(xs.length)
+      val s = BigInt(xs.sum)
+      val q = xs.map(x => BigInt(x) * BigInt(x)).sum
+      // exact integer recompute of the product's rule — validates the
+      // distributed stats/flag plumbing without float round-off
+      val expect = xs.count { x =>
+        val dev = n * BigInt(x) - s
+        dev * dev > 4 * (n * q - s * s)
+      }
       val (gn, gMean, gOut) = got(t)
-      assert(gn == n)
-      assert(gMean == xs.sum / n) // integer floor mean
-      assert(gOut == expect.toLong,
-        s"$t: integer rule disagrees with float 2-sigma ($gOut vs $expect)")
+      assert(gn == n.toLong)
+      assert(gMean == Math.floorDiv(xs.sum, xs.length)) // floor mean (// semantics)
+      assert(gOut == expect.toLong)
+      // and the rule agrees with the float 2σ form wherever the float
+      // margin is comfortable (boundary-sitting values are exempt —
+      // that disagreement is float round-off, not a product bug)
+      val mean = xs.sum.toDouble / xs.length
+      val varPop = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      val floatOut = xs.count { x =>
+        val d2 = (x - mean) * (x - mean)
+        d2 > 4 * varPop && (d2 - 4 * varPop) / (4 * varPop + 1) > 1e-9
+      }
+      assert(floatOut <= expect && expect <= xs.count { x =>
+        val d2 = (x - mean) * (x - mean)
+        d2 > 4 * varPop * (1 - 1e-9) - 1e-9
+      })
     }
+  }
+
+  test("outlier_stats floors the mean on negative sums (oracle // semantics)") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // refunds: sum = -5 cents over 2 rows → floor(-2.5) = -3, not -2
+    val frame = Seq(("refund", -0.03), ("refund", -0.02)).toDF("k", "v")
+    val r = Profile.outlierStatsOf(frame, "k", "v").collect().head
+    assert(r.getAs[Long]("mean_cents") == -3L)
   }
 
   test("profile scans stay column-pruned (one column per union leg)") {
