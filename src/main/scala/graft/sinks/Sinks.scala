@@ -37,6 +37,23 @@ object Sinks {
       .format(format)
       .save(path)
 
+  /** Hive-style partitioned layout write — the 100 TB table layout that
+    * makes coarse predicates FREE: a reader filtering on a partition
+    * column never opens non-matching directories (the scan plans with
+    * `PartitionFilters`, pruning before any I/O — verified by spec).
+    * Partition columns must be low-cardinality (lang, source, date);
+    * high-cardinality partitioning explodes the file count, which is
+    * what `writeBucketed` is for instead. The two compose: partition by
+    * date, bucket by key within each partition.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       format: String = "parquet"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(path)
+
   /** Bucketed co-located write — the SURVEY §5 "bucket both sides by
     * key" move that makes the diff-sync (and any other repeated
     * equi-join/agg on the same key) SHUFFLE-FREE at read time: the one

@@ -116,6 +116,33 @@ class SourcesSinksSpec extends SparkSpec {
     })
   }
 
+  test("partitioned layout prunes non-matching directories at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    graft.sinks.Sinks.writePartitioned(docs, out, Seq("lang"))
+    val back = spark.read.parquet(out)
+    val filtered = back.filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning,
+    // zero I/O for other langs), not a post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang predicate did not become a partition filter:\n$plan")
+    assert(filtered.count() ==
+      docs.filter(col("lang") === "en").count())
+    // round trip is lossless across the partition split
+    assert(back.count() == docs.count())
+  }
+
+  test("chunked sink round-trips through the ORC format too") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = graft.core.Tables.documents(spark, sf).limit(50)
+    graft.sinks.Sinks.chunkedWrite(docs, "lang", "doc_id", 20, out, format = "orc")
+    val back = spark.read.orc(out)
+    assert(back.count() == 50)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("jdbc source reads a real embedded database as partitioned range scans") {
     // Apache Derby (on the Spark classpath) embedded in-memory: the
     // partitioned JDBC read runs against an actual database, not just
