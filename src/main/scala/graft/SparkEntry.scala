@@ -226,14 +226,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_steps" ->
-      """WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS t_view FROM events
+      // epoch_us on the oracle side matches the Spark entry's ts div
+      // 1000 — both engines compare at the µs precision they share
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, MIN(epoch_ns(ts)) AS t_click
+        |c AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t_click
         |      FROM events e JOIN v ON e.user_id = v.user_id
-        |      WHERE event_type = 'click' AND epoch_ns(ts) > t_view GROUP BY 1),
-        |p AS (SELECT e.user_id, MIN(epoch_ns(ts)) AS t_purchase
+        |      WHERE event_type = 'click' AND epoch_us(ts) > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t_purchase
         |      FROM events e JOIN c ON e.user_id = c.user_id
-        |      WHERE event_type = 'purchase' AND epoch_ns(ts) > t_click GROUP BY 1),
+        |      WHERE event_type = 'purchase' AND epoch_us(ts) > t_click GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n1 FROM v),
         |u AS (SELECT 1 AS step, 'view' AS step_name,
         |        (SELECT COUNT(*) FROM v) AS n_users

@@ -262,6 +262,12 @@ object Analytics {
     require(slideNs > 0 && windowNs >= slideNs && windowNs % slideNs == 0,
       s"window ($windowNs ns) must be a positive multiple of slide ($slideNs ns)")
     val memberships = windowNs / slideNs
+    // bucket by `div`, which truncates toward zero EXACTLY like the
+    // oracle's `//` (verified: DuckDB -5 // 2 = -2) — cross-engine
+    // parity holds at every input. Caveat this implies: pre-epoch
+    // (negative) timestamps bucket toward zero, unlike the calendar
+    // floor Spark's streaming window() uses; event data predating 1970
+    // would need a floor variant on BOTH sides
     events
       .select(col("ts"), col("user_id"), col("value"),
         explode(expr(s"sequence(0, ${memberships - 1}L)")).as("k"))
@@ -284,7 +290,14 @@ object Analytics {
     * integer-exact via the broadcast 1-row base).
     */
   def funnelSteps(spark: SparkSession, dir: String): DataFrame =
-    funnelStepsFor(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+    // compare at µs, the precision both engines share: the raw ts carries
+    // sub-µs residues that DuckDB truncates away, so a same-user pair
+    // inside one microsecond would order differently under full-ns
+    // comparison and flip the hash gate (the same rule asof_join
+    // follows — see the verify skill's "compare at µs")
+    funnelStepsFor(
+      Tables.events(spark, dir).withColumn("ts", expr("ts div 1000")),
+      Seq("view", "click", "purchase"))
 
   /** `funnelSteps` over an arbitrary events frame and an arbitrary
     * ordered step chain: step i+1 is the user's earliest `steps(i+1)`
@@ -296,13 +309,20 @@ object Analytics {
   def funnelStepsFor(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelStepsFor needs at least one step")
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    // each survivor frame feeds TWO consumers (its own count row and the
+    // next stage's build side): checkpointing materializes it once, so
+    // an n-step funnel scans the events n times — without it every
+    // stage's full lineage re-executes per consumer, O(n²) scans of a
+    // 100 TB table (the same move prefixOffsets makes per level)
     val stages = steps.tail.scanLeft(
       ev.filter(col("event_type") === steps.head)
-        .groupBy("user_id").agg(min(col("ts")).as("t_prev"))) { (prev, et) =>
+        .groupBy("user_id").agg(min(col("ts")).as("t_prev"))
+        .localCheckpoint()) { (prev, et) =>
       ev.filter(col("event_type") === et)
         .join(prev.select(col("user_id"), col("t_prev")), "user_id")
         .filter(col("ts") > col("t_prev"))
         .groupBy("user_id").agg(min(col("ts")).as("t_prev"))
+        .localCheckpoint()
     }
     val base = stages.head.agg(count(lit(1)).as("n1"))
     val names = steps.tail.scanLeft(steps.head)((acc, s) => s"$acc>$s")
@@ -331,6 +351,8 @@ object Analytics {
   def cohortRetentionOf(events: DataFrame,
       bucketNs: Long = 604800000000000L): DataFrame = {
     require(bucketNs > 0, s"cohortRetentionOf needs a positive bucket, got $bucketNs")
+    // truncation bucketing matches the oracle's // exactly at every
+    // input (see windowSlidingOf's caveat on pre-epoch timestamps)
     val e = events
       .select(col("user_id"), expr(s"ts div $bucketNs").as("week"))
     val first = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))

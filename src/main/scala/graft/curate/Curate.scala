@@ -401,8 +401,15 @@ object Curate {
     val tokT = target.select(explode(split(col("text"), " ")).as("token"))
     val src = tok.groupBy("token").agg(count(lit(1)).as("src_cnt"))
     val tgt = tokT.groupBy("token").agg(count(lit(1)).as("tgt_cnt"))
+    // an EMPTY target must yield weight 0 for every doc (nothing
+    // resembles an empty domain), not NULL-poisoned columns: t_total's
+    // SUM over zero rows is NULL, and NULL in the divisor would ripple
+    // into weight_ppm/flagged (and a NULL `kept` out of
+    // importanceSampleOf). Coalescing to 1 is exact — every tgt_cnt is
+    // also absent (0), so ratios are 0 DIV anything = 0.
     val totals = src.agg(sum(col("src_cnt")).as("s_total"))
-      .crossJoin(broadcast(tgt.agg(sum(col("tgt_cnt")).as("t_total"))))
+      .crossJoin(broadcast(
+        tgt.agg(coalesce(sum(col("tgt_cnt")), lit(1L)).as("t_total"))))
     val ratios = src.join(tgt, Seq("token"), "left")
       .crossJoin(broadcast(totals))
       .select(col("token"), expr(

@@ -53,29 +53,42 @@ object Multimodal {
     * 4 KB image differ only in chunk-row count, and AQE-sized map
     * partitions split on row count.
     */
-  def mmChunk(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared chunk generator for `mmChunk`/`mmFrameSample`: every
+    * `stride`-th chunk index of each payload with its sample position,
+    * offset, byte count, and digest — ONE definition of the chunk
+    * geometry so the two oracle-checked queries can never desynchronize.
+    * The `n_bytes > 0` guard makes the generate total: on an empty
+    * payload the two-arg sequence(0, -1) silently generates a DESCENDING
+    * [0, -1] (two bogus rows) and the three-arg stride form throws under
+    * Spark's boundary check, where the oracle's range(0, 0) correctly
+    * yields nothing — latent on the driver corpus (no empty documents),
+    * found by review.
+    */
+  private def chunked(spark: SparkSession, dir: String, stride: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_bytes"))
-      // empty payloads have no chunks: without the guard, the two-arg
-      // sequence(0, -1) silently generates a DESCENDING [0, -1] and
-      // emits two bogus chunk rows (the oracle's range(0, 0) correctly
-      // yields none) — totality bug found by review, latent because the
-      // driver corpus has no empty documents
       .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("text"), col("n_bytes"),
-        posexplode(expr(s"sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1)"))
+        posexplode(expr(
+          s"""sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1,
+             |  $stride)""".stripMargin))
           .as(Seq("pos", "chunk_id")))
       .select(
         col("doc_id"),
+        col("pos").cast("long").as("pos"),
         col("chunk_id").cast("long").as("chunk_id"),
         (col("chunk_id") * ChunkBytes).cast("long").as("off"),
         least(lit(ChunkBytes.toLong), col("n_bytes") - col("chunk_id") * ChunkBytes)
           .as("chunk_bytes"),
         md5(expr(s"substring(text, chunk_id * $ChunkBytes + 1, $ChunkBytes)"))
           .as("chunk_md5"))
+
+  def mmChunk(spark: SparkSession, dir: String): DataFrame =
+    chunked(spark, dir, stride = 1)
+      .select(col("doc_id"), col("chunk_id"), col("off"),
+        col("chunk_bytes"), col("chunk_md5"))
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
-  }
 
   /** Every k-th chunk is a sampled "frame" for `mmFrameSample`. */
   private val FrameStride = 5
@@ -91,31 +104,16 @@ object Multimodal {
     * sample (`frame_seq`) so a downstream batch decoder can reassemble
     * temporal order without a sort.
     */
-  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("n_bytes"))
-      // empty payloads: the three-arg sequence(0, -1, 5) THROWS under
-      // Spark's boundary check (positive step needs start <= stop) — the
-      // guard makes the operator total and matches the oracle's empty
-      // range(0, 0, 5)
-      .filter(col("n_bytes") > 0)
-      .select(col("doc_id"), col("text"), col("n_bytes"),
-        posexplode(expr(
-          s"""sequence(0, CAST((n_bytes + ${ChunkBytes - 1}) DIV $ChunkBytes AS INT) - 1,
-             |  $FrameStride)""".stripMargin))
-          .as(Seq("frame_seq", "chunk_id")))
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    chunked(spark, dir, stride = FrameStride)
       .select(
         col("doc_id"),
-        col("frame_seq").cast("long").as("frame_seq"),
-        col("chunk_id").cast("long").as("chunk_id"),
-        (col("chunk_id") * ChunkBytes).cast("long").as("off"),
-        least(lit(ChunkBytes.toLong), col("n_bytes") - col("chunk_id") * ChunkBytes)
-          .as("frame_bytes"),
-        md5(expr(s"substring(text, chunk_id * $ChunkBytes + 1, $ChunkBytes)"))
-          .as("frame_md5"))
+        col("pos").as("frame_seq"),
+        col("chunk_id"),
+        col("off"),
+        col("chunk_bytes").as("frame_bytes"),
+        col("chunk_md5").as("frame_md5"))
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
-  }
 }
 
 /** Typed record for a decoded media asset. */

@@ -81,14 +81,10 @@ object Profile {
       .withColumn("flag", expr(
         "CAST((n * cents - s) * (n * cents - s) > 4 * (n * q - s * s) AS INT)"))
       .groupBy("event_type")
-      // FLOOR division for the mean (pmod keeps the remainder
-      // non-negative): Spark's DIV truncates toward zero but the
-      // DuckDB oracle's // floors, and they disagree on negative sums —
-      // refund/adjustment streams through outlierStatsOf would
-      // hash-mismatch by one cent
+      // DIV truncates toward zero exactly like the oracle's // (DuckDB
+      // -5 // 2 = -2, verified) — negative refund sums agree bit-for-bit
       .agg(first(col("n")).as("n"),
-        expr("CAST((first(s) - pmod(first(s), first(n))) DIV first(n) AS BIGINT)")
-          .as("mean_cents"),
+        expr("CAST(first(s) DIV first(n) AS BIGINT)").as("mean_cents"),
         sum(col("flag")).cast("long").as("n_outliers"))
       .withColumn("outlier_ppm",
         expr("CAST((1000000 * n_outliers) DIV n AS BIGINT)"))

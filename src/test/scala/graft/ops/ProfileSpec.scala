@@ -52,7 +52,7 @@ class ProfileSpec extends SparkSpec {
       }
       val (gn, gMean, gOut) = got(t)
       assert(gn == n.toLong)
-      assert(gMean == Math.floorDiv(xs.sum, xs.length)) // floor mean (// semantics)
+      assert(gMean == xs.sum / xs.length) // truncating mean (both engines' // / DIV)
       assert(gOut == expect.toLong)
       // and the rule agrees with the float 2σ form wherever the float
       // margin is comfortable (boundary-sitting values are exempt —
@@ -70,13 +70,15 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
-  test("outlier_stats floors the mean on negative sums (oracle // semantics)") {
+  test("outlier_stats truncates the mean on negative sums like the oracle's //") {
     val sql = spark.sqlContext
     import sql.implicits._
-    // refunds: sum = -5 cents over 2 rows → floor(-2.5) = -3, not -2
+    // refunds: sum = -5 cents over 2 rows → trunc(-2.5) = -2, which is
+    // exactly DuckDB's -5 // 2 (verified: // truncates toward zero, it
+    // does NOT floor) — both engines agree bit-for-bit on refunds
     val frame = Seq(("refund", -0.03), ("refund", -0.02)).toDF("k", "v")
     val r = Profile.outlierStatsOf(frame, "k", "v").collect().head
-    assert(r.getAs[Long]("mean_cents") == -3L)
+    assert(r.getAs[Long]("mean_cents") == -2L)
   }
 
   test("profile scans stay column-pruned (one column per union leg)") {
