@@ -71,6 +71,29 @@ object Sinks {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Small-file compaction — the maintenance pass every long-running
+    * columnar sink needs: streaming micro-batches, chunked writes, and
+    * fine-grained partitions all accrete files far below the ideal scan
+    * unit, and a 100 TB table read through millions of KB-files spends
+    * more time opening footers than scanning rows. Rewrites the dataset
+    * into ~`targetRows`-row files via a round-robin repartition (no key
+    * shuffle semantics to preserve — compaction is layout-only, and
+    * round-robin spreads rows evenly regardless of the input's skew).
+    * Returns the compacted frame's row count so callers can assert
+    * losslessness cheaply.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetRows: Long = 1000000L,
+              format: String = "parquet"): Long = {
+    require(targetRows >= 1, s"compact needs targetRows >= 1, got $targetRows")
+    val df = spark.read.format(format).load(inPath)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    df.repartition(files)
+      .write.mode(SaveMode.Overwrite).format(format).save(outPath)
+    n
+  }
+
   /** Latest-wins upsert merge into an existing snapshot (storage.rs:118+
     * ON CONFLICT DO UPDATE): union + one row per key by source priority.
     * Single shuffle on the key; at 100 TB this is MERGE over bucketed

@@ -143,6 +143,29 @@ class SourcesSinksSpec extends SparkSpec {
       docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("compaction collapses a fragmented chunk layout losslessly") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = graft.core.Tables.documents(spark, sf)
+    // chunked write fragments into one directory per (lang, chunk)
+    graft.sinks.Sinks.chunkedWrite(docs, "lang", "doc_id", 25, frag)
+    def parquetFiles(p: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val before = parquetFiles(frag)
+    val n = graft.sinks.Sinks.compact(spark, frag, out, targetRows = 250)
+    val after = parquetFiles(out)
+    assert(n == docs.count())
+    assert(before > after, s"compaction did not reduce files ($before -> $after)")
+    assert(after == math.ceil(n / 250.0).toInt)
+    // content survives byte-for-byte (chunk metadata columns included)
+    val a = spark.read.parquet(frag).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("jdbc source reads a real embedded database as partitioned range scans") {
     // Apache Derby (on the Spark classpath) embedded in-memory: the
     // partitioned JDBC read runs against an actual database, not just
