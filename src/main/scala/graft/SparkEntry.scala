@@ -98,6 +98,7 @@ object SparkEntry {
     "cosine_topk" -> (Similarity.cosineTopK _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
+    "ann_ivf_pq"  -> (Similarity.annIvfPq _),
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),

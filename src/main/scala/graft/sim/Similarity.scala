@@ -140,31 +140,33 @@ object Similarity {
     * `annLshFrom`: true for corpus-id-space queries, false for
     * external frames whose ids are unrelated to corpus ids.
     */
-  def annIvfFrom(emb: DataFrame, queries: DataFrame,
-      excludeSelf: Boolean = true): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val k = 16
-    val nProbe = 4
-    val e = emb.select("vec_id", "embedding")
-      .withColumn("norm", norm64("embedding"))
-    // single-key broadcast join = BroadcastHashJoin fan-out of the tiny
-    // centroid table (a raw cross join would plan a BroadcastNestedLoopJoin,
-    // which the plan audit bans). The key derives from a column — a
-    // `lit(1) === lit(1)` condition would constant-fold to `true` and
-    // degrade the join to a nested loop.
-    def crossCentroids(base: DataFrame, cents: DataFrame): DataFrame =
-      base.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
-        .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
-          "one")
-        .withColumn("ccos",
-          dot64("embedding", "cvec") / (col("norm") * col("cnorm")))
+  /** Broadcast fan-out of the tiny centroid table against every base
+    * row, with the base↔centroid cosine attached. A single derived-key
+    * broadcast join = BroadcastHashJoin (a raw cross join would plan a
+    * BroadcastNestedLoopJoin, which the plan audit bans; a
+    * `lit(1) === lit(1)` condition would constant-fold to `true` and
+    * degrade the same way).
+    */
+  private def crossCentroids(base: DataFrame, cents: DataFrame): DataFrame =
+    base.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+        "one")
+      .withColumn("ccos",
+        dot64("embedding", "cvec") / (col("norm") * col("cnorm")))
+
+  /** Coarse-quantizer training (k-means-style, two Lloyd rounds, all
+    * DataFrame aggregations) — shared by `annIvfFrom` and the IVF-PQ
+    * path. Returns the CHECKPOINTED centroid table (cid, cvec, cnorm):
+    * every consumer branch reads the materialized copy, or the whole
+    * training subtree would re-execute per branch.
+    */
+  private def ivfCentroids(e: DataFrame, k: Int): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
       crossCentroids(e, cents)
         .groupBy("vec_id")
         // struct max: highest cosine, ties to the highest cid — deterministic
         .agg(max(struct(col("ccos"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
-
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         col("embedding").as("cvec"), col("norm").as("cnorm"))
@@ -182,21 +184,34 @@ object Similarity {
         .withColumn("cnorm", norm64("cvec"))
       // no per-round checkpoint: two Lloyd rounds of lineage stay shallow
     }
-    // one materialization of the trained centroids: both the inverted
-    // index and the query-probe branch read them, and without this the
-    // whole training subtree would execute once per branch
-    centroids = centroids.localCheckpoint()
-    // index-time MULTI-ASSIGNMENT: each vector joins its top-2 lists, not
-    // just its nearest — the classic fix for boundary vectors whose true
-    // neighbours sit across a Voronoi edge (recall 0.82-0.92 single-
-    // assigned → 0.92-0.96 measured). Index rows double, but they stay
-    // narrow (vec_id, cid) pairs — an explicit space-for-recall trade
-    // that leaves per-query probe cost unchanged.
+    centroids.localCheckpoint()
+  }
+
+  /** Inverted-list index over trained centroids with top-2
+    * MULTI-ASSIGNMENT: each vector joins its top-2 lists, not just its
+    * nearest — the classic fix for boundary vectors whose true
+    * neighbours sit across a Voronoi edge (recall 0.82-0.92 single-
+    * assigned → 0.92-0.96 measured). Index rows double, but they stay
+    * narrow (vec_id, cid) pairs — an explicit space-for-recall trade
+    * that leaves per-query probe cost unchanged.
+    */
+  private def ivfInvertedIndex(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val index = crossCentroids(e, centroids)
+    crossCentroids(e, centroids)
       .withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") <= 2)
       .select(col("vec_id"), col("cid"))
+  }
+
+  def annIvfFrom(emb: DataFrame, queries: DataFrame,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k = 16
+    val nProbe = 4
+    val e = emb.select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+    val centroids = ivfCentroids(e, k)
+    val index = ivfInvertedIndex(e, centroids)
 
     val q = queries.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
@@ -211,6 +226,148 @@ object Similarity {
       // lists; score each candidate once
       .distinct()
     val scored = cands
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("norm").as("nn")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF-PQ geometry: 8 subspaces × 8 dims, 32 codes per subspace. A
+    * 64-float vector (256 B) compresses to 8 code bytes — at 100 TB of
+    * embeddings THIS is what fits an index in executor memory; raw
+    * vectors are read only for the final re-rank of a bounded candidate
+    * set. ADC top-`PqRerank` candidates get exact re-scoring; measured
+    * recall 0.90-0.92 vs brute force (the same range as full-vector
+    * `annIvf`), floor-pinned at 0.85 in SimilaritySpec.
+    */
+  private val PqSubs = 8
+  private val PqSubDim = 8
+  private val PqCodes = 32
+  private val PqRerank = 100
+
+  /** IVF-PQ ANN — the memory-bounded production configuration (the
+    * third scale path beside hyperplane LSH and plain IVF): the IVF
+    * coarse quantizer prunes the corpus to `nProbe` lists, and within
+    * them candidates are scored from PRODUCT-QUANTIZED codes via
+    * asymmetric distance computation (ADC: per query, one 8×16 lookup
+    * table of subvector dot products; a candidate's approximate cosine
+    * is 8 table lookups instead of a 64-dim dot against a vector that
+    * would have to live in memory). The ADC top-`PqRerank` are re-scored
+    * exactly and the top-5 returned, so the rows-only check and the
+    * recall floor mean the same thing as `ann_ivf`'s.
+    *
+    * All training is DataFrame aggregations: per-subspace codebooks are
+    * 8 independent Lloyd loops run as ONE plan over the exploded
+    * (vec_id, sub, subvector) stream — argmin by L2 via struct-min,
+    * centroid update via the native vec_sum aggregate, 8×16 codebook
+    * rows total. Codes materialize as a narrow (vec_id, array<int>[8])
+    * frame — the ENTIRE per-vector index payload. The LUT is a per-query
+    * map (map_from_entries) so codebook cells that lose every member
+    * during Lloyd cannot corrupt positional indexing.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    annIvfPqFrom(emb, emb.filter(col("vec_id") < Queries))
+  }
+
+  /** `annIvfPq` over arbitrary corpus and query frames (`excludeSelf`
+    * as in `annLshFrom`).
+    */
+  def annIvfPqFrom(emb: DataFrame, queries: DataFrame,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val nProbe = 4
+    val e = emb.select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+      .localCheckpoint() // read by coarse training, PQ training, and re-rank
+    // PQ on UNIT vectors: subvector dot products then SUM to the full
+    // cosine, so ADC approximates the exact score directly
+    val unit = e
+      .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
+      .select("vec_id", "unit")
+    val subExpr =
+      s"""transform(sequence(0, ${PqSubs - 1}),
+         |  s -> struct(s AS sub, slice(unit, s * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin
+    val subs = unit.select(col("vec_id"), explode(expr(subExpr)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+      .localCheckpoint() // training rounds + final encoding all read it
+    def assignCodes(books: DataFrame): DataFrame =
+      subs.join(broadcast(books), "sub")
+        .withColumn("d2",
+          call_function("vec_dot", col("sv"), col("sv"))
+            - lit(2.0) * call_function("vec_dot", col("sv"), col("cv"))
+            + call_function("vec_dot", col("cv"), col("cv")))
+        .groupBy("vec_id", "sub")
+        // struct min: lowest L2, ties to the lowest code — deterministic
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    var books = subs.filter(col("vec_id") < PqCodes)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    for (_ <- 1 to 2) {
+      books = assignCodes(books).join(subs, Seq("vec_id", "sub"))
+        .groupBy("sub", "code")
+        .agg(call_function("vec_sum", col("sv")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("sub"), col("code"),
+          expr("transform(s, x -> CAST(x / cnt AS FLOAT))").as("cv"))
+    }
+    books = books.localCheckpoint() // read by encoding and every query LUT
+    val codes = assignCodes(books)
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
+        .as("codes"))
+      .localCheckpoint() // the narrow 8-byte-per-vector index payload
+
+    val centroids = ivfCentroids(e, k = 16)
+    val index = ivfInvertedIndex(e, centroids)
+
+    val q = queries.select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+      .localCheckpoint()
+    val qsubs = q
+      .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
+      .select(col("vec_id").as("q_id"), explode(expr(subExpr)).as("p"))
+      .select(col("q_id"), col("p.sub").as("sub"), col("p.sv").as("qsv"))
+    // per-query ADC table: dot(query subvector, codebook cell) keyed by
+    // sub*PqCodes + code — a MAP, not a positional array, so vanished
+    // codebook cells (no members after Lloyd) stay un-indexable instead
+    // of shifting positions
+    val lut = qsubs.join(broadcast(books), "sub")
+      .select(col("q_id"),
+        (col("sub") * PqCodes + col("code")).as("i"),
+        call_function("vec_dot", col("qsv"), col("cv")).as("contrib"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(col("i"), col("contrib")))).as("lut"))
+
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val probed = crossCentroids(q, centroids)
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cands = probed.join(index, "cid")
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    // ADC scoring: 8 map lookups per candidate, never the raw vector
+    val adcW = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val shortlist = cands
+      .join(codes.select(col("vec_id").as("n_id"), col("codes")), "n_id")
+      .join(broadcast(lut), "q_id")
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${PqSubs - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, s) -> acc + element_at(lut, s * $PqCodes + element_at(codes, s + 1)))""".stripMargin))
+      .withColumn("ark", row_number().over(adcW))
+      .filter(col("ark") <= PqRerank)
+      .select("q_id", "n_id")
+    // exact re-rank of the bounded ADC shortlist
+    val scored = shortlist
       .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("norm").as("qn"))), "q_id")
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
