@@ -105,17 +105,7 @@ object Similarity {
       .join(banded.as("b"), col("a.bucket") === col("b.bucket") && selfGuard)
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"))
       .distinct()
-    val scored = cands
-      .join(broadcast(q
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .orderBy("q_id", "rk")
+    exactTop5(cands, q, e)
   }
 
   /** IVF (inverted-file) ANN — the other production scale path next to
@@ -134,12 +124,6 @@ object Similarity {
     annIvfFrom(emb, emb.filter(col("vec_id") < Queries))
   }
 
-  /** `annIvf` over arbitrary corpus AND query `(vec_id, embedding)`
-    * frames: the index (centroids + inverted lists) builds from the
-    * corpus only; any query frame probes it. `excludeSelf` as in
-    * `annLshFrom`: true for corpus-id-space queries, false for
-    * external frames whose ids are unrelated to corpus ids.
-    */
   /** Broadcast fan-out of the tiny centroid table against every base
     * row, with the base↔centroid cosine attached. A single derived-key
     * broadcast join = BroadcastHashJoin (a raw cross join would plan a
@@ -159,6 +143,11 @@ object Similarity {
     * path. Returns the CHECKPOINTED centroid table (cid, cvec, cnorm):
     * every consumer branch reads the materialized copy, or the whole
     * training subtree would re-execute per branch.
+    *
+    * Seeds are the k LOWEST vec_ids of the corpus frame — id-space
+    * independent (a gated pipeline corpus starting at id 1000 seeds
+    * fine; `vec_id < k` would silently seed nothing) — re-coded to
+    * dense cids via the constant-size window-after-limit pattern.
     */
   private def ivfCentroids(e: DataFrame, k: Int): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
@@ -167,9 +156,10 @@ object Similarity {
         // struct max: highest cosine, ties to the highest cid — deterministic
         .agg(max(struct(col("ccos"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"),
-        col("embedding").as("cvec"), col("norm").as("cnorm"))
+    val seedW = Window.partitionBy(pmod(col("vec_id"), lit(1))).orderBy(col("vec_id"))
+    var centroids = e.orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
     for (_ <- 1 to 2) {
       val memb = assign(centroids).join(e, "vec_id")
       // centroid mean via the native vec_sum aggregate: ONE partial-agg
@@ -203,6 +193,31 @@ object Similarity {
       .select(col("vec_id"), col("cid"))
   }
 
+  /** Exact cosine scoring + ranked top-5 for a `(q_id, n_id)` candidate
+    * frame — the shared tail of every ANN path (LSH, IVF, IVF-PQ): one
+    * site owns the rounding digits, tie-break order, and k.
+    */
+  private def exactTop5(cands: DataFrame, q: DataFrame, e: DataFrame): DataFrame = {
+    val scored = cands
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("norm").as("nn")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+  }
+
+  /** `annIvf` over arbitrary corpus AND query `(vec_id, embedding)`
+    * frames: the index (centroids + inverted lists) builds from the
+    * corpus only; any query frame probes it. `excludeSelf` as in
+    * `annLshFrom`: true for corpus-id-space queries, false for
+    * external frames whose ids are unrelated to corpus ids.
+    */
   def annIvfFrom(emb: DataFrame, queries: DataFrame,
       excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
@@ -225,18 +240,7 @@ object Similarity {
       // multi-assigned vectors can reach a query through two probed
       // lists; score each candidate once
       .distinct()
-    val scored = cands
-      .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("norm").as("qn"))), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("norm").as("nn")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .orderBy("q_id", "rk")
+    exactTop5(cands, q, e)
   }
 
   /** IVF-PQ geometry: 8 subspaces × 8 dims, 32 codes per subspace. A
@@ -256,7 +260,7 @@ object Similarity {
     * third scale path beside hyperplane LSH and plain IVF): the IVF
     * coarse quantizer prunes the corpus to `nProbe` lists, and within
     * them candidates are scored from PRODUCT-QUANTIZED codes via
-    * asymmetric distance computation (ADC: per query, one 8×16 lookup
+    * asymmetric distance computation (ADC: per query, one 8×32 lookup
     * table of subvector dot products; a candidate's approximate cosine
     * is 8 table lookups instead of a 64-dim dot against a vector that
     * would have to live in memory). The ADC top-`PqRerank` are re-scored
@@ -266,7 +270,7 @@ object Similarity {
     * All training is DataFrame aggregations: per-subspace codebooks are
     * 8 independent Lloyd loops run as ONE plan over the exploded
     * (vec_id, sub, subvector) stream — argmin by L2 via struct-min,
-    * centroid update via the native vec_sum aggregate, 8×16 codebook
+    * centroid update via the native vec_sum aggregate, 8×32 codebook
     * rows total. Codes materialize as a narrow (vec_id, array<int>[8])
     * frame — the ENTIRE per-vector index payload. The LUT is a per-query
     * map (map_from_entries) so codebook cells that lose every member
@@ -278,7 +282,14 @@ object Similarity {
   }
 
   /** `annIvfPq` over arbitrary corpus and query frames (`excludeSelf`
-    * as in `annLshFrom`).
+    * as in `annLshFrom`). Duplicate query vec_ids are collapsed — the
+    * per-query ADC map build would otherwise throw on duplicate keys
+    * where the other ANN paths merely emit duplicated rows.
+    *
+    * Checkpoints are LAZY (eager = false): each shared frame still
+    * materializes exactly once at the first action, but constructing
+    * the DataFrame stays side-effect-free and the full training subtree
+    * remains visible to plan audits.
     */
   def annIvfPqFrom(emb: DataFrame, queries: DataFrame,
       excludeSelf: Boolean = true): DataFrame = {
@@ -286,7 +297,7 @@ object Similarity {
     val nProbe = 4
     val e = emb.select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
-      .localCheckpoint() // read by coarse training, PQ training, and re-rank
+      .localCheckpoint(eager = false) // coarse training, PQ training, re-rank
     // PQ on UNIT vectors: subvector dot products then SUM to the full
     // cosine, so ADC approximates the exact score directly
     val unit = e
@@ -297,19 +308,28 @@ object Similarity {
          |  s -> struct(s AS sub, slice(unit, s * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin
     val subs = unit.select(col("vec_id"), explode(expr(subExpr)).as("p"))
       .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
-      .localCheckpoint() // training rounds + final encoding all read it
+      .localCheckpoint(eager = false) // training rounds + final encoding
     def assignCodes(books: DataFrame): DataFrame =
       subs.join(broadcast(books), "sub")
+        // the sv·sv self-term is constant across the 32 code candidates
+        // and cannot move the argmin — d2 keeps only the code-dependent
+        // terms, a third fewer vec_dot calls on the hottest training join
         .withColumn("d2",
-          call_function("vec_dot", col("sv"), col("sv"))
-            - lit(2.0) * call_function("vec_dot", col("sv"), col("cv"))
-            + call_function("vec_dot", col("cv"), col("cv")))
+          call_function("vec_dot", col("cv"), col("cv"))
+            - lit(2.0) * call_function("vec_dot", col("sv"), col("cv")))
         .groupBy("vec_id", "sub")
         // struct min: lowest L2, ties to the lowest code — deterministic
         .agg(min(struct(col("d2"), col("code"))).as("best"))
         .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-    var books = subs.filter(col("vec_id") < PqCodes)
-      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    // seeds: the PqCodes LOWEST corpus ids (id-space independent — a
+    // filter on vec_id < PqCodes would seed NOTHING for a corpus whose
+    // ids start past 32 and silently return an empty index), re-coded
+    // dense 0..PqCodes-1 so the sub*PqCodes+code LUT key never collides
+    val seedW = Window.partitionBy(pmod(col("vec_id"), lit(1))).orderBy(col("vec_id"))
+    val seedIds = unit.select("vec_id").orderBy("vec_id").limit(PqCodes)
+      .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
+    var books = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("code"), col("sv").as("cv"))
     for (_ <- 1 to 2) {
       books = assignCodes(books).join(subs, Seq("vec_id", "sub"))
         .groupBy("sub", "code")
@@ -317,20 +337,21 @@ object Similarity {
         .select(col("sub"), col("code"),
           expr("transform(s, x -> CAST(x / cnt AS FLOAT))").as("cv"))
     }
-    books = books.localCheckpoint() // read by encoding and every query LUT
+    books = books.localCheckpoint(eager = false) // encoding + every query LUT
     val codes = assignCodes(books)
       .groupBy("vec_id")
       .agg(expr(
         "transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
         .as("codes"))
-      .localCheckpoint() // the narrow 8-byte-per-vector index payload
+      .localCheckpoint(eager = false) // the narrow per-vector index payload
 
     val centroids = ivfCentroids(e, k = 16)
     val index = ivfInvertedIndex(e, centroids)
 
     val q = queries.select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
       .withColumn("norm", norm64("embedding"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val qsubs = q
       .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
       .select(col("vec_id").as("q_id"), explode(expr(subExpr)).as("p"))
@@ -367,18 +388,7 @@ object Similarity {
       .filter(col("ark") <= PqRerank)
       .select("q_id", "n_id")
     // exact re-rank of the bounded ADC shortlist
-    val scored = shortlist
-      .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("norm").as("qn"))), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("norm").as("nn")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .orderBy("q_id", "rk")
+    exactTop5(shortlist, q, e)
   }
 
   /** Embedding quality-control gate — the validation pass an embedding

@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq serves an id-shifted corpus (no 0..k seed assumption)") {
+    import org.apache.spark.sql.functions._
+    // ids starting at 1,000,000: seeding by `vec_id < k` would match
+    // nothing and silently return an empty index — seeds must be the
+    // lowest ids of whatever frame arrives
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val out = Similarity.annIvfPqFrom(emb, emb.filter(col("vec_id") < 1000020L))
+      .collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20)
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L)))
+    assert(out.forall(_.getAs[Long]("n_id") >= 1000000L))
+  }
+
   test("embed_qc covers every vector; clean corpus raises no flags") {
     val rows = Similarity.embedQc(spark, sf).collect()
     val n = graft.core.Tables.embeddings(spark, sf).count()
