@@ -1004,7 +1004,7 @@ object SparkEntry {
         |src AS (SELECT token, COUNT(*) AS src_cnt FROM tok GROUP BY 1),
         |tgt AS (SELECT token, COUNT(*) AS tgt_cnt FROM tok WHERE doc_id % 97 = 0 GROUP BY 1),
         |st AS (SELECT SUM(src_cnt) AS s_total FROM src),
-        |tt AS (SELECT SUM(tgt_cnt) AS t_total FROM tgt),
+        |tt AS (SELECT COALESCE(SUM(tgt_cnt), 1) AS t_total FROM tgt),
         |r AS (SELECT token,
         |        (1000000 * COALESCE(tgt_cnt, 0) * s_total) // (src_cnt * t_total) AS ratio_ppm
         |      FROM src LEFT JOIN tgt USING (token), st, tt),
@@ -1019,7 +1019,7 @@ object SparkEntry {
         |src AS (SELECT token, COUNT(*) AS src_cnt FROM tok GROUP BY 1),
         |tgt AS (SELECT token, COUNT(*) AS tgt_cnt FROM tok WHERE doc_id % 97 = 0 GROUP BY 1),
         |st AS (SELECT SUM(src_cnt) AS s_total FROM src),
-        |tt AS (SELECT SUM(tgt_cnt) AS t_total FROM tgt),
+        |tt AS (SELECT COALESCE(SUM(tgt_cnt), 1) AS t_total FROM tgt),
         |r AS (SELECT token,
         |        (1000000 * COALESCE(tgt_cnt, 0) * s_total) // (src_cnt * t_total) AS ratio_ppm
         |      FROM src LEFT JOIN tgt USING (token), st, tt),

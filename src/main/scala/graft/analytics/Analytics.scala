@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
 import graft.core.Tables
 
 /** Core analytic query surface (scan/agg/join/window/as-of/session).
@@ -317,12 +318,12 @@ object Analytics {
     val stages = steps.tail.scanLeft(
       ev.filter(col("event_type") === steps.head)
         .groupBy("user_id").agg(min(col("ts")).as("t_prev"))
-        .localCheckpoint()) { (prev, et) =>
+        .materializeOnce(eager = true)) { (prev, et) =>
       ev.filter(col("event_type") === et)
         .join(prev.select(col("user_id"), col("t_prev")), "user_id")
         .filter(col("ts") > col("t_prev"))
         .groupBy("user_id").agg(min(col("ts")).as("t_prev"))
-        .localCheckpoint()
+        .materializeOnce(eager = true)
     }
     val base = stages.head.agg(count(lit(1)).as("n1"))
     val names = steps.tail.scanLeft(steps.head)((acc, s) => s"$acc>$s")

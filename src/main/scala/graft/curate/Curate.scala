@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
 import graft.core.Tables
 import graft.functions.GraftFunctions
 
@@ -138,7 +139,7 @@ object Curate {
       .withColumn("skey", expr(s"CAST(key DIV $blockDocs AS BIGINT)"))
     lazy val superTotals = withSuper.groupBy(col("skey").as("key"))
       .agg(sum(col("vtot")).as("vtot"))
-      .localCheckpoint()
+      .materializeOnce(eager = true)
     lazy val superRows = superTotals.count()
     if (rows <= maxWindowRows) {
       // base case: bounded frame — partition on a data-derived constant
@@ -169,7 +170,7 @@ object Curate {
       // identically in the rank pass and the count pass
       val ranged = totals.repartitionByRange(np, col("key"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
+        .materializeOnce(eager = true)
       val localW = Window.partitionBy(col("pid")).orderBy(col("key"))
       val withLocal = ranged
         .withColumn("lrk", row_number().over(localW).cast("long"))
@@ -181,7 +182,7 @@ object Curate {
       val dense = withLocal.join(broadcast(pidOff), "pid")
         .select((col("poff") + col("lrk") - 1).as("dkey"),
           col("key").as("orig_key"), col("vtot"))
-        .localCheckpoint()
+        .materializeOnce(eager = true)
       // `dense` is checkpointed above; the narrow projection recomputes
       // from that materialized copy for free, so it satisfies the
       // arrive-checkpointed contract without pinning a second full copy
@@ -229,7 +230,7 @@ object Curate {
     // so choosing a depth never re-runs the corpus aggregation
     val blockTotals = d.groupBy(col("block").as("key"))
       .agg(sum(col("n_tokens")).as("vtot"))
-      .localCheckpoint()
+      .materializeOnce(eager = true)
     val offsets = prefixOffsets(blockTotals, blockTotals.count(), blockDocs, maxWindowRows)
       .select(col("key").as("block"), col("off").as("boff"))
     // the offset frame is corpus/blockDocs rows — broadcastable through

@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
+
 /** Distributed connected components by min-label propagation with edge
   * contraction (hash-to-min style, cf. Kiveris et al. "Connected
   * Components in MapReduce and Beyond").
@@ -18,7 +20,7 @@ import org.apache.spark.sql.functions._
   * pointer-chase expansion resolves members through the evolving map
   * (depth halves per round) so every node's label is its component's
   * minimum id — the unique node with lbl(m) = m. One Spark job per
-  * round; all frames are narrow (two longs) and localCheckpoint-ed so
+  * round; all frames are narrow (two longs) and pinned by materializeOnce so
   * lineage never grows.
   */
 object Components {
@@ -82,8 +84,8 @@ object Components {
       .filter(col("doc_id") =!= col("root"))
     val l0 = symFull.groupBy("doc_id").agg(min("root").as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
-      .localCheckpoint()
-    val forest = localForest(e).localCheckpoint()
+      .materializeOnce(eager = true)
+    val forest = localForest(e).materializeOnce(eager = true)
     val sym0 = forest.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(forest.select(col("dst").as("doc_id"), col("src").as("root")))
       .filter(col("doc_id") =!= col("root"))
@@ -107,7 +109,7 @@ object Components {
       .select(col("la").as("doc_id"), col("lb").as("root"))
       .filter(col("doc_id") =!= col("root"))
       .distinct()
-      .localCheckpoint()
+      .materializeOnce(eager = true)
     e.unpersist()
     var labels = l0
     var converged = sym.limit(1).count() == 0
@@ -125,7 +127,7 @@ object Components {
           relaxed("lbl") === col("pj"), "left")
         .select(relaxed("doc_id"),
           least(relaxed("lbl"), coalesce(col("pjl"), relaxed("lbl"))).as("lbl"))
-        .localCheckpoint(eager = false)
+        .materializeOnce()
       sym = sym
         .join(labelSide(next.select(col("doc_id").as("ea"), col("lbl").as("la"))),
           col("doc_id") === col("ea"))
@@ -134,7 +136,7 @@ object Components {
         .select(col("la").as("doc_id"), col("lb").as("root"))
         .filter(col("doc_id") =!= col("root"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .materializeOnce()
       converged = sym.limit(1).count() == 0
       labels = next
       iter += 1
@@ -153,7 +155,7 @@ object Components {
       val j = labels.join(mapSide, col("lbl") === col("mj"), "left")
         .select(col("doc_id"), col("lbl").as("old"),
           coalesce(col("mlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+        .materializeOnce()
       stable = j.filter(col("lbl") =!= col("old")).limit(1).count() == 0
       labels = j.drop("old")
       jumps += 1

@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
 import graft.core.Tables
 
 /** Iterative graph analytics over entity-relation edges.
@@ -82,7 +83,7 @@ object Graph {
         // flatten lineage each round: the node-sized frame is narrow and
         // the lazy checkpoint keeps round N's broadcast from re-running
         // rounds 1..N-1
-        .localCheckpoint(eager = false)
+        .materializeOnce()
     }
     // no global ORDER BY — node-sized output; the driver compare is order-insensitive
     rank.select(col("node"), col("r").as("rank_u"))

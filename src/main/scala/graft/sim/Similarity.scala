@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
 import graft.core.Tables
 import graft.sim.Vectors.{dot64, norm64, withBandBuckets, withProbeBuckets}
 
@@ -149,7 +150,7 @@ object Similarity {
     * fine; `vec_id < k` would silently seed nothing) — re-coded to
     * dense cids via the constant-size window-after-limit pattern.
     */
-  private def ivfCentroids(e: DataFrame, k: Int): DataFrame = {
+  private def ivfCentroids(e: DataFrame, k: Int, eager: Boolean = true): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
       crossCentroids(e, cents)
         .groupBy("vec_id")
@@ -174,7 +175,7 @@ object Similarity {
         .withColumn("cnorm", norm64("cvec"))
       // no per-round checkpoint: two Lloyd rounds of lineage stay shallow
     }
-    centroids.localCheckpoint()
+    centroids.materializeOnce(eager)
   }
 
   /** Inverted-list index over trained centroids with top-2
@@ -297,7 +298,7 @@ object Similarity {
     val nProbe = 4
     val e = emb.select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
-      .localCheckpoint(eager = false) // coarse training, PQ training, re-rank
+      .materializeOnce() // coarse training, PQ training, re-rank
     // PQ on UNIT vectors: subvector dot products then SUM to the full
     // cosine, so ADC approximates the exact score directly
     val unit = e
@@ -308,7 +309,7 @@ object Similarity {
          |  s -> struct(s AS sub, slice(unit, s * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin
     val subs = unit.select(col("vec_id"), explode(expr(subExpr)).as("p"))
       .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
-      .localCheckpoint(eager = false) // training rounds + final encoding
+      .materializeOnce() // training rounds + final encoding
     def assignCodes(books: DataFrame): DataFrame =
       subs.join(broadcast(books), "sub")
         // the sv·sv self-term is constant across the 32 code candidates
@@ -337,21 +338,21 @@ object Similarity {
         .select(col("sub"), col("code"),
           expr("transform(s, x -> CAST(x / cnt AS FLOAT))").as("cv"))
     }
-    books = books.localCheckpoint(eager = false) // encoding + every query LUT
+    books = books.materializeOnce() // encoding + every query LUT
     val codes = assignCodes(books)
       .groupBy("vec_id")
       .agg(expr(
         "transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
         .as("codes"))
-      .localCheckpoint(eager = false) // the narrow per-vector index payload
+      .materializeOnce() // the narrow per-vector index payload
 
-    val centroids = ivfCentroids(e, k = 16)
+    val centroids = ivfCentroids(e, k = 16, eager = false)
     val index = ivfInvertedIndex(e, centroids)
 
     val q = queries.select("vec_id", "embedding")
       .dropDuplicates("vec_id")
       .withColumn("norm", norm64("embedding"))
-      .localCheckpoint(eager = false)
+      .materializeOnce()
     val qsubs = q
       .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
       .select(col("vec_id").as("q_id"), explode(expr(subExpr)).as("p"))

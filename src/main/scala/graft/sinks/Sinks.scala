@@ -79,8 +79,9 @@ object Sinks {
     * into ~`targetRows`-row files via a round-robin repartition (no key
     * shuffle semantics to preserve — compaction is layout-only, and
     * round-robin spreads rows evenly regardless of the input's skew).
-    * Returns the compacted frame's row count so callers can assert
-    * losslessness cheaply.
+    * VERIFIES losslessness by counting the written output (a
+    * metadata-cheap scan for parquet: row counts come from footers) and
+    * failing loudly on any mismatch; returns that verified row count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetRows: Long = 1000000L,
@@ -91,7 +92,10 @@ object Sinks {
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     df.repartition(files)
       .write.mode(SaveMode.Overwrite).format(format).save(outPath)
-    n
+    val written = spark.read.format(format).load(outPath).count()
+    require(written == n,
+      s"compact lost rows: read $n from $inPath, wrote $written to $outPath")
+    written
   }
 
   /** Latest-wins upsert merge into an existing snapshot (storage.rs:118+

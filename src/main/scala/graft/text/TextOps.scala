@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
 import graft.core.Tables
 
 /** Text-quality analysis for training-data curation.
@@ -218,7 +219,7 @@ object TextOps {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("cnt"))
-      .localCheckpoint()
+      .materializeOnce(eager = true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 1
     var done = false
@@ -252,7 +253,7 @@ object TextOps {
              |IF(size(acc) > 0 AND element_at(acc, -1) = '${q(l)}' AND x = '${q(r)}',
              |   concat(slice(acc, 1, size(acc) - 1), array('${q(l)}${q(r)}')),
              |   concat(acc, array(x))))""".stripMargin))
-          .localCheckpoint(eager = false)
+          .materializeOnce()
         k += 1
       }
     }

@@ -156,6 +156,14 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dedup_embedding fails loudly past its declared O(n²) row bound") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupEmbeddingExact(spark, sf, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("O(n²)"))
+    assert(e.getMessage.contains("dedupEmbeddingLsh"))
+  }
+
   test("dedup_embedding plan has no nested-loop or cartesian join") {
     val plan = Dedup.dedupEmbedding(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"))
