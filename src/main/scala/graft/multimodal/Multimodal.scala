@@ -7,12 +7,82 @@ import graft.core.Tables
 
 /** Multimodal column handling: opaque binary payloads + typed metadata.
   *
-  * The corpus has no true media columns, so the binary payload is the
-  * UTF-8 encoding of the text column — the Spark-side plumbing (binary
-  * schema, partition-batched decode, typed output) is real; only the
-  * codec is a stub.
+  * The corpus has no true media columns, so payloads are synthesized as
+  * a deterministic media CONTAINER — a 10-byte binary header (magic
+  * `GRFT`, version, big-endian width/height, channels) over the UTF-8
+  * body — and everything downstream treats them as opaque bytes, the
+  * way a real ingest treats image/audio blobs. The decode paths
+  * (`mmMeta` in-plan, `DecodePipeline` partition-batched) parse REAL
+  * byte structure back out of that column; the only stand-in left is
+  * the container format itself, since no media codec library ships in
+  * this environment.
   */
 object Multimodal {
+
+  /** Header geometry of the GRFT container: magic(4) + version(1) +
+    * width(2, big-endian) + height(2, big-endian) + channels(1).
+    */
+  private[multimodal] val HeaderBytes = 10
+
+  /** Attach the synthesized container payload to a `(doc_id, text)`
+    * frame: header fields derive from doc_id (so an independent oracle
+    * can predict them without touching bytes), body is the UTF-8 text.
+    * Built as one codegen'd projection — hex-assembled header unhexed
+    * and concatenated with the body; binary `concat` is zero-copy per
+    * row, no shuffle.
+    */
+  private[graft] def withContainer(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        unhex(concat(
+          lit("47524654"), // "GRFT"
+          lit("01"),
+          lpad(hex(lit(16) + pmod(col("doc_id"), lit(1024))), 4, "0"),
+          lpad(hex(lit(16) + pmod(expr("doc_id DIV 1024"), lit(1024))), 4, "0"),
+          lpad(hex(lit(1) + pmod(col("doc_id"), lit(4))), 2, "0"))),
+        encode(col("text"), "UTF-8")).as("payload"))
+
+  /** Container-header decode as ONE declarative projection — the
+    * metadata-extraction pass a media pipeline runs over every blob
+    * before any expensive body decode: verify the magic, parse the
+    * big-endian header fields, and digest the body slice. All native
+    * codegen'd expressions (substring on binary + hex/conv), no UDF, no
+    * shuffle — scan-bound at 100 TB. Total over malformed payloads: a
+    * blob shorter than the header parses to zeroed fields with the
+    * empty-body digest instead of throwing mid-scan (one poison blob
+    * must not kill a corpus-wide pass); `magic_ok` = 0 flags it.
+    *
+    * The DuckDB oracle computes every field INDEPENDENTLY from the
+    * source columns (doc_id arithmetic, md5 of the raw text) — it never
+    * sees the container — so a byte-offset bug in this decode cannot
+    * self-cancel against the encode side: the digest of a mis-sliced
+    * body hashes differently.
+    */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    mmMetaOf(withContainer(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+
+  /** `mmMeta` over an arbitrary `(doc_id, payload binary)` frame. */
+  def mmMetaOf(blobs: DataFrame): DataFrame = {
+    def be(pos: Int, len: Int) =
+      conv(hex(expr(s"substring(payload, $pos, $len)")), 16, 10).cast("long")
+    val wellFormed = length(col("payload")) >= HeaderBytes
+    blobs.select(
+      col("doc_id"),
+      (wellFormed &&
+        decode(expr("substring(payload, 1, 4)"), "UTF-8") === "GRFT")
+        .cast("int").as("magic_ok"),
+      when(wellFormed, be(5, 1)).otherwise(0L).as("version"),
+      when(wellFormed, be(6, 2)).otherwise(0L).as("width"),
+      when(wellFormed, be(8, 2)).otherwise(0L).as("height"),
+      when(wellFormed, be(10, 1)).otherwise(0L).as("channels"),
+      when(wellFormed, (length(col("payload")) - HeaderBytes).cast("long"))
+        .otherwise(0L).as("n_body_bytes"),
+      when(wellFormed, md5(expr(s"substring(payload, ${HeaderBytes + 1}, 2147483647)")))
+        .otherwise(md5(lit(Array.empty[Byte]))).as("body_md5"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
 
   /** Byte-level stats over the opaque binary column, rolled up per
     * source: payload sizes and content digests (sha2-256), the shape a
@@ -116,44 +186,69 @@ object Multimodal {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
 }
 
-/** Typed record for a decoded media asset. */
-case class MediaFeature(docId: Long, nBytes: Int, width: Int, height: Int,
-                        checksum: Long)
+/** Typed record for a decoded media asset — one header parse + body
+  * digest per blob, the fields `Multimodal.mmMetaOf` emits.
+  */
+case class MediaMeta(docId: Long, magicOk: Int, version: Long, width: Long,
+                     height: Long, channels: Long, nBodyBytes: Long,
+                     bodyMd5: String)
 
-/** Partition-batched decode pipeline.
+/** Partition-batched decode pipeline over the GRFT container column.
   *
-  * Real media decode (image resize, audio frame-sample) would run here
-  * per-partition with a native library; the container has none, so
-  * `decodeBatch` is a deterministic stand-in with the same signature
-  * and batch shape a JNI/FFI codec would use. The Spark side — binary
-  * column in, `Dataset[MediaFeature]` out, one codec instance per
-  * partition, no driver collection — is the production plumbing.
+  * This is the imperative-codec shape a real media pipeline uses when
+  * the decoder is a native library (JNI/FFI image/audio codecs): binary
+  * column in, typed `Dataset[MediaMeta]` out, ONE codec instance per
+  * partition (expensive init amortized across the batch), no driver
+  * collection. The codec here is a REAL byte-level parser — magic
+  * check, big-endian header fields, body digest — spec-pinned
+  * field-for-field against the declarative `Multimodal.mmMetaOf` twin,
+  * which is in turn hash-checked against the DuckDB oracle. Only the
+  * container FORMAT is synthetic (no media libraries ship in this
+  * environment); the parsing is not.
   */
 object DecodePipeline {
 
-  /** Stub codec: one instance per partition (mirrors an expensive
-    * native-codec init), deterministic pseudo-features from the bytes.
+  /** GRFT container parser: one instance per partition — the MD5 digest
+    * instance plays the expensive per-codec state (a real codec holds
+    * decode buffers/contexts the same way). Total over malformed
+    * payloads, with semantics identical to `mmMetaOf`'s expression
+    * fallback: short blobs parse to zeroed fields + empty-body digest,
+    * never an exception mid-partition.
     */
-  private[multimodal] final class StubCodec {
-    def decode(id: Long, payload: Array[Byte]): MediaFeature = {
-      // xor-fold checksum stands in for "decoded and inspected the bytes"
-      var cs = 0L
-      var i = 0
-      while (i < payload.length) { cs = cs * 31 + (payload(i) & 0xff); i += 1 }
-      MediaFeature(id, payload.length,
-        width = 16 + (math.abs(cs) % 1024).toInt,
-        height = 16 + (math.abs(cs / 1024) % 1024).toInt,
-        checksum = cs)
+  private[multimodal] final class GrftCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private def hex(b: Array[Byte]): String =
+      b.map("%02x".format(_)).mkString
+
+    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      if (payload.length < Multimodal.HeaderBytes) {
+        MediaMeta(id, 0, 0L, 0L, 0L, 0L, 0L, hex(md.digest()))
+      } else {
+        val magicOk = payload(0) == 'G' && payload(1) == 'R' &&
+          payload(2) == 'F' && payload(3) == 'T'
+        def u8(i: Int): Long = payload(i) & 0xffL
+        md.reset()
+        md.update(payload, Multimodal.HeaderBytes,
+          payload.length - Multimodal.HeaderBytes)
+        MediaMeta(id,
+          magicOk = if (magicOk) 1 else 0,
+          version = u8(4),
+          width = (u8(5) << 8) | u8(6),
+          height = (u8(7) << 8) | u8(8),
+          channels = u8(9),
+          nBodyBytes = (payload.length - Multimodal.HeaderBytes).toLong,
+          bodyMd5 = hex(md.digest()))
+      }
     }
   }
 
-  def run(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+  def run(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.withContainer(
+      graft.core.Tables.documents(spark, dir).select("doc_id", "text"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val codec = new StubCodec // init once per partition, as a real codec would
+        val codec = new GrftCodec // init once per partition, as a real codec would
         it.map { case (id, payload) => codec.decode(id, payload) }
       }
   }

@@ -11,23 +11,69 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("min_sha").matches("[0-9a-f]{64}")))
   }
 
-  test("DecodePipeline decodes every payload with deterministic features") {
-    val feats = DecodePipeline.run(spark, sf).collect()
-    assert(feats.length == 500)
-    assert(feats.forall(f => f.width >= 16 && f.height >= 16))
-    // deterministic: re-running yields identical features
-    val again = DecodePipeline.run(spark, sf).collect()
-    assert(feats.sortBy(_.docId).sameElements(again.sortBy(_.docId)))
+  test("DecodePipeline (imperative codec) equals mm_meta (declarative decode) field-for-field") {
+    val codec = DecodePipeline.run(spark, sf).collect()
+      .map(m => m.docId ->
+        ((m.magicOk, m.version, m.width, m.height, m.channels,
+          m.nBodyBytes, m.bodyMd5))).toMap
+    val plan = Multimodal.mmMeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("magic_ok"), r.getAs[Long]("version"),
+          r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("channels"), r.getAs[Long]("n_body_bytes"),
+          r.getAs[String]("body_md5")))).toMap
+    assert(codec.size == 500 && codec == plan)
+    // and the fields are real header parses, not constants
+    assert(codec.values.map(_._3).toSet.size > 100) // widths vary with doc_id
+    assert(codec.values.forall(_._1 == 1)) // well-formed magic everywhere
   }
 
-  test("DecodePipeline checksum matches a local recompute") {
+  test("DecodePipeline body digest matches a local recompute of the raw text") {
     val f = DecodePipeline.run(spark, sf).collect().minBy(_.docId)
     val text = graft.core.Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") === f.docId)
       .collect().head.getAs[String]("text")
-    var cs = 0L
-    text.getBytes("UTF-8").foreach(b => cs = cs * 31 + (b & 0xff))
-    assert(f.checksum == cs && f.nBytes == text.getBytes("UTF-8").length)
+    val mdHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(f.bodyMd5 == mdHex)
+    assert(f.nBodyBytes == text.getBytes("UTF-8").length.toLong)
+    assert(f.width == 16 + f.docId % 1024)
+    assert(f.height == 16 + (f.docId / 1024) % 1024)
+    assert(f.channels == 1 + f.docId % 4)
+  }
+
+  test("both decode paths are total and identical on malformed payloads") {
+    import org.apache.spark.sql.functions._
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // bad magic (full-length), truncated header, empty blob
+    val blobs = Seq(
+      (1L, "ZZZZ".getBytes("ISO-8859-1") ++
+        Array[Byte](1, 0, 32, 0, 48, 2) ++ "body".getBytes("ISO-8859-1")),
+      (2L, Array[Byte]('G', 'R', 'F')),
+      (3L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val plan = Multimodal.mmMetaOf(blobs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("magic_ok"), r.getAs[Long]("version"),
+          r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("channels"), r.getAs[Long]("n_body_bytes"),
+          r.getAs[String]("body_md5")))).toMap
+    val codec = new DecodePipeline.GrftCodec
+    val imp = blobs.collect().map { r =>
+      val m = codec.decode(r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"))
+      m.docId -> ((m.magicOk, m.version, m.width, m.height, m.channels,
+        m.nBodyBytes, m.bodyMd5))
+    }.toMap
+    assert(plan == imp)
+    // the full-length bad-magic blob still parses its fields: version 1,
+    // width 32, height 48, channels 2, body "body" (4 bytes)
+    assert(plan(1L) == ((0, 1L, 32L, 48L, 2L, 4L,
+      "841a2d689ad86bd1611447453c22c6fc")))
+    // short blobs zero out with the empty digest
+    assert(plan(2L) == ((0, 0L, 0L, 0L, 0L, 0L,
+      "d41d8cd98f00b204e9800998ecf8427e")))
+    assert(plan(3L) == plan(2L))
   }
 
   test("mm_chunk partitions every payload exactly, with verifiable digests") {
