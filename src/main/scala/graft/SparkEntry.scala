@@ -66,6 +66,7 @@ object SparkEntry {
     "quality_score"  -> (TextOps.qualityScore _),
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
     "bpe_learn"      -> ((s: SparkSession, d: String) => TextOps.bpeLearn(s, d)),
+    "bpe_apply"      -> ((s: SparkSession, d: String) => TextOps.bpeApply(s, d)),
     "tfidf_topk"  -> (Relevance.tfidfTopK _),
     "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
     "cooccur_pmi" -> ((s: SparkSession, d: String) => Relevance.cooccurPmi(s, d)),
@@ -102,7 +103,8 @@ object SparkEntry {
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
-    "mm_frame_sample" -> (Multimodal.mmFrameSample _)
+    "mm_frame_sample" -> (Multimodal.mmFrameSample _),
+    "mm_meta"         -> (Multimodal.mmMeta _)
   )
 
   /** The BPE-learning oracle unrolls the Spark operator's rounds in SQL
@@ -114,6 +116,20 @@ object SparkEntry {
     * for drop-last.
     */
   private def bpeLearnOracle(k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS k, l, r, n FROM m$i").mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsCte(k)}
+       |SELECT CAST(k AS BIGINT) AS merge_rank, l AS merge_left, r AS merge_right,
+       |  CAST(n AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The trainer-round CTE chain shared by `bpeLearnOracle` and
+    * `bpeApplyOracle`: w$i is the word-frequency table after i merges
+    * (the word itself rides along so the applier can join back to the
+    * corpus), m$i the round's arg-max merge.
+    */
+  private def bpeRoundsCte(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT p.l AS l, p.r AS r, SUM(cnt) AS n FROM w${i - 1},
@@ -122,28 +138,40 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
          |w$i AS (
-         |  SELECT list_reduce(
+         |  SELECT w, list_reduce(
          |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> CAST([s] AS VARCHAR[]))),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.l AND x[1] = m$i.r
          |                     THEN list_append(list_slice(acc, 1, len(acc) - 1), m$i.l || m$i.r)
          |                     ELSE list_append(acc, x[1]) END) AS syms, cnt
          |  FROM w${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k)
-      .map(i => s"SELECT $i AS k, l, r, n FROM m$i").mkString("\nUNION ALL ")
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |wc AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE len(w) > 0 GROUP BY 1),
-       |w0 AS (SELECT list_transform(range(1, len(w) + 1),
+       |w0 AS (SELECT w, list_transform(range(1, len(w) + 1),
        |         i -> substr(w, CAST(i AS INT), 1)) AS syms, cnt FROM wc),
-       |$rounds
-       |SELECT CAST(k AS BIGINT) AS merge_rank, l AS merge_left, r AS merge_right,
-       |  CAST(n AS BIGINT) AS pair_count
-       |FROM ($union) ORDER BY merge_rank""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** Applies the k learned merges (the same unrolled rounds) and rolls
+    * the final per-word symbol counts up to per-document token counts —
+    * the SQL twin of `TextOps.bpeApply`.
+    */
+  private def bpeApplyOracle(k: Int): String =
+    s"""WITH ${bpeRoundsCte(k)},
+       |tl AS (SELECT w, len(syms) AS n_sym FROM w$k),
+       |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS (SELECT doc_id, COUNT(*) AS n_ws_tokens, SUM(n_sym) AS n_bpe
+       |      FROM tokd JOIN tl USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_ws_tokens, 0) AS BIGINT) AS n_ws_tokens,
+       |  CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
   def oracleSql: Map[String, String] = Map(
     "bpe_learn" -> bpeLearnOracle(10),
+    "bpe_apply" -> bpeApplyOracle(10),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -999,6 +1027,17 @@ object SparkEntry {
         |  CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS frame_bytes,
         |  md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS frame_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // every field predicted from the SOURCE columns (doc_id arithmetic,
+    // md5 of raw text) — the oracle never touches the container bytes,
+    // so it independently verifies the engine's byte-slicing decode
+    "mm_meta" ->
+      """SELECT doc_id, CAST(1 AS INT) AS magic_ok, CAST(1 AS BIGINT) AS version,
+        |  CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 1024) % 1024 AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS channels,
+        |  CAST(strlen(text) AS BIGINT) AS n_body_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "importance_weights" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |src AS (SELECT token, COUNT(*) AS src_cnt FROM tok GROUP BY 1),

@@ -207,19 +207,31 @@ object Curate {
     }
   }
 
+  /** Default token accounting for the packing operators: whitespace
+    * tokens. Swap in `col("n_bpe_tokens")` from a `TextOps.bpeApply`
+    * join (or any precomputed count column) to make the budgets
+    * real-tokenizer-exact — the prefix-sum machinery is count-agnostic.
+    */
+  private def WsTokens: org.apache.spark.sql.Column =
+    size(split(col("text"), " ")).cast("long")
+
   /** `shardPack` over an arbitrary documents frame (doc_id, text) —
     * pipelines call this after filtering the corpus down to survivors.
     * `blockDocs`/`maxWindowRows` are exposed so specs can force deep
     * recursion at test scale; the defaults are the production shape.
+    * `nTokens` is the per-doc token accounting expression (see
+    * `WsTokens`): pass a learned-tokenizer count column and the 20k
+    * budget counts exactly what the training loader will.
     */
   def shardPackDocs(docs: DataFrame, blockDocs: Long = BlockDocs,
-      maxWindowRows: Long = MaxWindowRows): DataFrame = {
+      maxWindowRows: Long = MaxWindowRows,
+      nTokens: org.apache.spark.sql.Column = null): DataFrame = {
     require(blockDocs >= 2 && maxWindowRows >= 1,
       s"shardPackDocs needs blockDocs >= 2 and maxWindowRows >= 1, " +
         s"got ($blockDocs, $maxWindowRows)")
     val d = docs
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Option(nTokens).getOrElse(WsTokens).cast("long").as("n_tokens"))
       .withColumn("block", expr(s"CAST(doc_id DIV $blockDocs AS BIGINT)"))
     val intraW = Window.partitionBy(col("block")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -359,12 +371,16 @@ object Curate {
   def seqPack(spark: SparkSession, dir: String): DataFrame =
     seqPackDocs(Tables.documents(spark, dir))
 
-  /** `seqPack` over an arbitrary documents frame. */
-  def seqPackDocs(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame = {
+  /** `seqPack` over an arbitrary documents frame. `nTokens` as in
+    * `shardPackDocs` — a `bpeApply` count column makes the 2048-token
+    * sequence cuts tokenizer-exact.
+    */
+  def seqPackDocs(docs: DataFrame, seqTokens: Long = SeqTokens,
+      nTokens: org.apache.spark.sql.Column = null): DataFrame = {
     require(seqTokens >= 1, s"seqPackDocs needs seqTokens >= 1, got $seqTokens")
     // shardPackDocs carries the global running-total machinery; its
     // start column is budget-independent (shard_id is just dropped here)
-    shardPackDocs(docs)
+    shardPackDocs(docs, nTokens = nTokens)
       .select(col("doc_id"), col("n_tokens"), col("start"),
         expr(s"CAST(start DIV $seqTokens AS BIGINT)").as("first_seq"),
         expr(s"CAST((start + n_tokens - 1) DIV $seqTokens AS BIGINT)").as("last_seq"))

@@ -214,11 +214,25 @@ object TextOps {
     */
   def bpeLearn(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, dir, merges)._2
+      .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The trainer loop shared by `bpeLearn` (wants the merge table) and
+    * `bpeApply` (wants the final merged-symbol state of the vocabulary):
+    * returns the word frame `(w, syms, cnt)` AFTER all merges plus the
+    * merge rows. The word column rides along so the applier can join
+    * symbol counts back to the corpus token stream — vocab-sized either
+    * way.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String, merges: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     var words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(expr("filter(split(w, ''), c -> c != '')").as("syms"), col("cnt"))
+      .select(col("w"),
+        expr("filter(split(w, ''), c -> c != '')").as("syms"), col("cnt"))
       .materializeOnce(eager = true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 1
@@ -257,7 +271,41 @@ object TextOps {
         k += 1
       }
     }
-    out.toSeq.toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+    (words, out.toSeq)
+  }
+
+  /** BPE merge APPLICATION — the step that makes `bpeLearn`'s output a
+    * working tokenizer instead of a table: fold the learned merges over
+    * the corpus and emit per-document TRUE tokenizer token counts next
+    * to the whitespace counts every packing operator otherwise assumes.
+    * Feed the result to `Curate.shardPackDocs`/`seqPackDocs` via their
+    * `nTokens` parameter and the shard/sequence budgets become
+    * tokenizer-exact (CurateSpec pins that composition).
+    *
+    * Scale shape: merges apply to the distinct-WORD frame (Zipf-bounded
+    * vocabulary, same as training — a word's merged symbol count is
+    * corpus-position independent, so per-occurrence re-tokenization
+    * would be pure waste); the corpus then joins that vocab-sized
+    * `(w, n_sym)` side on the token key — identical to
+    * `importanceWeights`' token join — and one partial agg rolls up per
+    * doc. The LEFT join back to the doc spine keeps degenerate docs
+    * (zero non-empty tokens) in the output with zero counts.
+    */
+  def bpeApply(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    val (words, _) = bpeTrain(spark, dir, merges)
+    val wordLen = words.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordLen, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_sym")).as("n_bpe_tokens"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ws_tokens"), lit(0L)).as("n_ws_tokens"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
   }
 
   /** Bucket width (tokens) for `lengthHistogram`. */

@@ -188,6 +188,29 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("seq_pack budgets become tokenizer-exact with bpe_apply counts") {
+    import org.apache.spark.sql.functions._
+    // thread learned-tokenizer counts through the packing machinery and
+    // check the running totals against a driver prefix sum of the SAME
+    // counts — the composition VERDICT r6 asked for
+    val counts = graft.text.TextOps.bpeApply(spark, sf, merges = 4)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").join(counts, "doc_id")
+    val got = Curate.seqPackDocs(docs, nTokens = col("n_bpe_tokens")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start"))).sortBy(_._1)
+    val bpe = counts.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe_tokens")))
+      .sortBy(_._1)
+    var acc = 0L
+    val expected = bpe.map { case (id, n) => val s = acc; acc += n; (id, n, s) }
+    assert(got.toSeq == expected.toSeq)
+    // and the totals really are BPE totals, not whitespace totals
+    val wsTotal = graft.core.Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(acc > wsTotal)
+  }
+
   test("importance sample keeps parity-weight docs iff hash < weight") {
     // with target == source every weight is exactly 1e6, so every doc
     // must be kept (skey < 1e6 always) — and the skey column must match

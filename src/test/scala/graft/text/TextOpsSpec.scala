@@ -71,6 +71,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._4 > 0))
   }
 
+  test("bpe_apply token counts equal a driver-side re-tokenization under the learned merges") {
+    import org.apache.spark.sql.functions._
+    val merges = TextOps.bpeLearn(spark, sf, merges = 6).collect()
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+      .toSeq
+    def tokenize(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        syms = out.toVector
+      }
+      syms.length.toLong
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      id -> ((ws.length.toLong, ws.map(tokenize).sum))
+    }
+    val got = TextOps.bpeApply(spark, sf, merges = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    assert(got == expected)
+    // merges actually compress: BPE counts sit between words and chars
+    assert(got.values.forall { case (ws, bpe) => bpe >= ws })
+    assert(got.values.map(_._2).sum <
+      docs.values.map(_.count(_ != ' ').toLong).sum)
+  }
+
   test("length_histogram partitions the corpus exactly") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
