@@ -33,6 +33,37 @@ object Pipeline {
     docs
   }
 
+  /** The six per-document gate frames the curation flows share, each
+    * narrowed to `(doc_id, verdict)` and pinned by `Materialize.once`:
+    * a session that runs BOTH the survivor manifest (`curateCorpusFrom`)
+    * and the decision report (`curationReportFrom`) from one
+    * `curateGates` value executes each gate's plan — including the
+    * expensive minhash+CC dedup chain — exactly once, instead of once
+    * per consumer. (The r6 measurement: `curation_report` standalone is
+    * ~14 s at sf0.1, ~10 s of it the dedup chain — paying that twice in
+    * a composed session was pure waste.)
+    */
+  final case class CurationGates(quality: DataFrame, repetition: DataFrame,
+      rarity: DataFrame, lm: DataFrame, cluster: DataFrame, decon: DataFrame)
+
+  /** Build (and pin) the gate frames for a corpus — see `CurationGates`. */
+  def curateGates(spark: SparkSession, dir: String): CurationGates = {
+    import graft.core.Materialize.MatOps
+    CurationGates(
+      quality = graft.text.TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("keep").as("q_keep")).materializeOnce(),
+      repetition = graft.curate.Curate.repetitionStats(spark, dir)
+        .select(col("doc_id"), col("flagged").as("rep_flagged")).materializeOnce(),
+      rarity = graft.text.Relevance.rarityScore(spark, dir)
+        .select(col("doc_id"), col("flagged").as("rare_flagged")).materializeOnce(),
+      lm = graft.text.Relevance.lmScore(spark, dir)
+        .select(col("doc_id"), col("flagged").as("lm_flagged")).materializeOnce(),
+      cluster = graft.dedup.Dedup.dedupCluster(spark, dir)
+        .select(col("doc_id"), col("keep").as("dedup_keep")).materializeOnce(),
+      decon = graft.curate.Curate.decontaminate(spark, dir)
+        .select(col("doc_id"), col("contaminated")).materializeOnce())
+  }
+
   /** The full training-corpus curation flow, the published-pipeline
     * stage order (Gopher/RefinedWeb/CCNet-shape): composite quality
     * gate + intra-doc repetition filter + rare-token (rarity) gate +
@@ -46,22 +77,22 @@ object Pipeline {
     * corpus text is scanned by the stages that need it and never
     * shuffled between them.
     */
-  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val quality = graft.text.TextOps.qualityScore(spark, dir)
-      .filter(col("keep") === 1).select("doc_id")
-    val unrepeated = graft.curate.Curate.repetitionStats(spark, dir)
-      .filter(col("flagged") === 0).select("doc_id")
-    val common = graft.text.Relevance.rarityScore(spark, dir)
-      .filter(col("flagged") === 0).select("doc_id")
-    val probable = graft.text.Relevance.lmScore(spark, dir)
-      .filter(col("flagged") === 0).select("doc_id")
-    val survivors = graft.dedup.Dedup.dedupCluster(spark, dir)
-      .filter(col("keep") === 1).select("doc_id")
-    val clean = graft.curate.Curate.decontaminate(spark, dir)
-      .filter(col("contaminated") === 0).select("doc_id")
-    val keep = quality.join(unrepeated, "doc_id").join(common, "doc_id")
-      .join(probable, "doc_id")
-      .join(survivors, "doc_id").join(clean, "doc_id")
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    curateCorpusFrom(spark, dir, curateGates(spark, dir))
+
+  /** `curateCorpus` over precomputed gate frames — pass the SAME
+    * `curateGates` value to this and `curationReportFrom` and the gates
+    * run once for the whole session (PipelineSpec proves the composed
+    * plans contain no gate machinery, only the pinned frames).
+    */
+  def curateCorpusFrom(spark: SparkSession, dir: String,
+      g: CurationGates): DataFrame = {
+    val keep = g.quality.filter(col("q_keep") === 1).select("doc_id")
+      .join(g.repetition.filter(col("rep_flagged") === 0).select("doc_id"), "doc_id")
+      .join(g.rarity.filter(col("rare_flagged") === 0).select("doc_id"), "doc_id")
+      .join(g.lm.filter(col("lm_flagged") === 0).select("doc_id"), "doc_id")
+      .join(g.cluster.filter(col("dedup_keep") === 1).select("doc_id"), "doc_id")
+      .join(g.decon.filter(col("contaminated") === 0).select("doc_id"), "doc_id")
     graft.curate.Curate.shardPackDocs(
       Tables.documents(spark, dir).select("doc_id", "text").join(keep, "doc_id"))
   }
@@ -85,21 +116,16 @@ object Pipeline {
     * the composition joins six narrow per-doc flag frames on doc_id —
     * text is scanned by the gates, never shuffled between them.
     */
-  def curationReport(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.text.TextOps.qualityScore(spark, dir)
-      .select(col("doc_id"), col("keep").as("q_keep"))
-    val rep = graft.curate.Curate.repetitionStats(spark, dir)
-      .select(col("doc_id"), col("flagged").as("rep_flagged"))
-    val rare = graft.text.Relevance.rarityScore(spark, dir)
-      .select(col("doc_id"), col("flagged").as("rare_flagged"))
-    val lm = graft.text.Relevance.lmScore(spark, dir)
-      .select(col("doc_id"), col("flagged").as("lm_flagged"))
-    val cl = graft.dedup.Dedup.dedupCluster(spark, dir)
-      .select(col("doc_id"), col("keep").as("dedup_keep"))
-    val dc = graft.curate.Curate.decontaminate(spark, dir)
-      .select(col("doc_id"), col("contaminated"))
-    dc.join(q, "doc_id").join(rep, Seq("doc_id"), "left").join(rare, "doc_id")
-      .join(lm, "doc_id").join(cl, "doc_id")
+  def curationReport(spark: SparkSession, dir: String): DataFrame =
+    curationReportFrom(curateGates(spark, dir))
+
+  /** `curationReport` over precomputed gate frames (see
+    * `curateCorpusFrom` for the sharing contract).
+    */
+  def curationReportFrom(g: CurationGates): DataFrame = {
+    g.decon.join(g.quality, "doc_id")
+      .join(g.repetition, Seq("doc_id"), "left").join(g.rarity, "doc_id")
+      .join(g.lm, "doc_id").join(g.cluster, "doc_id")
       .withColumn("rep_flagged", coalesce(col("rep_flagged"), lit(0)))
       .withColumn("keep",
         (col("q_keep") === 1 && col("rep_flagged") === 0 &&

@@ -76,6 +76,8 @@ object SparkEntry {
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
+    "dedup_incremental_indexed" ->
+      (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
     "simhash_fp"      -> (Dedup.simhashFp _),
     "simhash_near"    -> (Dedup.simhashNear _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
@@ -100,6 +102,8 @@ object SparkEntry {
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
     "ann_ivf_pq"  -> (Similarity.annIvfPq _),
+    "ann_ivf_pq_indexed" ->
+      (graft.sim.VectorIndexStore.annIvfPqIndexed _),
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
@@ -167,6 +171,26 @@ object SparkEntry {
        |  CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Shared by `dedup_incremental` and `dedup_incremental_indexed`:
+    * the persisted-index gate is value-identical to the per-call gate.
+    */
+  private val dedupIncrementalOracle: String =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+      |neu AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      |old AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+      |p AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id
+      |      FROM neu n JOIN old o
+      |        ON 2 * len(list_intersect(n.t, o.t)) >=
+      |           len(n.t) + len(o.t) - len(list_intersect(n.t, o.t))),
+      |a AS (SELECT new_id, COUNT(*) AS n_dups, MIN(old_id) AS first_dup
+      |      FROM p GROUP BY 1)
+      |SELECT neu.doc_id AS doc_id,
+      |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+      |  a.first_dup,
+      |  CAST(a.n_dups IS NOT NULL AS INT) AS is_dup
+      |FROM neu LEFT JOIN a ON neu.doc_id = a.new_id
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
   def oracleSql: Map[String, String] = Map(
@@ -813,22 +837,10 @@ object SparkEntry {
     // (hex chars 1-8 = bits 63..32, chars 9-16 = bits 31..0), the high
     // half recombined SIGNED so the product stays inside BIGINT — bit
     // pattern identical to the native Simhash64 big-endian read
-    "dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
-        |neu AS (SELECT * FROM d WHERE doc_id % 5 = 0),
-        |old AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
-        |p AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id
-        |      FROM neu n JOIN old o
-        |        ON 2 * len(list_intersect(n.t, o.t)) >=
-        |           len(n.t) + len(o.t) - len(list_intersect(n.t, o.t))),
-        |a AS (SELECT new_id, COUNT(*) AS n_dups, MIN(old_id) AS first_dup
-        |      FROM p GROUP BY 1)
-        |SELECT neu.doc_id AS doc_id,
-        |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
-        |  a.first_dup,
-        |  CAST(a.n_dups IS NOT NULL AS INT) AS is_dup
-        |FROM neu LEFT JOIN a ON neu.doc_id = a.new_id
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalOracle,
+    // the loaded-index path must be VALUE-identical to the per-call
+    // path, so it answers to the exact same oracle
+    "dedup_incremental_indexed" -> dedupIncrementalOracle,
     "simhash_fp" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,

@@ -1,0 +1,132 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Materialize.MatOps
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.sim.VectorIndexStore.{ensureBuilt, scratchBase}
+import graft.sinks.Sinks
+
+/** Persisted MinHash dedup index — the between-crawls artifact
+  * `Dedup.dedupIncrementalDocs`'s contract has always named ("at 100 TB
+  * the existing side is the persisted (doc_id, bucket) index from the
+  * last run") and this module finally materializes: the existing
+  * corpus's sorted signature sets and LSH band buckets are written once
+  * and every subsequent batch gate LOADS them, so only the new batch —
+  * typically orders of magnitude smaller than the corpus — computes
+  * signatures per run.
+  *
+  * Layout under `basePath` (sink toolkit):
+  *  - `sets/` `(doc_id, s sorted array<int64>)`, bucketed by `doc_id`:
+  *    the verification join shuffles only candidate pairs; the
+  *    corpus-sized signature frame is never exchanged.
+  *  - `banded/` `(doc_id, bucket)`, bucketed by `bucket`: candidate
+  *    generation broadcasts the new batch's bands against it — an
+  *    index-side scan with zero Exchange.
+  *
+  * The query path is the BIPARTITE production shape (new × existing
+  * only — never existing × existing, which the one-shot
+  * `dedupIncremental` pays per call), with the same banding parameters
+  * and the same exact merge-walk verification, so its output equals
+  * `dedupIncrementalDocs` row-for-row (spec-pinned, and the query entry
+  * hash-checks against the SAME DuckDB oracle as `dedup_incremental`).
+  */
+object MinhashIndexStore {
+
+  private val Buckets = 32
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tableName(basePath: String, part: String): String =
+    "graft_mhidx_" + md5hex(basePath).take(10) + "_" + part
+
+  /** Word-token signature sets, sorted for merge-walk verification —
+    * identical to `Dedup.dedupIncrementalDocs`'s per-side projection.
+    */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_sort(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+        .as("s"))
+
+  private def banded(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      explode(call_function("minhash_band_buckets", col("s"), lit(64))).as("bucket"))
+
+  /** Index the existing corpus: one signature pass, two bucketed writes. */
+  def build(docs: DataFrame, basePath: String): Unit = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val sets = signatures(docs).materializeOnce()
+    Sinks.writeBucketed(sets, tableName(basePath, "sets"), "doc_id",
+      Buckets, Some(s"$basePath/sets"))
+    Sinks.writeBucketed(banded(sets), tableName(basePath, "banded"), "bucket",
+      Buckets, Some(s"$basePath/banded"))
+  }
+
+  /** Gate a new `(doc_id, text)` batch against the PERSISTED index —
+    * `dedupIncrementalDocs(newDocs, existing)` semantics where the
+    * existing side never recomputes. doc_ids must be disjoint from the
+    * indexed corpus's. The new batch is assumed small relative to the
+    * corpus (a crawl increment): its bands and signatures broadcast, so
+    * neither index frame is ever exchanged; for corpus-sized batches
+    * run the full `dedupIncrementalDocs` instead.
+    */
+  def dedupIncrementalAgainstIndex(newDocs: DataFrame,
+      basePath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
+      s"$basePath/sets", "doc_id", Buckets)
+    Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
+      s"$basePath/banded", "bucket", Buckets)
+    val oldSets = spark.table(tableName(basePath, "sets"))
+    val oldBanded = spark.table(tableName(basePath, "banded"))
+
+    val newSets = signatures(newDocs).materializeOnce()
+    // bipartite candidates: any (new, old) pair sharing any band bucket,
+    // scored once. Mirrors adaptivePairs' direct path restricted to
+    // mixed pairs — there is no self-side work to amortize here.
+    val cands = broadcast(banded(newSets).withColumnRenamed("doc_id", "new_id"))
+      .join(oldBanded.withColumnRenamed("doc_id", "old_id"), "bucket")
+      .select("new_id", "old_id")
+      .distinct()
+    val verified = cands
+      .join(broadcast(newSets.select(col("doc_id").as("new_id"), col("s").as("s_new"))),
+        "new_id")
+      .join(oldSets.select(col("doc_id").as("old_id"), col("s").as("s_old")),
+        "old_id")
+      .withColumn("inter",
+        call_function("sorted_intersect_count", col("s_new"), col("s_old")))
+      .withColumn("uni",
+        (size(col("s_new")) + size(col("s_old"))).cast("long") - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select("new_id", "old_id")
+    val matches = verified.groupBy("new_id")
+      .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
+    newSets.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("first_dup"),
+        col("n_dups").isNotNull.cast("int").as("is_dup"))
+    // no global ORDER BY — batch-sized output; the driver compare is order-insensitive
+  }
+
+  /** Query-entry form (same split as `Dedup.dedupIncremental`: doc_id %
+    * 5 == 0 plays the fresh crawl): index the existing corpus once at a
+    * deterministic scratch location, then gate the new batch from the
+    * persisted artifacts. Hash-checked against the SAME oracle SQL as
+    * `dedup_incremental` — the loaded-index path must be value-identical
+    * to the per-call path.
+    */
+  def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = scratchBase(dir, "minhash")
+    ensureBuilt(base) { build(docs.filter(col("doc_id") % 5 =!= 0), base) }
+    dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
+  }
+}

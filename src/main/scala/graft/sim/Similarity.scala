@@ -150,7 +150,7 @@ object Similarity {
     * fine; `vec_id < k` would silently seed nothing) — re-coded to
     * dense cids via the constant-size window-after-limit pattern.
     */
-  private def ivfCentroids(e: DataFrame, k: Int, eager: Boolean = true): DataFrame = {
+  private[sim] def ivfCentroids(e: DataFrame, k: Int, eager: Boolean = true): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
       crossCentroids(e, cents)
         .groupBy("vec_id")
@@ -186,7 +186,7 @@ object Similarity {
     * narrow (vec_id, cid) pairs — an explicit space-for-recall trade
     * that leaves per-query probe cost unchanged.
     */
-  private def ivfInvertedIndex(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[sim] def ivfInvertedIndex(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     crossCentroids(e, centroids)
       .withColumn("ark", row_number().over(wAssign))
@@ -222,20 +222,33 @@ object Similarity {
   def annIvfFrom(emb: DataFrame, queries: DataFrame,
       excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val k = 16
-    val nProbe = 4
     val e = emb.select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
-    val centroids = ivfCentroids(e, k)
+    val centroids = ivfCentroids(e, k = 16)
     val index = ivfInvertedIndex(e, centroids)
+    ivfSearch(e, centroids, index, queries, excludeSelf)
+  }
 
+  /** The IVF QUERY path over prebuilt index frames — shared verbatim by
+    * the train-in-plan entry (`annIvfFrom`) and the persisted-index
+    * entry (`VectorIndexStore.annIvfFromIndex`), so "loaded equals
+    * fresh" is structural, not a coincidence of two implementations.
+    * `e` is the raw-vector frame used ONLY for the exact re-scoring
+    * tail; `index` rows are narrow `(vec_id, cid)`.
+    */
+  private[sim] def ivfSearch(e: DataFrame, centroids: DataFrame,
+      index: DataFrame, queries: DataFrame, excludeSelf: Boolean,
+      nProbe: Int = 4): DataFrame = {
     val q = queries.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val probed = crossCentroids(q, centroids)
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
-    val cands = probed.join(index, "cid")
+    // the probe set is |queries| × nProbe rows — broadcast it so the
+    // (possibly corpus-sized, possibly bucket-scanned) inverted index
+    // never exchanges
+    val cands = broadcast(probed).join(index, "cid")
       .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("n_id"))
       // multi-assigned vectors can reach a query through two probed
@@ -295,19 +308,38 @@ object Similarity {
   def annIvfPqFrom(emb: DataFrame, queries: DataFrame,
       excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val nProbe = 4
     val e = emb.select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
       .materializeOnce() // coarse training, PQ training, re-rank
+    val (books, codes) = pqTrain(e)
+    val centroids = ivfCentroids(e, k = 16, eager = false)
+    val index = ivfInvertedIndex(e, centroids)
+    ivfPqSearch(e, centroids, index, books, codes, queries, excludeSelf)
+  }
+
+  /** Subspace-slicing expression shared by corpus encoding and query
+    * LUT construction — one definition of the PQ geometry so the two
+    * sides can never desynchronize.
+    */
+  private val SubExpr =
+    s"""transform(sequence(0, ${PqSubs - 1}),
+       |  s -> struct(s AS sub, slice(unit, s * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin
+
+  private def unitized(df: DataFrame): DataFrame =
+    df.withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
+
+  /** PQ training over a normed corpus frame `(vec_id, embedding, norm)`
+    * → (codebooks `(sub, code, cv)`, codes `(vec_id, codes array<int>)`)
+    * — the two persistable artifacts. All as DataFrame aggregations (8
+    * independent Lloyd loops as ONE plan over the exploded subvector
+    * stream); both results are pinned so every consumer reads the
+    * trained copy.
+    */
+  private[sim] def pqTrain(e: DataFrame): (DataFrame, DataFrame) = {
     // PQ on UNIT vectors: subvector dot products then SUM to the full
     // cosine, so ADC approximates the exact score directly
-    val unit = e
-      .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
-      .select("vec_id", "unit")
-    val subExpr =
-      s"""transform(sequence(0, ${PqSubs - 1}),
-         |  s -> struct(s AS sub, slice(unit, s * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin
-    val subs = unit.select(col("vec_id"), explode(expr(subExpr)).as("p"))
+    val unit = unitized(e).select("vec_id", "unit")
+    val subs = unit.select(col("vec_id"), explode(expr(SubExpr)).as("p"))
       .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
       .materializeOnce() // training rounds + final encoding
     def assignCodes(books: DataFrame): DataFrame =
@@ -345,17 +377,25 @@ object Similarity {
         "transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
         .as("codes"))
       .materializeOnce() // the narrow per-vector index payload
+    (books, codes)
+  }
 
-    val centroids = ivfCentroids(e, k = 16, eager = false)
-    val index = ivfInvertedIndex(e, centroids)
-
+  /** The IVF-PQ QUERY path over prebuilt index frames — shared verbatim
+    * by `annIvfPqFrom` (frames trained in-plan) and
+    * `VectorIndexStore.annIvfPqFromIndex` (frames loaded from the
+    * persisted index), so loaded-vs-built equality is structural. `e`
+    * (raw vectors) feeds ONLY the bounded exact re-rank; candidate
+    * scoring touches nothing wider than the 8-byte code rows.
+    */
+  private[sim] def ivfPqSearch(e: DataFrame, centroids: DataFrame,
+      index: DataFrame, books: DataFrame, codes: DataFrame,
+      queries: DataFrame, excludeSelf: Boolean, nProbe: Int = 4): DataFrame = {
     val q = queries.select("vec_id", "embedding")
       .dropDuplicates("vec_id")
       .withColumn("norm", norm64("embedding"))
       .materializeOnce()
-    val qsubs = q
-      .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
-      .select(col("vec_id").as("q_id"), explode(expr(subExpr)).as("p"))
+    val qsubs = unitized(q)
+      .select(col("vec_id").as("q_id"), explode(expr(SubExpr)).as("p"))
       .select(col("q_id"), col("p.sub").as("sub"), col("p.sv").as("qsv"))
     // per-query ADC table: dot(query subvector, codebook cell) keyed by
     // sub*PqCodes + code — a MAP, not a positional array, so vanished
@@ -373,7 +413,9 @@ object Similarity {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("cid"))
-    val cands = probed.join(index, "cid")
+    // broadcast the tiny probe set: the inverted index (bucket-scanned
+    // when loaded from the persisted form) never exchanges
+    val cands = broadcast(probed).join(index, "cid")
       .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()

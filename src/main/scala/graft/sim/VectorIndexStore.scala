@@ -1,0 +1,168 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Materialize.MatOps
+import graft.sim.Vectors.norm64
+import graft.sinks.Sinks
+
+/** Persisted ANN index artifacts — train once, write, query many times
+  * (reference analogue: meili.rs / indexing.rs, whose entire purpose is
+  * a search index that OUTLIVES the job that built it; until this
+  * module every ANN entry retrained per call).
+  *
+  * Layout under `basePath` (all through the sink toolkit):
+  *  - `centroids/`, `books/`: tiny frames (k rows / 8×32 rows), plain
+  *    parquet — they broadcast at query time regardless of layout.
+  *  - `lists/` (inverted index, `(vec_id, cid)`): BUCKETED by `cid` —
+  *    the probe join streams the bucket files of the probed lists with
+  *    zero Exchange on the index side.
+  *  - `codes/` (PQ codes, `(vec_id, codes)`): BUCKETED by `vec_id` —
+  *    the candidate→codes join shuffles only the bounded candidate
+  *    side; the corpus-sized code frame is never exchanged. At 100 TB
+  *    this is the difference between re-shuffling the whole index per
+  *    query batch and reading just the buckets the join needs.
+  *
+  * Bucketed tables need a catalog entry; `Sinks.restoreBucketed`
+  * re-registers it in a fresh session over the persisted files, so the
+  * index survives the writing session (spec-checked by dropping the
+  * tables and reloading).
+  *
+  * The QUERY paths (`annIvfFromIndex` / `annIvfPqFromIndex`) call the
+  * exact same `Similarity.ivfSearch` / `ivfPqSearch` the train-in-plan
+  * entries use — loaded-vs-built equality is structural. Raw vectors
+  * are NOT part of the index: they stay in the source table and feed
+  * only the bounded exact re-rank.
+  */
+object VectorIndexStore {
+
+  /** The persistable IVF(-PQ) artifacts; `books`/`codes` are null for a
+    * plain-IVF index.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, lists: DataFrame,
+                              books: DataFrame, codes: DataFrame)
+
+  private val Buckets = 32
+  private val IvfK = 16
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Catalog names must be stable per index location (re-registration
+    * hits the same entry) and unique across locations.
+    */
+  private def tableName(basePath: String, part: String): String =
+    "graft_idx_" + md5hex(basePath).take(10) + "_" + part
+
+  private def normed(emb: DataFrame): DataFrame =
+    emb.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
+
+  /** Train the full IVF-PQ index from a corpus frame and persist every
+    * artifact under `basePath`. Returns the in-memory (pinned) frames
+    * so a same-session caller can query without re-reading — and so the
+    * spec can pin loaded == built bit-for-bit.
+    */
+  def buildIvfPq(emb: DataFrame, basePath: String): IvfPqIndex = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val e = normed(emb).materializeOnce()
+    val centroids = Similarity.ivfCentroids(e, IvfK)
+    val lists = Similarity.ivfInvertedIndex(e, centroids).materializeOnce()
+    val (books, codes) = Similarity.pqTrain(e)
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$basePath/centroids")
+    books.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$basePath/books")
+    Sinks.writeBucketed(lists, tableName(basePath, "lists"), "cid",
+      Buckets, Some(s"$basePath/lists"))
+    Sinks.writeBucketed(codes, tableName(basePath, "codes"), "vec_id",
+      Buckets, Some(s"$basePath/codes"))
+    IvfPqIndex(centroids, lists, books, codes)
+  }
+
+  /** Plain-IVF variant: centroids + bucketed inverted lists only. */
+  def buildIvf(emb: DataFrame, basePath: String): IvfPqIndex = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val e = normed(emb).materializeOnce()
+    val centroids = Similarity.ivfCentroids(e, IvfK)
+    val lists = Similarity.ivfInvertedIndex(e, centroids).materializeOnce()
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$basePath/centroids")
+    Sinks.writeBucketed(lists, tableName(basePath, "lists"), "cid",
+      Buckets, Some(s"$basePath/lists"))
+    IvfPqIndex(centroids, lists, null, null)
+  }
+
+  /** Load a persisted index: tiny frames as plain parquet reads, the
+    * bucketed frames through their (restored-if-needed) catalog entries
+    * so reads keep the exchange-free bucket layout.
+    */
+  def loadIvfPq(spark: SparkSession, basePath: String,
+      withPq: Boolean = true): IvfPqIndex = {
+    Sinks.restoreBucketed(spark, tableName(basePath, "lists"),
+      s"$basePath/lists", "cid", Buckets)
+    val lists = spark.table(tableName(basePath, "lists"))
+    val centroids = spark.read.parquet(s"$basePath/centroids")
+    if (!withPq) IvfPqIndex(centroids, lists, null, null)
+    else {
+      Sinks.restoreBucketed(spark, tableName(basePath, "codes"),
+        s"$basePath/codes", "vec_id", Buckets)
+      IvfPqIndex(centroids, lists,
+        spark.read.parquet(s"$basePath/books"),
+        spark.table(tableName(basePath, "codes")))
+    }
+  }
+
+  /** `Similarity.annIvfPqFrom` semantics over a PERSISTED index: loads
+    * centroids/books/lists/codes instead of retraining; `emb` supplies
+    * raw vectors for the exact re-rank only.
+    */
+  def annIvfPqFromIndex(spark: SparkSession, basePath: String, emb: DataFrame,
+      queries: DataFrame, excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = loadIvfPq(spark, basePath)
+    Similarity.ivfPqSearch(normed(emb), idx.centroids, idx.lists,
+      idx.books, idx.codes, queries, excludeSelf)
+  }
+
+  /** `Similarity.annIvfFrom` semantics over a persisted IVF index. */
+  def annIvfFromIndex(spark: SparkSession, basePath: String, emb: DataFrame,
+      queries: DataFrame, excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = loadIvfPq(spark, basePath, withPq = false)
+    Similarity.ivfSearch(normed(emb), idx.centroids, idx.lists,
+      queries, excludeSelf)
+  }
+
+  /** Query-entry form: build the index at a deterministic scratch
+    * location if absent (first call of a session/round — the
+    * `_INDEX_OK` marker plays the index-registry entry a production
+    * store keeps), then answer the default query slice FROM the
+    * persisted artifacts. Second and later calls skip training
+    * entirely — the load-instead-of-retrain path the bench measures.
+    */
+  def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val base = scratchBase(dir, "ivfpq")
+    ensureBuilt(base) { buildIvfPq(emb, base) }
+    annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
+  }
+
+  /** Versioned per-corpus scratch location for query-entry indexes. */
+  private[graft] def scratchBase(dir: String, kind: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-index-v1-$kind-${md5hex(dir).take(10)}"
+
+  /** Build-if-missing with a completion marker: a crashed half-written
+    * build leaves no marker and rebuilds; Overwrite semantics make the
+    * rebuild safe.
+    */
+  private[graft] def ensureBuilt(basePath: String)(build: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(basePath, "_INDEX_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      build
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+  }
+}

@@ -71,6 +71,27 @@ object Sinks {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Re-register a bucketed table written by `writeBucketed` in a NEW
+    * session. Spark's bucketing METADATA lives in the catalog and (with
+    * the default in-memory catalog) dies with the writing session,
+    * while the data files — bucket ids encoded in their names — persist
+    * at `path`; recreating the table entry with the SAME bucket spec
+    * over the same location restores exchange-free reads. No-op when
+    * the table is already registered. The caller owns spec consistency:
+    * re-registering with a different (keyCol, buckets) than the data
+    * was written with would silently mis-bucket joins.
+    */
+  def restoreBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                      path: String, keyCol: String, buckets: Int): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($schema) USING PARQUET
+           |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every long-running
     * columnar sink needs: streaming micro-batches, chunked writes, and
     * fine-grained partitions all accrete files far below the ideal scan

@@ -72,6 +72,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_id") < 900000L))
   }
 
+  test("composed curation flows share one gate computation") {
+    val gates = Pipeline.curateGates(spark, sf)
+    val report = Pipeline.curationReportFrom(gates)
+    val corpus = Pipeline.curateCorpusFrom(spark, sf, gates)
+    // the composed plans read the PINNED gate frames — the gate
+    // machinery (minhash banding, merge-walk verification, n-gram
+    // hashing) appears in neither consumer's physical plan, so the
+    // dedup chain cannot re-execute per consumer
+    Seq("report" -> report, "corpus" -> corpus).foreach { case (n, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("minhash_band_buckets"), s"$n re-plans banding")
+      assert(!plan.contains("sorted_intersect_count"), s"$n re-plans verification")
+      assert(!plan.contains("ngram_hash_set"), s"$n re-plans decontamination")
+    }
+    // and sharing changes nothing about the results
+    val viaGates = report.collect().map(_.toString).sorted
+    val standalone = Pipeline.curationReport(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(viaGates.sameElements(standalone))
+    val manifestViaGates = corpus.collect().map(_.toString).sorted
+    val manifestStandalone = Pipeline.curateCorpus(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(manifestViaGates.sameElements(manifestStandalone))
+    assert(viaGates.nonEmpty && manifestViaGates.nonEmpty)
+  }
+
   test("curationReport's keep set equals curateCorpus's survivor manifest") {
     val reported = Pipeline.curationReport(spark, sf).collect()
     val kept = reported.filter(_.getAs[Int]("keep") == 1)

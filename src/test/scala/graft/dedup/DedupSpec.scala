@@ -58,6 +58,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental via the persisted index equals the per-call gate row-for-row") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mh-idx").toString + "/idx"
+    MinhashIndexStore.build(docs.filter(col("doc_id") % 5 =!= 0), base)
+    // drop the catalog entries: the loaded path must restore bucketed
+    // reads from the persisted files alone, as a fresh session would
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_mhidx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val viaIndexDf = MinhashIndexStore
+      .dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dups"),
+          if (r.isNullAt(r.fieldIndex("first_dup"))) -1L else r.getAs[Long]("first_dup"),
+          r.getAs[Int]("is_dup")))
+    }.toMap
+    val viaIndex = asMap(viaIndexDf.collect())
+    val direct = asMap(Dedup.dedupIncremental(spark, sf).collect())
+    assert(viaIndex.size == 100)
+    assert(viaIndex == direct)
+    assert(viaIndex.values.exists(_._3 == 1)) // the corpus does have dups
+    // the index comes back as bucketed scans, and the existing corpus
+    // never re-bands: only the NEW batch's signature pass is in the plan
+    val plan = viaIndexDf.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
+      "expected bucketed scans for sets and banded")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
     val fp = Dedup.simhashFp(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))

@@ -93,6 +93,61 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_id") >= 1000000L))
   }
 
+  test("persisted IVF-PQ index: loaded results equal built results bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx").toString + "/idx"
+    val built = VectorIndexStore.buildIvfPq(emb, base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // query through the SAME trained frames still in memory...
+    val fromBuilt = rows(Similarity.ivfPqSearch(
+      emb.withColumn("norm", Vectors.norm64("embedding")),
+      built.centroids, built.lists, built.books, built.codes,
+      queries, excludeSelf = true))
+    // ...then DROP the catalog entries (what a fresh session looks like:
+    // the in-memory catalog is gone, only the files remain) and query
+    // from the persisted artifacts alone
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val loadedDf = VectorIndexStore.annIvfPqFromIndex(spark, base, emb, queries)
+    val fromLoaded = rows(loadedDf)
+    assert(fromBuilt.nonEmpty)
+    assert(fromLoaded == fromBuilt)
+    // and the loaded result is a full valid ANN answer above the recall floor
+    val byQ = loadedDf.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20)
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L)))
+    val bf = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val got = loadedDf.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.85, s"loaded-index recall $recall below floor 0.85")
+  }
+
+  test("persisted IVF-PQ query plan reads bucketed index scans and never retrains") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = VectorIndexStore.scratchBase(sf, "ivfpq-planspec")
+    VectorIndexStore.ensureBuilt(base) { VectorIndexStore.buildIvfPq(emb, base) }
+    val plan = VectorIndexStore
+      .annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
+      .queryExecution.executedPlan.toString
+    // the inverted lists and the code frame come back as BUCKETED scans
+    // (the whole point of writing them through the bucketed sink)...
+    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
+      "expected bucketed scans for lists and codes")
+    // ...and no Lloyd round survives into the query plan: training is
+    // load-time-zero, which is what 'persisted index' means
+    assert(!plan.contains("vec_sum"), "loaded path re-runs centroid training")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embed_qc covers every vector; clean corpus raises no flags") {
     val rows = Similarity.embedQc(spark, sf).collect()
     val n = graft.core.Tables.embeddings(spark, sf).count()
