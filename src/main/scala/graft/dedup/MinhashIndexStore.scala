@@ -67,13 +67,39 @@ object MinhashIndexStore {
       Buckets, Some(s"$basePath/banded"))
   }
 
+  /** A new batch at or under `1/SmallBatchDenom` of the indexed corpus
+    * takes the broadcast-bipartite path; above it the adaptive
+    * machinery wins. The crossover is where raw per-bucket mixed pairs
+    * (|new∩b|·|old∩b| per bucket — quadratic in hot buckets) start to
+    * dominate the star-edge/CC/grid overhead: measured at sf0.1, a 20%
+    * "batch" costs 10 s bipartite vs ~4 s adaptive, while a true crawl
+    * increment (≤ a few %) is strictly cheaper bipartite because the
+    * adaptive path would chain old×old candidates nobody asked about.
+    */
+  private val SmallBatchDenom = 20L
+
   /** Gate a new `(doc_id, text)` batch against the PERSISTED index —
     * `dedupIncrementalDocs(newDocs, existing)` semantics where the
-    * existing side never recomputes. doc_ids must be disjoint from the
-    * indexed corpus's. The new batch is assumed small relative to the
-    * corpus (a crawl increment): its bands and signatures broadcast, so
-    * neither index frame is ever exchanged; for corpus-sized batches
-    * run the full `dedupIncrementalDocs` instead.
+    * existing side never recomputes signatures or bands. doc_ids must
+    * be disjoint from the indexed corpus's.
+    *
+    * Physical strategy is chosen from the batch/corpus size ratio (two
+    * cheap narrow counts — the same statistics-driven switch
+    * `Dedup.adaptivePairs` makes from bucket stats):
+    *
+    *  - SMALL batches (a crawl increment): broadcast-bipartite — the
+    *    batch's bands broadcast against the bucketed index scan, only
+    *    mixed pairs ever exist, neither index frame is exchanged.
+    *  - LARGE batches (a re-gate of a corpus slice): union the loaded
+    *    band index with the batch's bands and route through the shared
+    *    `adaptivePairs` machinery (mixed-pair filter before exact
+    *    verification, star-edges→CC→grid when buckets run hot) — raw
+    *    bipartite bucket joins go quadratic in hot buckets exactly the
+    *    way the self-dedup path would.
+    *
+    * Both strategies verify with the same exact merge-walk, so the
+    * output is identical either way (spec-pinned on both sides of the
+    * crossover).
     */
   def dedupIncrementalAgainstIndex(newDocs: DataFrame,
       basePath: String): DataFrame = {
@@ -87,24 +113,44 @@ object MinhashIndexStore {
     val oldBanded = spark.table(tableName(basePath, "banded"))
 
     val newSets = signatures(newDocs).materializeOnce()
-    // bipartite candidates: any (new, old) pair sharing any band bucket,
-    // scored once. Mirrors adaptivePairs' direct path restricted to
-    // mixed pairs — there is no self-side work to amortize here.
-    val cands = broadcast(banded(newSets).withColumnRenamed("doc_id", "new_id"))
-      .join(oldBanded.withColumnRenamed("doc_id", "old_id"), "bucket")
-      .select("new_id", "old_id")
-      .distinct()
-    val verified = cands
-      .join(broadcast(newSets.select(col("doc_id").as("new_id"), col("s").as("s_new"))),
-        "new_id")
-      .join(oldSets.select(col("doc_id").as("old_id"), col("s").as("s_old")),
-        "old_id")
-      .withColumn("inter",
-        call_function("sorted_intersect_count", col("s_new"), col("s_old")))
-      .withColumn("uni",
-        (size(col("s_new")) + size(col("s_old"))).cast("long") - col("inter"))
-      .filter(lit(2) * col("inter") >= col("uni"))
-      .select("new_id", "old_id")
+    val verified =
+      if (newSets.count() * SmallBatchDenom <= oldSets.count()) {
+        // bipartite candidates: any (new, old) pair sharing any band
+        // bucket, scored once — adaptivePairs' direct path restricted
+        // to mixed pairs, with zero self-side work
+        val cands = broadcast(banded(newSets).withColumnRenamed("doc_id", "new_id"))
+          .join(oldBanded.withColumnRenamed("doc_id", "old_id"), "bucket")
+          .select("new_id", "old_id")
+          .distinct()
+        cands
+          .join(broadcast(newSets.select(col("doc_id").as("new_id"), col("s").as("s_new"))),
+            "new_id")
+          .join(oldSets.select(col("doc_id").as("old_id"), col("s").as("s_old")),
+            "old_id")
+          .withColumn("inter",
+            call_function("sorted_intersect_count", col("s_new"), col("s_old")))
+          .withColumn("uni",
+            (size(col("s_new")) + size(col("s_old"))).cast("long") - col("inter"))
+          .filter(lit(2) * col("inter") >= col("uni"))
+          .select("new_id", "old_id")
+      } else {
+        val sets = newSets.withColumn("is_new", lit(true))
+          .unionByName(oldSets.withColumn("is_new", lit(false)))
+          .materializeOnce()
+        val bandedAll = banded(newSets)
+          .unionByName(oldBanded)
+          .materializeOnce()
+        Dedup.adaptivePairs(sets, bandedAll)
+          .filter(col("is_new_a") =!= col("is_new_b"))
+          .withColumn("inter",
+            call_function("sorted_intersect_count", col("s_a"), col("s_b")))
+          .withColumn("uni",
+            (size(col("s_a")) + size(col("s_b"))).cast("long") - col("inter"))
+          .filter(lit(2) * col("inter") >= col("uni"))
+          .select(
+            when(col("is_new_a"), col("doc_id_a")).otherwise(col("doc_id_b")).as("new_id"),
+            when(col("is_new_a"), col("doc_id_b")).otherwise(col("doc_id_a")).as("old_id"))
+      }
     val matches = verified.groupBy("new_id")
       .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
     newSets.select(col("doc_id"))

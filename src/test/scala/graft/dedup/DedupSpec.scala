@@ -68,6 +68,8 @@ class DedupSpec extends SparkSpec {
     spark.catalog.listTables().collect()
       .filter(_.name.startsWith("graft_mhidx_"))
       .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    // a 20% "batch" sits past the small-batch crossover: this exercises
+    // the union + adaptivePairs strategy over the LOADED artifacts
     val viaIndexDf = MinhashIndexStore
       .dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
     def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
@@ -81,13 +83,27 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.size == 100)
     assert(viaIndex == direct)
     assert(viaIndex.values.exists(_._3 == 1)) // the corpus does have dups
-    // the index comes back as bucketed scans, and the existing corpus
-    // never re-bands: only the NEW batch's signature pass is in the plan
     val plan = viaIndexDf.queryExecution.executedPlan.toString
-    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
-      "expected bucketed scans for sets and banded")
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+
+    // SMALL batch (well under the crossover): the broadcast-bipartite
+    // strategy over bucketed index scans, same verdicts as the in-memory
+    // bipartite operator on identical inputs
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val tinyNew = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
+    val smallDf = MinhashIndexStore.dedupIncrementalAgainstIndex(tinyNew, base)
+    val small = asMap(smallDf.collect())
+    val smallDirect = asMap(
+      Dedup.dedupIncrementalDocs(tinyNew, existing).collect())
+    assert(small.nonEmpty && small == smallDirect)
+    // bipartite plan: the index comes back as bucketed scans and the
+    // existing corpus never re-bands
+    val smallPlan = smallDf.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount".r.findAllIn(smallPlan).length >= 2,
+      "expected bucketed scans for sets and banded")
+    assert(!smallPlan.contains("CartesianProduct"))
+    assert(!smallPlan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
