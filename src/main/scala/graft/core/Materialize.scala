@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.storage.StorageLevel
+import java.nio.file.Files
+
+import org.apache.spark.sql.Dataset
 
 /** The engine's ONE materialization primitive for multi-consumer frames
   * (shared dedup signatures, Lloyd-round centroids, CC round frames,
@@ -16,22 +17,28 @@ import org.apache.spark.storage.StorageLevel
   *   partitions die with their executor and are UNRECOVERABLE because
   *   the lineage was truncated — cannot happen with one executor that
   *   IS the driver.
-  * - cluster: `persist(DISK_ONLY)` — same exactly-once compute on the
-  *   happy path, but the lineage is RETAINED, so losing an executor
-  *   (guaranteed at 1000-executor fleet sizes) recomputes the lost
-  *   blocks instead of failing the job. DISK_ONLY because these frames
-  *   back multi-stage fan-outs: memory-tier persists get evicted under
-  *   shuffle pressure exactly when several consumers are about to read
-  *   them.
+  * - cluster: reliable `checkpoint` — writes the blocks to the
+  *   checkpoint directory (HDFS/object store on a real fleet), so
+  *   losing an executor (guaranteed at 1000-executor sizes) re-reads
+  *   from reliable storage instead of failing the job, and the lineage
+  *   is truncated exactly as in local mode.
   *
-  * `spark.graft.materialize` (`localCheckpoint` | `persist`) overrides
-  * the master-based default in either direction — the spec suite runs
-  * the operator set in forced-persist mode to prove the cluster path
-  * computes identical results.
+  * `persist(DISK_ONLY)` was evaluated and REJECTED for the cluster
+  * mode: persist retains lineage, and most of these pins sit inside
+  * iterative loops (CC rounds, BPE merge rounds, Lloyd rounds, the
+  * recursive prefix sum), where retained lineage nests every prior
+  * round's plan inside the next. Measured on this suite, the nested
+  * plans made AQE's plan maintenance alone run for >30 minutes at
+  * sf0.001 — lineage truncation is load-bearing for the iterative
+  * operators, not an optimization.
+  *
+  * `spark.graft.materialize` (`localCheckpoint` | `checkpoint`)
+  * overrides the master-based default in either direction — the spec
+  * suite runs the operator set in forced-checkpoint mode to prove the
+  * cluster path computes identical results through the same code.
   *
   * `eager` mirrors `localCheckpoint`'s parameter (materialize now vs at
-  * first action). Persist is inherently lazy; eagerness there would add
-  * an action for no correctness gain, so it is accepted and ignored.
+  * first action) and is passed through to `checkpoint` unchanged.
   */
 object Materialize {
 
@@ -39,13 +46,25 @@ object Materialize {
 
   def once[T](ds: Dataset[T], eager: Boolean = false): Dataset[T] = {
     val spark = ds.sparkSession
+    val sc = spark.sparkContext
     val mode = spark.conf.getOption(ConfKey).getOrElse(
-      if (spark.sparkContext.isLocal) "localCheckpoint" else "persist")
+      if (sc.isLocal) "localCheckpoint" else "checkpoint")
     mode match {
-      case "persist" => ds.persist(StorageLevel.DISK_ONLY)
       case "localCheckpoint" => ds.localCheckpoint(eager)
+      case "checkpoint" =>
+        if (sc.getCheckpointDir.isEmpty) {
+          // a cluster deployment must point this at reliable shared
+          // storage; defaulting silently to an executor-local path
+          // would reintroduce the failure mode this switch removes
+          require(sc.isLocal,
+            "spark.graft.materialize=checkpoint needs " +
+              "SparkContext.setCheckpointDir on reliable shared storage")
+          sc.setCheckpointDir(
+            Files.createTempDirectory("graft-ckpt").toString)
+        }
+        ds.checkpoint(eager)
       case other => throw new IllegalArgumentException(
-        s"$ConfKey must be 'localCheckpoint' or 'persist', got '$other'")
+        s"$ConfKey must be 'localCheckpoint' or 'checkpoint', got '$other'")
     }
   }
 

@@ -6,25 +6,24 @@ import graft.SparkSpec
 
 /** The cluster-materialization switch: every operator that pins shared
   * frames must compute IDENTICAL results when `spark.graft.materialize`
-  * routes those pins through `persist(DISK_ONLY)` (the cluster mode,
-  * lineage retained) instead of `localCheckpoint` (the local default).
-  * Exercises one representative of each checkpoint-heavy family:
-  * adaptive dedup + CC (dedupMinhash/dedupCluster), the recursive
-  * prefix sum (shardPack), IVF-PQ training (annIvfPq), and the BPE
-  * merge loop (bpeLearn).
+  * routes those pins through reliable `checkpoint` (the cluster mode)
+  * instead of `localCheckpoint` (the local default). Exercises one
+  * representative of each checkpoint-heavy family: adaptive dedup + CC
+  * (dedupMinhash/dedupCluster), the recursive prefix sum (shardPack),
+  * IVF-PQ training (annIvfPq), and the BPE merge loop (bpeLearn).
   */
 class MaterializeSpec extends SparkSpec {
 
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
-  private def inPersistMode[T](body: => T): T = {
-    spark.conf.set("spark.graft.materialize", "persist")
+  private def inCheckpointMode[T](body: => T): T = {
+    spark.conf.set("spark.graft.materialize", "checkpoint")
     try body
     finally spark.conf.unset("spark.graft.materialize")
   }
 
-  test("forced persist mode computes identical results across operator families") {
+  test("forced checkpoint mode computes identical results across operator families") {
     val fns: Seq[(String, () => DataFrame)] = Seq(
       "dedup_minhash" -> (() => graft.dedup.Dedup.dedupMinhash(spark, sf)),
       "dedup_cluster" -> (() => graft.dedup.Dedup.dedupCluster(spark, sf)),
@@ -32,9 +31,9 @@ class MaterializeSpec extends SparkSpec {
       "ann_ivf_pq" -> (() => graft.sim.Similarity.annIvfPq(spark, sf)),
       "bpe_learn" -> (() => graft.text.TextOps.bpeLearn(spark, sf)))
     val local = fns.map { case (n, f) => n -> rows(f()) }
-    val persisted = inPersistMode { fns.map { case (n, f) => n -> rows(f()) } }
-    local.zip(persisted).foreach { case ((n, l), (_, p)) =>
-      assert(l == p, s"$n diverged between localCheckpoint and persist modes")
+    val ckpt = inCheckpointMode { fns.map { case (n, f) => n -> rows(f()) } }
+    local.zip(ckpt).foreach { case ((n, l), (_, p)) =>
+      assert(l == p, s"$n diverged between localCheckpoint and checkpoint modes")
       assert(l.nonEmpty, s"$n returned no rows")
     }
   }
