@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Materialize.MatOps
-import graft.core.Tables
+import graft.core.{Decisions, Tables}
 import graft.functions.GraftFunctions
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -141,6 +141,14 @@ object Curate {
       .agg(sum(col("vtot")).as("vtot"))
       .materializeOnce(eager = true)
     lazy val superRows = superTotals.count()
+    // mirror the branch order below so the lazy super-frame is only
+    // ever forced when the base case has already been ruled out
+    val choice =
+      if (rows <= maxWindowRows) "window"
+      else if (superRows * 2 > rows && !denseKeys) "rekey"
+      else "recurse"
+    Decisions.record("curate.prefixSum", choice, rows.toDouble,
+      maxWindowRows.toDouble)
     if (rows <= maxWindowRows) {
       // base case: bounded frame — partition on a data-derived constant
       // so the (intentionally) single-partition window is explicit in

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Decisions
 import graft.core.Materialize.MatOps
 
 /** Distributed connected components by min-label propagation with edge
@@ -99,6 +100,9 @@ object Components {
     // which matters because the checkpointed frames have no stats and
     // the planner would otherwise sort-merge the full edge stream.
     val nNodes = l0.count()
+    Decisions.record("cc.labelJoin",
+      if (nNodes <= 1000000L) "broadcast" else "shuffle_hash",
+      nNodes.toDouble, 1000000.0)
     def labelSide(df: DataFrame): DataFrame =
       if (nNodes <= 1000000L) broadcast(df) else df.hint("shuffle_hash")
     var sym = sym0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Materialize.MatOps
-import graft.core.Tables
+import graft.core.{Decisions, Tables}
 import graft.functions.GraftFunctions
 import graft.sim.VectorIndexStore.{ensureBuilt, scratchBase}
 import graft.sinks.Sinks
@@ -113,8 +113,13 @@ object MinhashIndexStore {
     val oldBanded = spark.table(tableName(basePath, "banded"))
 
     val newSets = signatures(newDocs).materializeOnce()
+    val nNew = newSets.count()
+    val nOld = oldSets.count()
+    Decisions.record("dedup.indexedGate",
+      if (nNew * SmallBatchDenom <= nOld) "bipartite" else "adaptive",
+      nNew.toDouble, nOld.toDouble / SmallBatchDenom)
     val verified =
-      if (newSets.count() * SmallBatchDenom <= oldSets.count()) {
+      if (nNew * SmallBatchDenom <= nOld) {
         // bipartite candidates: any (new, old) pair sharing any band
         // bucket, scored once — adaptivePairs' direct path restricted
         // to mixed pairs, with zero self-side work
