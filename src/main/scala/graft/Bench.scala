@@ -63,6 +63,7 @@ object Bench {
       // ~265 MB/s and the pair-join shuffles are multi-GB — on a real
       // cluster this is the executors' local NVMe
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // giant unrolled plans make per-execution UI metadata MBs each;
       // don't let a long query sequence accumulate it on the driver heap
@@ -139,9 +140,14 @@ object Bench {
     // once and the run was recorded as unparseable. (Single-box timings
     // swing 3-5× run-to-run anyway, so the dropped decimals were noise.)
     def s2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map {
-      case (k, v, None, _, _)    => "\"" + k + "\":" + s2(v)
-      case (k, _, Some(e), _, _) => "\"" + k + "\":\"ERROR:" + e + "\""
+    // the queries map stays strictly numeric — error strings inside it
+    // once broke the harness's JSON parse and destroyed a whole round's
+    // attribution. Failures go in their own "errors" object instead.
+    val qs = results.collect {
+      case (k, v, None, _, _) => "\"" + k + "\":" + s2(v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect {
+      case (k, _, Some(e), _, _) => "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val sb = results.map { case (k, _, _, b, _) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
@@ -162,7 +168,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_shuffle_last.json")
       try w.println(shuffleLine) finally w.close()
     } catch { case _: Throwable => () } // best-effort: cwd may be read-only
-    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

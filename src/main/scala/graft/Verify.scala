@@ -18,6 +18,7 @@ object Verify {
       // ~265 MB/s and the pair-join shuffles are multi-GB — on a real
       // cluster this is the executors' local NVMe
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,6 +36,10 @@ object Graft {
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim reliable-checkpoint files when their RDD is GC'd — a
+      // long-lived session otherwise accumulates every Materialize pin
+      // on the checkpoint store forever
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // giant unrolled plans make per-execution UI metadata MBs each;
       // don't let a long query sequence accumulate it on the driver heap

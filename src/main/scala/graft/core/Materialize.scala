@@ -23,14 +23,18 @@ import org.apache.spark.sql.Dataset
   *   from reliable storage instead of failing the job, and the lineage
   *   is truncated exactly as in local mode.
   *
-  * `persist(DISK_ONLY)` was evaluated and REJECTED for the cluster
-  * mode: persist retains lineage, and most of these pins sit inside
-  * iterative loops (CC rounds, BPE merge rounds, Lloyd rounds, the
-  * recursive prefix sum), where retained lineage nests every prior
+  * `persist(DISK_ONLY)` ALONE was evaluated and REJECTED for the
+  * cluster mode: persist retains lineage, and most of these pins sit
+  * inside iterative loops (CC rounds, BPE merge rounds, Lloyd rounds,
+  * the recursive prefix sum), where retained lineage nests every prior
   * round's plan inside the next. Measured on this suite, the nested
   * plans made AQE's plan maintenance alone run for >30 minutes at
   * sf0.001 — lineage truncation is load-bearing for the iterative
-  * operators, not an optimization.
+  * operators, not an optimization. The cluster path instead uses the
+  * persist-THEN-checkpoint idiom: a transient DISK_ONLY cache feeds the
+  * checkpoint-write job (avoiding the bare checkpoint's double
+  * computation of the subtree), then is dropped; lineage still
+  * truncates at the checkpoint.
   *
   * `spark.graft.materialize` (`localCheckpoint` | `checkpoint`)
   * overrides the master-based default in either direction — the spec
@@ -59,10 +63,25 @@ object Materialize {
           require(sc.isLocal,
             "spark.graft.materialize=checkpoint needs " +
               "SparkContext.setCheckpointDir on reliable shared storage")
-          sc.setCheckpointDir(
-            Files.createTempDirectory("graft-ckpt").toString)
+          val tmp = Files.createTempDirectory("graft-ckpt")
+          sc.setCheckpointDir(tmp.toString)
+          // local fallback dirs are ours to reclaim (cluster deployments
+          // manage their shared checkpoint root themselves)
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+            catch { case _: Throwable => () }))
         }
-        ds.checkpoint(eager)
+        // persist-then-checkpoint: a bare reliable checkpoint computes the
+        // subtree TWICE (once for the triggering action, once more in the
+        // checkpoint-write job that re-runs the lineage). Caching first
+        // makes the write job read the just-computed blocks instead. The
+        // pin is forced eager here: a lazy reliable pin hands the first
+        // consumer a full-lineage computation (different cost — and under
+        // failure, different recovery — than every later consumer gets).
+        val cached = ds.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val pinned = cached.checkpoint(eager = true)
+        cached.unpersist(blocking = false)
+        pinned
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be 'localCheckpoint' or 'checkpoint', got '$other'")
     }

@@ -142,13 +142,20 @@ object Curate {
       .materializeOnce(eager = true)
     lazy val superRows = superTotals.count()
     // mirror the branch order below so the lazy super-frame is only
-    // ever forced when the base case has already been ruled out
-    val choice =
-      if (rows <= maxWindowRows) "window"
-      else if (superRows * 2 > rows && !denseKeys) "rekey"
-      else "recurse"
-    Decisions.record("curate.prefixSum", choice, rows.toDouble,
-      maxWindowRows.toDouble)
+    // ever forced when the base case has already been ruled out. Each
+    // branch records the (stat, threshold) pair that actually decided
+    // it: window by rows vs maxWindowRows; rekey by the shrink test
+    // superRows*2 vs rows; recurse by the same test (or, on an already
+    // dense key space where rekey is structurally unavailable, by the
+    // guaranteed shrink superRows vs rows) — so the audit invariant
+    // "choice ⟺ recorded relation" holds at every site.
+    val (choice, stat, threshold) =
+      if (rows <= maxWindowRows) ("window", rows.toDouble, maxWindowRows.toDouble)
+      else if (superRows * 2 > rows && !denseKeys)
+        ("rekey", superRows * 2.0, rows.toDouble)
+      else if (!denseKeys) ("recurse", superRows * 2.0, rows.toDouble)
+      else ("recurse", superRows.toDouble, rows.toDouble)
+    Decisions.record("curate.prefixSum", choice, stat, threshold)
     if (rows <= maxWindowRows) {
       // base case: bounded frame — partition on a data-derived constant
       // so the (intentionally) single-partition window is explicit in

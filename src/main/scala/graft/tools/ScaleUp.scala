@@ -66,8 +66,12 @@ object ScaleUp {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // one stride per key space, shared across every table that
     // references it — strides come from the SOURCE key ranges
-    def stride(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head.getLong(0) + 1L
+    def stride(t: String, c: String): Long = {
+      val row = read(t).agg(max(col(c))).head
+      require(!row.isNullAt(0),
+        s"ScaleUp: table '$t' is empty — cannot derive key stride from max($c)")
+      row.getLong(0) + 1L
+    }
     val sCust = stride("customer", "c_custkey")
     val sSupp = stride("supplier", "s_suppkey")
     val sPart = stride("part", "p_partkey")

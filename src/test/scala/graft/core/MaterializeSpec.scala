@@ -38,6 +38,23 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint-mode pin computes its subtree exactly once") {
+    import spark.implicits._
+    // a bare reliable checkpoint(eager) runs TWO jobs over the lineage
+    // (the triggering count + the checkpoint-write job); the
+    // persist-then-checkpoint idiom must bring that back to one
+    // computation, with later consumers reading checkpoint blocks.
+    val acc = spark.sparkContext.longAccumulator("subtree-evals")
+    val base = spark.range(0, 1000, 1, 4).as[Long]
+      .map { x => acc.add(1); x }.toDF("v")
+    val pinned = inCheckpointMode { Materialize.once(base, eager = true) }
+    assert(acc.value == 1000L,
+      s"pin computed the subtree ${acc.value / 1000.0}x (expected exactly 1x)")
+    assert(pinned.count() == 1000L &&
+      pinned.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 499500L)
+    assert(acc.value == 1000L, "a consumer re-ran lineage past the pin")
+  }
+
   test("unknown materialize mode fails loudly") {
     spark.conf.set("spark.graft.materialize", "magic")
     try {
