@@ -101,6 +101,12 @@ object Bench {
         .foreach(f => f(spark, q1Dir).write.format("noop").mode("overwrite").save())
       SparkEntry.queries.get("dedup_cluster")
         .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
+      // the vector hot paths (unrolled dot64/norm64, vec_sum Lloyd
+      // rounds, window top-k) JIT separately from the dedup set — warm
+      // them at the small dir or the alphabetically-FIRST timed query
+      // (ann_ivf) absorbs the whole vector-JIT cost as plan time
+      SparkEntry.queries.get("ann_ivf")
+        .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
     }
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)

@@ -177,7 +177,9 @@ object MinhashIndexStore {
   def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val base = scratchBase(dir, "minhash")
-    ensureBuilt(base) { build(docs.filter(col("doc_id") % 5 =!= 0), base) }
+    val fp = graft.sim.VectorIndexStore.sourceFingerprint(
+      spark, s"$dir/documents.parquet")
+    ensureBuilt(base, fp) { build(docs.filter(col("doc_id") % 5 =!= 0), base) }
     dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
   }
 }

@@ -145,7 +145,9 @@ object VectorIndexStore {
     val emb = graft.core.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
     val base = scratchBase(dir, "ivfpq")
-    ensureBuilt(base) { buildIvfPq(emb, base) }
+    ensureBuilt(base, sourceFingerprint(spark, s"$dir/embeddings.parquet")) {
+      buildIvfPq(emb, base)
+    }
     annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
   }
 
@@ -153,16 +155,39 @@ object VectorIndexStore {
   private[graft] def scratchBase(dir: String, kind: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-index-v1-$kind-${md5hex(dir).take(10)}"
 
-  /** Build-if-missing with a completion marker: a crashed half-written
-    * build leaves no marker and rebuilds; Overwrite semantics make the
-    * rebuild safe.
+  /** Cheap content fingerprint of a source table directory: file names,
+    * sizes, and mtimes of its data files (filesystem metadata only — no
+    * Spark job, no data read). Catches in-place regeneration of the
+    * source corpus, which a path-keyed marker alone cannot: an index
+    * whose source was rewritten would otherwise silently serve
+    * neighbors/duplicates from the previous corpus. A touched-but-equal
+    * source costs one spurious rebuild — the safe direction.
     */
-  private[graft] def ensureBuilt(basePath: String)(build: => Unit): Unit = {
+  private[graft] def sourceFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val files = fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      md5hex(files.map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").mkString("\n"))
+    }
+  }
+
+  /** Build-if-missing-or-stale: the completion marker is stamped with
+    * the SOURCE fingerprint, so a crashed half-written build (no
+    * marker) and an in-place source regeneration (fingerprint mismatch)
+    * both rebuild; Overwrite semantics make the rebuild safe.
+    */
+  private[graft] def ensureBuilt(basePath: String, fingerprint: String)(
+      build: => Unit): Unit = {
     val marker = java.nio.file.Paths.get(basePath, "_INDEX_OK")
-    if (!java.nio.file.Files.exists(marker)) {
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fingerprint
+    if (!fresh) {
       build
       java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8"))
     }
   }
 }

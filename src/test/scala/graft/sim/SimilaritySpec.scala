@@ -133,7 +133,10 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val base = VectorIndexStore.scratchBase(sf, "ivfpq-planspec")
-    VectorIndexStore.ensureBuilt(base) { VectorIndexStore.buildIvfPq(emb, base) }
+    VectorIndexStore.ensureBuilt(base,
+      VectorIndexStore.sourceFingerprint(spark, s"$sf/embeddings.parquet")) {
+      VectorIndexStore.buildIvfPq(emb, base)
+    }
     val plan = VectorIndexStore
       .annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
       .queryExecution.executedPlan.toString
@@ -146,6 +149,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("vec_sum"), "loaded path re-runs centroid training")
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("in-place source regeneration rebuilds the persisted index (no stale artifacts)") {
+    import org.apache.spark.sql.functions._
+    // a corpus directory the test owns, indexed via the query-entry form
+    val dir = java.nio.file.Files.createTempDirectory("graft-regen").toString
+    def writeCorpus(extraIdsFrom: Long): Unit =
+      spark.range(0, 20).select(col("id").as("vec_id"))
+        .union(spark.range(extraIdsFrom, extraIdsFrom + 60)
+          .select(col("id").as("vec_id")))
+        .withColumn("embedding", expr(
+          "transform(sequence(1, 64), j -> CAST(pmod(xxhash64(vec_id, j), 97) / 97.0 AS FLOAT))"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      writeCorpus(100L)
+      val r1 = VectorIndexStore.annIvfPqIndexed(spark, dir).collect()
+      assert(r1.nonEmpty && r1.exists(_.getAs[Long]("n_id") >= 100L))
+      // regenerate IN PLACE with a disjoint non-query id space: a stale
+      // index only knows ids 100-159, whose candidates cannot survive
+      // the re-rank join against the new corpus — neighbors >= 1000
+      // prove the store rebuilt from the regenerated source
+      writeCorpus(1000L)
+      val r2 = VectorIndexStore.annIvfPqIndexed(spark, dir).collect()
+      assert(r2.nonEmpty, "regenerated corpus returned no neighbors")
+      assert(r2.exists(_.getAs[Long]("n_id") >= 1000L),
+        "index served stale artifacts after the source was regenerated")
+      assert(r2.forall(r => r.getAs[Long]("n_id") < 100L ||
+        r.getAs[Long]("n_id") >= 1000L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("embed_qc covers every vector; clean corpus raises no flags") {
