@@ -46,6 +46,7 @@ object SparkEntry {
     "sync_status_rollup" -> (Sync.syncStatusRollup _),
     "queue_depth_stats"  -> (Sync.queueDepthStats _),
     "outbox_depth_stats" -> (Sync.outboxDepthStats _),
+    "alert_rollup"       -> (Sync.alertRollup _),
     "json_props_extract" -> (JsonOps.jsonPropsExtract _),
     "inline_refs"        -> (JsonOps.inlineRefs _),
     "ref_resolve"        -> (JsonOps.refResolve _),
@@ -448,6 +449,39 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN processed_at > now_ns - 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS processed_last_day
         |FROM ev, n GROUP BY ROLLUP(job_type)
         |ORDER BY job_type NULLS FIRST""".stripMargin,
+    "alert_rollup" ->
+      """WITH s AS (
+        |  SELECT event_type AS namespace,
+        |    CASE CAST(event_id % 6 AS INT)
+        |      WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
+        |      WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END AS state
+        |  FROM events),
+        |q AS (
+        |  SELECT namespace,
+        |    CAST(SUM(CASE WHEN state IN ('pending', 'running', 'scheduled') THEN 1 ELSE 0 END) AS BIGINT) AS backlog,
+        |    CAST(SUM(CASE WHEN state = 'dead' THEN 1 ELSE 0 END) AS BIGINT) AS dead
+        |  FROM s GROUP BY namespace),
+        |qa AS (SELECT *, AVG(backlog) OVER () AS thr FROM q),
+        |ev AS (
+        |  SELECT event_type AS job_type,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 END AS processed
+        |  FROM events),
+        |o AS (
+        |  SELECT job_type,
+        |    CAST(SUM(CASE WHEN processed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pending
+        |  FROM ev GROUP BY job_type),
+        |oa AS (SELECT *, AVG(pending) OVER () AS thr FROM o)
+        |SELECT source, scope, condition, observed, threshold FROM (
+        |  SELECT 'queue' AS source, namespace AS scope, 'backlog_high' AS condition,
+        |    backlog AS observed, CAST(thr AS DOUBLE) AS threshold
+        |  FROM qa WHERE backlog > thr
+        |  UNION ALL
+        |  SELECT 'queue', namespace, 'dead_jobs', dead, CAST(0.0 AS DOUBLE)
+        |  FROM q WHERE dead > 0
+        |  UNION ALL
+        |  SELECT 'outbox', job_type, 'pending_high', pending, CAST(thr AS DOUBLE)
+        |  FROM oa WHERE pending > thr)
+        |ORDER BY source, scope, condition""".stripMargin,
     "facet_count" ->
       """WITH j AS (
         |  SELECT o_orderpriority, c_mktsegment, n_name

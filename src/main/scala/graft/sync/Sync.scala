@@ -290,6 +290,46 @@ object Sync {
       .orderBy(col("job_type").asc_nulls_first)
   }
 
+  /** Alert-condition rollup — the analytics analogue of the reference's
+    * notification service (matrix_notify_service.rs:114 `send_message`,
+    * fed by threshold breaches on the sync/queue health gauges the
+    * dashboard polls): evaluates the queue/outbox depth stats against
+    * alert conditions and emits one row per breach, the frame a notifier
+    * would fan out as messages.
+    *
+    * Conditions are data-derived so they scale with the corpus instead
+    * of hard-coding gauge magnitudes: a namespace alerts when its
+    * backlog exceeds the cross-namespace average (`backlog_high`), when
+    * any dead jobs exist (`dead_jobs` — the page-immediately condition),
+    * and a job type alerts when its outbox pending count exceeds the
+    * cross-type average (`pending_high`). The stats frames are
+    * namespace-counted (tiny), so the explicit single-partition windows
+    * computing the averages are constant-size at any corpus scale.
+    */
+  def alertRollup(spark: SparkSession, dir: String): DataFrame = {
+    val q = queueDepthStats(spark, dir)
+    // constant-partition window over a namespace-count-sized frame
+    val qw = Window.partitionBy(pmod(col("backlog"), lit(1)))
+    val qa = q.withColumn("thr", avg(col("backlog")).over(qw))
+    val backlogHigh = qa.filter(col("backlog") > col("thr"))
+      .select(lit("queue").as("source"), col("namespace").as("scope"),
+        lit("backlog_high").as("condition"),
+        col("backlog").as("observed"), col("thr").as("threshold"))
+    val deadJobs = q.filter(col("dead") > 0)
+      .select(lit("queue").as("source"), col("namespace").as("scope"),
+        lit("dead_jobs").as("condition"),
+        col("dead").as("observed"), lit(0.0).as("threshold"))
+    val o = outboxDepthStats(spark, dir).filter(col("job_type").isNotNull)
+    val ow = Window.partitionBy(pmod(col("pending"), lit(1)))
+    val oa = o.withColumn("thr", avg(col("pending")).over(ow))
+    val pendingHigh = oa.filter(col("pending") > col("thr"))
+      .select(lit("outbox").as("source"), col("job_type").as("scope"),
+        lit("pending_high").as("condition"),
+        col("pending").as("observed"), col("thr").as("threshold"))
+    backlogHigh.unionByName(deadJobs).unionByName(pendingHigh)
+      .orderBy("source", "scope", "condition")
+  }
+
   /** SCD type-2 revision history: the reference keeps per-article
     * revisions and serves latest-wins (storage.rs `ON CONFLICT` keyed by
     * (dictionary, id) with revision tracking); this materializes the

@@ -121,4 +121,24 @@ class SyncSpec extends SparkSpec {
       assert(totals.head.getAs[Long](c) == perType.map(_.getAs[Long](c)).sum)
     }
   }
+
+  test("alert_rollup rows breach their own thresholds and match recomputed gauges") {
+    val rows = Sync.alertRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cond = r.getAs[String]("condition")
+      assert(Set("queue", "outbox").contains(r.getAs[String]("source")))
+      assert(Set("backlog_high", "dead_jobs", "pending_high").contains(cond))
+      if (cond == "dead_jobs") assert(r.getAs[Long]("observed") > 0)
+      else assert(r.getAs[Long]("observed") > r.getAs[Double]("threshold"))
+    }
+    // backlog_high fires for EXACTLY the namespaces above the mean backlog
+    val stats = Sync.queueDepthStats(spark, sf).collect()
+      .map(r => r.getAs[String]("namespace") -> r.getAs[Long]("backlog")).toMap
+    val mean = stats.values.sum.toDouble / stats.size
+    val expected = stats.filter(_._2 > mean).keySet
+    val fired = rows.filter(_.getAs[String]("condition") == "backlog_high")
+      .map(_.getAs[String]("scope")).toSet
+    assert(fired == expected, s"backlog_high fired $fired, expected $expected")
+  }
 }
