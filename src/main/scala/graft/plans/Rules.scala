@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal, Murmur3Hash, Pmod}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer extensions for plan shapes the engine keeps hitting.
@@ -30,6 +30,19 @@ object SingleRowCrossToEquiJoin extends Rule[LogicalPlan] {
 
   private def singleRow(p: LogicalPlan): Boolean = p.maxRows.contains(1L)
 
+  /** True when the plan returns EXACTLY one row on any input: a global
+    * aggregate (no grouping — 1 row even over an empty child), possibly
+    * under pruning Projects or hints. `maxRows == 1` alone is not
+    * enough for join ELIMINATION (a limit/filter can return zero rows,
+    * and eliminating the join would then wrongly keep the other side).
+    */
+  private def exactlyOneRow(p: LogicalPlan): Boolean = p match {
+    case Project(_, c)        => exactlyOneRow(c)
+    case ResolvedHint(c, _)   => exactlyOneRow(c)
+    case a: Aggregate         => a.groupingExpressions.isEmpty
+    case _                    => false
+  }
+
   /** The rewrite hashes each side's first output attribute; types hash()
     * rejects (MapType by default, VariantType) would make the injected
     * expression fail analysis — fall through to the original join there.
@@ -38,6 +51,17 @@ object SingleRowCrossToEquiJoin extends Rule[LogicalPlan] {
     Murmur3Hash(Seq(p.output.head), 42).checkInputDataTypes().isSuccess
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // column pruning can empty a 1-row side entirely (a composed query
+    // keeps none of the totals columns): the join then contributes no
+    // columns and no row-count change, so drop it — the equi-join
+    // rewrite below can't apply (nothing to hash on the empty side) and
+    // the join would otherwise fall back to a nested loop
+    case j @ Join(left, right, Inner | Cross, None, _)
+        if right.output.isEmpty && exactlyOneRow(right) =>
+      Project(j.output, left)
+    case j @ Join(left, right, Inner | Cross, None, _)
+        if left.output.isEmpty && exactlyOneRow(left) =>
+      Project(j.output, right)
     case j @ Join(left, right, Inner | Cross, None, hint)
         if (singleRow(right) || singleRow(left)) &&
           left.output.nonEmpty && right.output.nonEmpty &&

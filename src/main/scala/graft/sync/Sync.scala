@@ -319,7 +319,16 @@ object Sync {
       .select(lit("queue").as("source"), col("namespace").as("scope"),
         lit("dead_jobs").as("condition"),
         col("dead").as("observed"), lit(0.0).as("threshold"))
-    val o = outboxDepthStats(spark, dir).filter(col("job_type").isNotNull)
+    // pending-only outbox gauge: the alert ignores the processed-rate
+    // columns, so compute it directly instead of reusing
+    // outboxDepthStats — reuse would drag the 1-row "now" cross join
+    // into the plan only for pruning to empty its output (the
+    // rule-audited BNLJ shape), and a second aggregation pass
+    val o = Tables.events(spark, dir)
+      .select(col("event_type").as("job_type"),
+        (col("event_id") % 3 === 0).cast("long").as("is_pending"))
+      .groupBy("job_type")
+      .agg(sum(col("is_pending")).as("pending"))
     val ow = Window.partitionBy(pmod(col("pending"), lit(1)))
     val oa = o.withColumn("thr", avg(col("pending")).over(ow))
     val pendingHigh = oa.filter(col("pending") > col("thr"))

@@ -27,6 +27,28 @@ class RulesSpec extends SparkSpec {
       r.getAs[Long]("n_docs") == n && r.getAs[Long]("total_chars") == tot))
   }
 
+  test("a pruned-empty 1-row side eliminates the join instead of nested-looping") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars")
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    // downstream keeps NO totals column: pruning empties the 1-row
+    // side's output, the equi-join rewrite has nothing to hash, and
+    // pre-fix the plan fell back to BroadcastNestedLoopJoin
+    val composed = docs.crossJoin(broadcast(totals)).select("doc_id", "n_chars")
+    val plan = composed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pruned-empty single-row side not eliminated:\n$plan")
+    assert(composed.count() == docs.count())
+    // a LIMITED side may return zero rows — eliminating that join would
+    // wrongly keep all left rows, so it must NOT be eliminated even
+    // when pruning empties its output
+    val maybeEmpty = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey").filter(col("o_orderkey") < 0).limit(1)
+    val kept = docs.crossJoin(broadcast(maybeEmpty)).select("doc_id", "n_chars")
+    assert(kept.count() == 0)
+  }
+
   test("the rewrite skips 1-row sides whose head attribute is unhashable") {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
