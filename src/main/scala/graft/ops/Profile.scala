@@ -56,11 +56,12 @@ object Profile {
     * Scale shape: one partial-agg pass builds the per-type (n, Σx, Σx²)
     * stats (one row per metric stream — KB), which broadcast back onto
     * the scan for the flag projection; one more partial agg rolls up.
-    * The corpus is scanned twice and shuffled never. The BIGINT
-    * envelope saturates first at the Σx² ACCUMULATOR (< 9.2e18 — about
-    * 1e9 events at ~$30, under ANSI an overflow raises rather than
-    * corrupts), before the dev² terms; past that, the accumulators and
-    * the comparison both move to DECIMAL(38,0) at ~2× cost.
+    * The corpus is scanned twice and shuffled never. The Σx²
+    * accumulator and the variance/dev² comparison run in DECIMAL(38,0):
+    * the BIGINT envelope saturated at ~1e6 events of ~$100 values
+    * (sf1-measured ANSI overflow), while 38 digits cover any physical
+    * event volume for ~2× cost confined to this projection; n, Σx and
+    * all output columns stay BIGINT.
     */
   def outlierStats(spark: SparkSession, dir: String): DataFrame =
     outlierStatsOf(Tables.events(spark, dir), "event_type", "value")
@@ -74,12 +75,20 @@ object Profile {
     val e = frame
       .select(col(keyCol).as("event_type"),
         expr(s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    // Σx² and the comparison run in DECIMAL(38,0): the BIGINT envelope
+    // saturates at the q accumulator and the ×4 variance term around 1e6
+    // events of ~$100 values (measured: sf1 replicas raise
+    // SparkArithmeticException under ANSI), while DECIMAL(38,0) is exact
+    // to 38 digits — beyond any physical event volume — for ~2× cost on
+    // this one projection. n, s, and every OUTPUT column stay BIGINT, so
+    // oracle hashes are unchanged.
     val st = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-        sum(col("cents") * col("cents")).as("q"))
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
     e.join(broadcast(st), "event_type")
       .withColumn("flag", expr(
-        "CAST((n * cents - s) * (n * cents - s) > 4 * (n * q - s * s) AS INT)"))
+        """CAST((CAST(n AS DECIMAL(38,0)) * cents - s) * (CAST(n AS DECIMAL(38,0)) * cents - s)
+          |     > 4 * (CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s) AS INT)""".stripMargin))
       .groupBy("event_type")
       // DIV truncates toward zero exactly like the oracle's // (DuckDB
       // -5 // 2 = -2, verified) — negative refund sums agree bit-for-bit
