@@ -16,7 +16,18 @@ object Scratch {
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s  -> $r")
       r
     }
-    if (args.lift(1).contains("cluster")) {
+    if (args.lift(1).contains("curation")) {
+      // per-gate stage breakdown of curation_report (each gate frame is
+      // what Pipeline.curateGates pins; the report joins them on doc_id)
+      time("warm scan")(graft.core.Tables.documents(spark, dir).count())
+      time("gate quality")(graft.text.TextOps.qualityScore(spark, dir).count())
+      time("gate repetition")(graft.curate.Curate.repetitionStats(spark, dir).count())
+      time("gate rarity")(graft.text.Relevance.rarityScore(spark, dir).count())
+      time("gate lm")(graft.text.Relevance.lmScore(spark, dir).count())
+      time("gate dedup_cluster")(graft.dedup.Dedup.dedupCluster(spark, dir).count())
+      time("gate decontaminate")(graft.curate.Curate.decontaminate(spark, dir).count())
+      time("composed report")(graft.Pipeline.curationReport(spark, dir).count())
+    } else if (args.lift(1).contains("cluster")) {
       time("warm q1")(graft.core.Tables.lineitem(spark, dir).count())
       val pairs = graft.dedup.Dedup.dedupMinhash(spark, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
