@@ -18,15 +18,22 @@ object Scratch {
     }
     if (args.lift(1).contains("curation")) {
       // per-gate stage breakdown of curation_report (each gate frame is
-      // what Pipeline.curateGates pins; the report joins them on doc_id)
+      // what Pipeline.curateGates pins; the report joins them on doc_id).
+      // Gates run through the noop sink, NOT count(): a bare count lets
+      // Spark prune the projection-only scoring expressions the gate
+      // exists to measure (the same trap Bench documents)
+      // by-name: frame CONSTRUCTION is part of the stage (the dedup
+      // chain runs its statistics actions and eager pins there)
+      def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+        time(label)(df.write.format("noop").mode("overwrite").save())
       time("warm scan")(graft.core.Tables.documents(spark, dir).count())
-      time("gate quality")(graft.text.TextOps.qualityScore(spark, dir).count())
-      time("gate repetition")(graft.curate.Curate.repetitionStats(spark, dir).count())
-      time("gate rarity")(graft.text.Relevance.rarityScore(spark, dir).count())
-      time("gate lm")(graft.text.Relevance.lmScore(spark, dir).count())
-      time("gate dedup_cluster")(graft.dedup.Dedup.dedupCluster(spark, dir).count())
-      time("gate decontaminate")(graft.curate.Curate.decontaminate(spark, dir).count())
-      time("composed report")(graft.Pipeline.curationReport(spark, dir).count())
+      run("gate quality")(graft.text.TextOps.qualityScore(spark, dir))
+      run("gate repetition")(graft.curate.Curate.repetitionStats(spark, dir))
+      run("gate rarity")(graft.text.Relevance.rarityScore(spark, dir))
+      run("gate lm")(graft.text.Relevance.lmScore(spark, dir))
+      run("gate dedup_cluster")(graft.dedup.Dedup.dedupCluster(spark, dir))
+      run("gate decontaminate")(graft.curate.Curate.decontaminate(spark, dir))
+      run("composed report")(graft.Pipeline.curationReport(spark, dir))
     } else if (args.lift(1).contains("cluster")) {
       time("warm q1")(graft.core.Tables.lineitem(spark, dir).count())
       val pairs = graft.dedup.Dedup.dedupMinhash(spark, dir)

@@ -74,13 +74,17 @@ object Materialize {
         // persist-then-checkpoint: a bare reliable checkpoint computes the
         // subtree TWICE (once for the triggering action, once more in the
         // checkpoint-write job that re-runs the lineage). Caching first
-        // makes the write job read the just-computed blocks instead. The
-        // pin is forced eager here: a lazy reliable pin hands the first
-        // consumer a full-lineage computation (different cost — and under
-        // failure, different recovery — than every later consumer gets).
+        // makes the write job read the just-computed blocks instead —
+        // in BOTH eagerness modes (lazy: the first consumer's job fills
+        // the cache, then the end-of-job checkpoint hook reads it).
+        // Eager pins drop the transient cache as soon as the checkpoint
+        // holds the blocks; a lazy pin cannot (nothing has materialized
+        // yet), so its cache is reclaimed by the reference-tracking
+        // cleaner instead — the price of keeping plan construction
+        // side-effect-free for audit/report tooling.
         val cached = ds.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val pinned = cached.checkpoint(eager = true)
-        cached.unpersist(blocking = false)
+        val pinned = cached.checkpoint(eager)
+        if (eager) cached.unpersist(blocking = false)
         pinned
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be 'localCheckpoint' or 'checkpoint', got '$other'")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Materialize.MatOps
 import graft.core.{Decisions, Tables}
 import graft.functions.GraftFunctions
-import graft.sim.VectorIndexStore.{ensureBuilt, scratchBase}
+import graft.core.IndexScratch.{ensureBuilt, scratchBase, sourceFingerprint}
 import graft.sinks.Sinks
 
 /** Persisted MinHash dedup index — the between-crawls artifact
@@ -37,12 +37,8 @@ object MinhashIndexStore {
 
   private val Buckets = 32
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private def tableName(basePath: String, part: String): String =
-    "graft_mhidx_" + md5hex(basePath).take(10) + "_" + part
+    "graft_mhidx_" + graft.core.IndexScratch.md5hex(basePath).take(10) + "_" + part
 
   /** Word-token signature sets, sorted for merge-walk verification —
     * identical to `Dedup.dedupIncrementalDocs`'s per-side projection.
@@ -177,8 +173,7 @@ object MinhashIndexStore {
   def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val base = scratchBase(dir, "minhash")
-    val fp = graft.sim.VectorIndexStore.sourceFingerprint(
-      spark, s"$dir/documents.parquet")
+    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
     ensureBuilt(base, fp) { build(docs.filter(col("doc_id") % 5 =!= 0), base) }
     dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
   }

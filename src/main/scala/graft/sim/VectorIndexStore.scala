@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.IndexScratch
 import graft.core.Materialize.MatOps
 import graft.sim.Vectors.norm64
 import graft.sinks.Sinks
@@ -46,15 +47,11 @@ object VectorIndexStore {
   private val Buckets = 32
   private val IvfK = 16
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** Catalog names must be stable per index location (re-registration
     * hits the same entry) and unique across locations.
     */
   private def tableName(basePath: String, part: String): String =
-    "graft_idx_" + md5hex(basePath).take(10) + "_" + part
+    "graft_idx_" + IndexScratch.md5hex(basePath).take(10) + "_" + part
 
   private def normed(emb: DataFrame): DataFrame =
     emb.select("vec_id", "embedding").withColumn("norm", norm64("embedding"))
@@ -144,50 +141,11 @@ object VectorIndexStore {
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
-    val base = scratchBase(dir, "ivfpq")
-    ensureBuilt(base, sourceFingerprint(spark, s"$dir/embeddings.parquet")) {
+    val base = IndexScratch.scratchBase(dir, "ivfpq")
+    IndexScratch.ensureBuilt(base,
+      IndexScratch.sourceFingerprint(spark, s"$dir/embeddings.parquet")) {
       buildIvfPq(emb, base)
     }
     annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
-  }
-
-  /** Versioned per-corpus scratch location for query-entry indexes. */
-  private[graft] def scratchBase(dir: String, kind: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-index-v1-$kind-${md5hex(dir).take(10)}"
-
-  /** Cheap content fingerprint of a source table directory: file names,
-    * sizes, and mtimes of its data files (filesystem metadata only — no
-    * Spark job, no data read). Catches in-place regeneration of the
-    * source corpus, which a path-keyed marker alone cannot: an index
-    * whose source was rewritten would otherwise silently serve
-    * neighbors/duplicates from the previous corpus. A touched-but-equal
-    * source costs one spurious rebuild — the safe direction.
-    */
-  private[graft] def sourceFingerprint(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else {
-      val files = fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-      md5hex(files.map(f =>
-        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").mkString("\n"))
-    }
-  }
-
-  /** Build-if-missing-or-stale: the completion marker is stamped with
-    * the SOURCE fingerprint, so a crashed half-written build (no
-    * marker) and an in-place source regeneration (fingerprint mismatch)
-    * both rebuild; Overwrite semantics make the rebuild safe.
-    */
-  private[graft] def ensureBuilt(basePath: String, fingerprint: String)(
-      build: => Unit): Unit = {
-    val marker = java.nio.file.Paths.get(basePath, "_INDEX_OK")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fingerprint
-    if (!fresh) {
-      build
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8"))
-    }
   }
 }

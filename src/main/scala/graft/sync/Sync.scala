@@ -307,34 +307,42 @@ object Sync {
     * computing the averages are constant-size at any corpus scale.
     */
   def alertRollup(spark: SparkSession, dir: String): DataFrame = {
-    val q = queueDepthStats(spark, dir)
-    // constant-partition window over a namespace-count-sized frame
-    val qw = Window.partitionBy(pmod(col("backlog"), lit(1)))
-    val qa = q.withColumn("thr", avg(col("backlog")).over(qw))
-    val backlogHigh = qa.filter(col("backlog") > col("thr"))
-      .select(lit("queue").as("source"), col("namespace").as("scope"),
+    // ONE events scan and ONE groupBy(event_type) computes all three
+    // gauges (backlog and dead from the %6 state code, outbox pending
+    // from the %3 processed code — the same derivations
+    // queueDepthStats / outboxDepthStats document); reusing those two
+    // operators verbatim would scan and shuffle the corpus twice for
+    // gauges grouped by the same key. At 100 TB the scan IS the query.
+    val state = expr(
+      """CASE CAST(event_id % 6 AS INT)
+        |  WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
+        |  WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END""".stripMargin)
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), state.as("state"),
+        (col("event_id") % 3 === 0).cast("long").as("is_pending"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("state").isin("pending", "running", "scheduled"), 1L)
+          .otherwise(0L)).as("backlog"),
+        sum(when(col("state") === "dead", 1L).otherwise(0L)).as("dead"),
+        sum(col("is_pending")).as("pending"))
+    // constant-partition windows over the namespace-count-sized frame
+    val w = Window.partitionBy(pmod(col("backlog"), lit(1)))
+    val ga = g
+      .withColumn("bthr", avg(col("backlog")).over(w))
+      .withColumn("pthr", avg(col("pending")).over(w))
+    val backlogHigh = ga.filter(col("backlog") > col("bthr"))
+      .select(lit("queue").as("source"), col("event_type").as("scope"),
         lit("backlog_high").as("condition"),
-        col("backlog").as("observed"), col("thr").as("threshold"))
-    val deadJobs = q.filter(col("dead") > 0)
-      .select(lit("queue").as("source"), col("namespace").as("scope"),
+        col("backlog").as("observed"), col("bthr").as("threshold"))
+    val deadJobs = ga.filter(col("dead") > 0)
+      .select(lit("queue").as("source"), col("event_type").as("scope"),
         lit("dead_jobs").as("condition"),
         col("dead").as("observed"), lit(0.0).as("threshold"))
-    // pending-only outbox gauge: the alert ignores the processed-rate
-    // columns, so compute it directly instead of reusing
-    // outboxDepthStats — reuse would drag the 1-row "now" cross join
-    // into the plan only for pruning to empty its output (the
-    // rule-audited BNLJ shape), and a second aggregation pass
-    val o = Tables.events(spark, dir)
-      .select(col("event_type").as("job_type"),
-        (col("event_id") % 3 === 0).cast("long").as("is_pending"))
-      .groupBy("job_type")
-      .agg(sum(col("is_pending")).as("pending"))
-    val ow = Window.partitionBy(pmod(col("pending"), lit(1)))
-    val oa = o.withColumn("thr", avg(col("pending")).over(ow))
-    val pendingHigh = oa.filter(col("pending") > col("thr"))
-      .select(lit("outbox").as("source"), col("job_type").as("scope"),
+    val pendingHigh = ga.filter(col("pending") > col("pthr"))
+      .select(lit("outbox").as("source"), col("event_type").as("scope"),
         lit("pending_high").as("condition"),
-        col("pending").as("observed"), col("thr").as("threshold"))
+        col("pending").as("observed"), col("pthr").as("threshold"))
     backlogHigh.unionByName(deadJobs).unionByName(pendingHigh)
       .orderBy("source", "scope", "condition")
   }

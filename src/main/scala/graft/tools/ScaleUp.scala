@@ -50,9 +50,11 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is ns-precision: read as long ns, the same convention
-      // every Graft session uses (core.Tables.events); the replica is
-      // written back as plain INT64, which the same setting reads fine
+      // events.ts physical type varies by corpus generation (INT64 ns
+      // needs this setting; timestamp[us] ignores it). ScaleUp copies
+      // ts VERBATIM — replicas keep whatever layout the source had,
+      // and consumers normalize through core.Tables.events. Any future
+      // ts arithmetic here must route through Tables.normalizeTs first.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")

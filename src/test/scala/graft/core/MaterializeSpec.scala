@@ -55,6 +55,22 @@ class MaterializeSpec extends SparkSpec {
     assert(acc.value == 1000L, "a consumer re-ran lineage past the pin")
   }
 
+  test("lazy checkpoint-mode pin is side-effect-free and still computes once") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("lazy-subtree-evals")
+    val base = spark.range(0, 1000, 1, 4).as[Long]
+      .map { x => acc.add(1); x }.toDF("v")
+    val pinned = inCheckpointMode { Materialize.once(base, eager = false) }
+    // construction must not run jobs — audit/report tooling builds
+    // frames only to inspect their plans
+    assert(acc.value == 0L, s"lazy pin ran the subtree at construction (${acc.value})")
+    assert(pinned.count() == 1000L)
+    assert(acc.value == 1000L,
+      s"first action computed the subtree ${acc.value / 1000.0}x (expected 1x)")
+    assert(pinned.count() == 1000L)
+    assert(acc.value == 1000L, "a later consumer re-ran lineage past the pin")
+  }
+
   test("unknown materialize mode fails loudly") {
     spark.conf.set("spark.graft.materialize", "magic")
     try {

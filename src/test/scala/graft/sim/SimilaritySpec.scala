@@ -132,9 +132,9 @@ class SimilaritySpec extends SparkSpec {
   test("persisted IVF-PQ query plan reads bucketed index scans and never retrains") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
-    val base = VectorIndexStore.scratchBase(sf, "ivfpq-planspec")
-    VectorIndexStore.ensureBuilt(base,
-      VectorIndexStore.sourceFingerprint(spark, s"$sf/embeddings.parquet")) {
+    val base = graft.core.IndexScratch.scratchBase(sf, "ivfpq-planspec")
+    graft.core.IndexScratch.ensureBuilt(base,
+      graft.core.IndexScratch.sourceFingerprint(spark, s"$sf/embeddings.parquet")) {
       VectorIndexStore.buildIvfPq(emb, base)
     }
     val plan = VectorIndexStore
