@@ -112,9 +112,9 @@ object Bench {
     spark.sparkContext.addSparkListener(shuffle)
     // optional comma-separated subset for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String], Long, Boolean) = {
       val b0 = shuffle.bytes.get()
       val t0 = System.nanoTime()
       val err =
@@ -136,7 +136,31 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      (name, dt, err, db, quiesced)
+      (dt, err, db, quiesced)
+    }
+
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val (dt, err, db, quiesced) = runOnce(fn)
+        (name, dt, err, db, quiesced)
+      }
+    // single-box readings for the heavy tail swing 3-5× with box
+    // contention (two rounds lost attribution time to phantom
+    // regressions) — re-run queries slower than the threshold twice
+    // more and report the per-query MEDIAN of 3. Shuffle bytes keep the
+    // first pass's delta (plan-determined, rerun-invariant). 0 disables
+    // (e.g. very large SF runs where 3× the tail is unaffordable).
+    val medianSec = sys.env.get("SPARK_GRAFT_MEDIAN_SEC").map(_.toDouble).getOrElse(5.0)
+    val rerunTimes: Map[String, Seq[Double]] =
+      if (medianSec <= 0) Map.empty
+      else firstPass.collect { case (name, dt, None, _, _) if dt > medianSec =>
+        val more = Seq.fill(2)(runOnce(SparkEntry.queries(name))._1)
+        name -> (dt +: more)
+      }.toMap
+    val results = firstPass.map { case (name, dt, err, db, quiesced) =>
+      val t = rerunTimes.get(name).map(_.sorted.apply(1)).getOrElse(dt)
+      (name, t, err, db, quiesced)
     }
     // a failed query must surface as an error, never as a ~0s "win".
     // Seconds are rounded to 2 decimals: the harness that collects this
@@ -152,8 +176,17 @@ object Bench {
     val qs = results.collect {
       case (k, v, None, _, _) => "\"" + k + "\":" + s2(v)
     }.mkString("{", ",", "}")
+    // escape the error value: today it's getSimpleName (no specials),
+    // but a future switch to getMessage must not be able to reintroduce
+    // the unparseable-JSON failure mode via quotes/newlines
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c    => c.toString
+    } + "\""
     val errs = results.collect {
-      case (k, _, Some(e), _, _) => "\"" + k + "\":\"" + e + "\""
+      case (k, _, Some(e), _, _) => jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val sb = results.map { case (k, _, _, b, _) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
@@ -174,6 +207,21 @@ object Bench {
       val w = new java.io.PrintWriter("bench_shuffle_last.json")
       try w.println(shuffleLine) finally w.close()
     } catch { case _: Throwable => () } // best-effort: cwd may be read-only
+    // per-run samples for the median-of-3 queries — own line + file so
+    // round-over-round attribution can see the spread without bloating
+    // the tail-parsed total line
+    if (rerunTimes.nonEmpty) {
+      val vr = rerunTimes.toSeq.sortBy(_._1).map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(s2).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val varianceLine =
+        s"""{"metric":"bench_variance","median_threshold_sec":${s2(medianSec)},"runs":$vr,"sf":"$sfDir"}"""
+      println(varianceLine)
+      try {
+        val w = new java.io.PrintWriter("bench_variance_last.json")
+        try w.println(varianceLine) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

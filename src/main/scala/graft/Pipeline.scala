@@ -47,7 +47,25 @@ object Pipeline {
       rarity: DataFrame, lm: DataFrame, cluster: DataFrame, decon: DataFrame)
 
   /** Build (and pin) the gate frames for a corpus — see `CurationGates`. */
-  def curateGates(spark: SparkSession, dir: String): CurationGates = {
+  def curateGates(spark: SparkSession, dir: String): CurationGates =
+    curateGatesWith(spark, dir, graft.dedup.Dedup.dedupCluster(spark, dir))
+
+  /** `curateGates` with the dedup gate served from the PERSISTED
+    * cluster-label index (`MinhashIndexStore.dedupClusterIndexed`)
+    * instead of re-running the minhash→banding→CC chain per run — the
+    * chain is ~all of the composed report's cost at sf1, and between
+    * corpus changes its labels are a loadable artifact. Freshness is
+    * fingerprint-checked, so a regenerated corpus rebuilds transparently
+    * and the output is value-identical either way (the `curation_report
+    * _indexed` entry hash-checks against the SAME oracle as
+    * `curation_report`).
+    */
+  def curateGatesIndexed(spark: SparkSession, dir: String): CurationGates =
+    curateGatesWith(spark, dir,
+      graft.dedup.MinhashIndexStore.dedupClusterIndexed(spark, dir))
+
+  private def curateGatesWith(spark: SparkSession, dir: String,
+      clusterVerdicts: DataFrame): CurationGates = {
     import graft.core.Materialize.MatOps
     CurationGates(
       quality = graft.text.TextOps.qualityScore(spark, dir)
@@ -58,7 +76,7 @@ object Pipeline {
         .select(col("doc_id"), col("flagged").as("rare_flagged")).materializeOnce(),
       lm = graft.text.Relevance.lmScore(spark, dir)
         .select(col("doc_id"), col("flagged").as("lm_flagged")).materializeOnce(),
-      cluster = graft.dedup.Dedup.dedupCluster(spark, dir)
+      cluster = clusterVerdicts
         .select(col("doc_id"), col("keep").as("dedup_keep")).materializeOnce(),
       decon = graft.curate.Curate.decontaminate(spark, dir)
         .select(col("doc_id"), col("contaminated")).materializeOnce())

@@ -35,6 +35,8 @@ object SparkEntry {
     "percentile_stats" -> (Analytics.percentileStats _),
     "min_cost_supplier" -> (Analytics.minCostSupplier _),
     "sync_diff"      -> (Sync.syncDiff _),
+    "sync_diff_bucketed" -> (Sync.syncDiffBucketed _),
+    "salted_enrich"  -> (Analytics.saltedEnrich _),
     "sync_upsert"    -> (Sync.syncUpsert _),
     "outbox_batch"   -> (Sync.outboxBatch _),
     "batch_claim"    -> (Sync.batchClaim _),
@@ -93,6 +95,8 @@ object SparkEntry {
     "importance_sample" -> (Curate.importanceSample _),
     "seq_pack"          -> (Curate.seqPack _),
     "curation_report"   -> (Pipeline.curationReport _),
+    "curation_report_indexed" -> ((s: SparkSession, d: String) =>
+      Pipeline.curationReportFrom(Pipeline.curateGatesIndexed(s, d))),
     "pii_stats"         -> (Pii.piiStats _),
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
@@ -194,7 +198,29 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ Map(
+      // the bucketed diff is a zero-Exchange physical re-plan of the SAME
+      // query — identical oracle, identical hash
+      "sync_diff_bucketed" -> base("sync_diff"),
+      // the persisted-cluster-index report is a load-not-recompute swap of
+      // the dedup gate — identical oracle, identical hash
+      "curation_report_indexed" -> base("curation_report"),
+      // the salted join is semantically the plain inner join — the oracle
+      // knows nothing about salt
+      "salted_enrich" ->
+        """WITH dim AS (
+          |  SELECT o_custkey AS user_id,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cust_spend
+          |  FROM orders GROUP BY 1)
+          |SELECT event_id, user_id, value, cust_spend
+          |FROM events JOIN dim USING (user_id)
+          |ORDER BY event_id""".stripMargin
+    )
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "bpe_learn" -> bpeLearnOracle(10),
     "bpe_apply" -> bpeApplyOracle(10),
     "q1_agg" ->

@@ -104,6 +104,29 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Per-event customer-spend enrichment through [[graft.core.Skew
+    * .saltedJoin]] — the HOT-KEY join entry: events concentrate on ~15
+    * distinct user_ids (every key is hot — a plain key-partitioned join
+    * caps its parallelism at the distinct-key count and serializes each
+    * hot key into one task), so the fact side salts each key over 16
+    * sub-keys and the per-customer dim replicates across the salt
+    * space. Semantically identical to the plain inner join — the entry
+    * hash-checks against the unsalted oracle — and the plan audit pins
+    * the salt fan-out (dim-side explode, join keys extended with the
+    * salt). The dim aggregation sums in DECIMAL so the enrichment value
+    * is addition-order-independent.
+    */
+  def saltedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val dim = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("cust_spend"))
+    graft.core.Skew.saltedJoin(ev, dim, "user_id", salt = 16)
+      .select("event_id", "user_id", "value", "cust_spend")
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
+
   /** Top-N rows per group via a rank window — partitioned on the group key
     * only, so it is a single shuffle and no global sort.
     */

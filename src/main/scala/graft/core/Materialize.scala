@@ -42,7 +42,8 @@ import org.apache.spark.sql.Dataset
   * cluster path computes identical results through the same code.
   *
   * `eager` mirrors `localCheckpoint`'s parameter (materialize now vs at
-  * first action) and is passed through to `checkpoint` unchanged.
+  * first action). The reliable-checkpoint mode ignores it and always
+  * materializes eagerly — see the leak note at the persist site.
   */
 object Materialize {
 
@@ -74,17 +75,25 @@ object Materialize {
         // persist-then-checkpoint: a bare reliable checkpoint computes the
         // subtree TWICE (once for the triggering action, once more in the
         // checkpoint-write job that re-runs the lineage). Caching first
-        // makes the write job read the just-computed blocks instead —
-        // in BOTH eagerness modes (lazy: the first consumer's job fills
-        // the cache, then the end-of-job checkpoint hook reads it).
-        // Eager pins drop the transient cache as soon as the checkpoint
-        // holds the blocks; a lazy pin cannot (nothing has materialized
-        // yet), so its cache is reclaimed by the reference-tracking
-        // cleaner instead — the price of keeping plan construction
-        // side-effect-free for audit/report tooling.
+        // makes the write job read the just-computed blocks instead.
+        //
+        // The checkpoint path is ALWAYS eager, ignoring the flag: the
+        // transient cache can only be dropped once the checkpoint holds
+        // the blocks, and a lazy pin has no hook for that moment —
+        // Dataset.persist registers the plan in the session CacheManager,
+        // which holds a strong reference for the session lifetime, so
+        // the reference-tracking ContextCleaner (which only reclaims
+        // UNREACHABLE RDDs) would never collect it and every lazy pin
+        // would leak its DISK_ONLY blocks and a CacheManager entry
+        // forever in a long-lived cluster session. Every pin in this
+        // engine is consumed by an action immediately after
+        // construction, so eager materialization only moves that work
+        // earlier; plan-construction laziness (for audit/report tooling
+        // that builds plans without executing) is preserved in the
+        // localCheckpoint mode those tools run under.
         val cached = ds.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val pinned = cached.checkpoint(eager)
-        if (eager) cached.unpersist(blocking = false)
+        val pinned = cached.checkpoint(eager = true)
+        cached.unpersist(blocking = false)
         pinned
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be 'localCheckpoint' or 'checkpoint', got '$other'")

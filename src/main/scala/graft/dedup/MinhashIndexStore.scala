@@ -177,4 +177,50 @@ object MinhashIndexStore {
     ensureBuilt(base, fp) { build(docs.filter(col("doc_id") % 5 =!= 0), base) }
     dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
   }
+
+  // --- persisted corpus cluster labels (the curation gate's index) --------
+
+  /** Persisted near-dup CLUSTER LABELS for a whole corpus — the
+    * between-runs artifact that lets `curation_report` (and any other
+    * consumer of the cluster gate) skip the minhash→banding→CC chain
+    * entirely when the corpus hasn't changed. The chain is the sf1 tail
+    * of the composed report (~all of its 206 s), and its output —
+    * `(doc_id, cluster)` labels — is corpus-sized but NARROW (two
+    * longs), so it persists once per crawl and every later curation run
+    * reads labels instead of re-banding 100 TB of text. Cluster sizes
+    * and the survivor verdict derive from the labels with one tiny
+    * aggregation at load, so what's persisted is the index (labels),
+    * not a memoized query result.
+    *
+    * Same freshness protocol as the signature/band index: the
+    * `_INDEX_OK` marker carries the source fingerprint, so in-place
+    * corpus regeneration rebuilds automatically.
+    */
+  def buildClusterLabels(spark: SparkSession, dir: String, basePath: String): Unit = {
+    val labels = Dedup.dedupCluster(spark, dir).select("doc_id", "cluster")
+    // bucketed by CLUSTER: the derived computations (cluster sizes, the
+    // size join, survivor selection) all key on the label, so they read
+    // bucket-aligned and plan zero shuffles
+    Sinks.writeBucketed(labels, tableName(basePath, "labels"), "cluster",
+      Buckets, Some(s"$basePath/labels"))
+  }
+
+  /** `Dedup.dedupCluster` served from the persisted label index —
+    * value-identical output (spec-pinned), ZERO text scans / banding /
+    * CC in the query plan (also spec-pinned, the same load-not-retrain
+    * contract the ANN `*_indexed` path carries).
+    */
+  def dedupClusterIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratchBase(dir, "cluster")
+    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    ensureBuilt(base, fp) { buildClusterLabels(spark, dir, base) }
+    Sinks.restoreBucketed(spark, tableName(base, "labels"),
+      s"$base/labels", "cluster", Buckets)
+    val labels = spark.table(tableName(base, "labels"))
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).cast("int").as("keep"))
+  }
 }

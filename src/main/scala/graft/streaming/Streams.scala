@@ -277,4 +277,57 @@ object Streams {
         col("window.start").as("win_start"),
         col("n_events"), col("total_value")
       )
+
+  // --- live ops-dashboard gauges (web.rs:729-816 stats_ws) ---------------
+
+  /** Live queue-depth gauge — the streaming twin of the reference's
+    * stats WebSocket push (web.rs:729 `stats_ws` / `stats_ws_handler`,
+    * which streams `fetch_queue_stats` gauges to dashboards on every
+    * poll tick): the event stream folds into the SAME aggregation as
+    * the batch `Sync.queueDepthStats` (shared core, so the numbers
+    * cannot drift), run in Complete output mode — each micro-batch
+    * emits the full refreshed gauge frame, exactly a dashboard push.
+    * State is namespace-sized (one running row of six counters per
+    * queue namespace), so it is bounded at any stream length — gauges
+    * are cumulative by definition and need no watermark. The spec pins
+    * every micro-batch's emission to the batch operator over the
+    * prefix of events consumed so far.
+    */
+  def queueDepthGauge(events: DataFrame): DataFrame =
+    graft.sync.Sync.queueDepthFrom(events)
+
+  /** Live sync-status gauge — the `sync_status_rollup` half of the
+    * stats push (web.rs:729 streams sync gauges alongside queue
+    * gauges): the synced-articles stream (orders rows) folds into the
+    * batch operator's shared core in Complete mode. State is one row
+    * per (dictionary, sync_status) — bounded by the dictionary set,
+    * not stream length.
+    */
+  def syncStatusGauge(orders: DataFrame): DataFrame =
+    graft.sync.Sync.statusRollupFrom(orders)
+
+  /** Watermarked INCREMENTAL queue depth — per-hour namespace depth
+    * deltas in Append mode, for the dashboard's "activity over the
+    * last N hours" strip (the windowed complement of the cumulative
+    * [[queueDepthGauge]]). The 1-hour watermark closes each window and
+    * evicts its state, so unlike the Complete gauge this emits each
+    * window exactly once and holds only the open windows in state.
+    */
+  def queueDepthWindowed(events: DataFrame): DataFrame = {
+    val state = expr(
+      """CASE CAST(event_id % 6 AS INT)
+        |  WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
+        |  WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END""".stripMargin)
+    def n(s: String) = sum(when(col("state") === s, 1L).otherwise(0L)).as(s)
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .select(col("ets"), col("event_type").as("namespace"), state.as("state"))
+      .groupBy(window(col("ets"), "1 hour"), col("namespace"))
+      .agg(n("pending"), n("running"), n("failed"), n("dead"),
+        n("scheduled"), n("done"))
+      .withColumn("backlog", col("pending") + col("running") + col("scheduled"))
+      .select(col("window.start").as("hour_start"), col("namespace"),
+        col("pending"), col("running"), col("failed"), col("dead"),
+        col("scheduled"), col("done"), col("backlog"))
+  }
 }

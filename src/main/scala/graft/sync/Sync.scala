@@ -50,6 +50,50 @@ object Sync {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
+  /** [[syncDiff]] over BUCKETED sides — SURVEY §5's own 100 TB answer
+    * for the nightly diff, as an oracle-checked entry: both mirrors are
+    * written once through `Sinks.writeBucketed` (32 buckets on the key,
+    * sorted within buckets — at 100 TB each side IS maintained bucketed
+    * between runs), and the full-outer diff then reads bucket-aligned
+    * sides so the join plans with ZERO Exchange — the nightly diff of
+    * two 100 TB mirrors moves no rows at all (plan-audited). The
+    * bucketed artifacts live at a fingerprint-keyed scratch location
+    * (IndexScratch protocol), so a regenerated corpus rewrites them
+    * transparently; output is value-identical to `syncDiff` and
+    * hash-checks against the SAME oracle.
+    */
+  def syncDiffBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.IndexScratch.{ensureBuilt, md5hex, scratchBase, sourceFingerprint}
+    val base = scratchBase(dir, "syncdiff")
+    def tbl(part: String) = "graft_syncdiff_" + md5hex(base).take(10) + "_" + part
+    val fp = sourceFingerprint(spark, s"$dir/orders.parquet")
+    val buckets = 32
+    ensureBuilt(base, fp) {
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+      graft.sinks.Sinks.writeBucketed(
+        o.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey").as("key"), col("o_totalprice").as("rev_remote")),
+        tbl("remote"), "key", buckets, Some(s"$base/remote"))
+      graft.sinks.Sinks.writeBucketed(
+        o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("lkey"),
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("rev_local")),
+        tbl("local"), "lkey", buckets, Some(s"$base/local"))
+    }
+    graft.sinks.Sinks.restoreBucketed(spark, tbl("remote"), s"$base/remote", "key", buckets)
+    graft.sinks.Sinks.restoreBucketed(spark, tbl("local"), s"$base/local", "lkey", buckets)
+    spark.table(tbl("remote"))
+      .join(spark.table(tbl("local")), col("key") === col("lkey"), "full_outer")
+      .select(
+        coalesce(col("key"), col("lkey")).as("key"),
+        when(col("lkey").isNull, "new")
+          .when(col("key").isNull, "deleted")
+          .when(col("rev_remote") =!= col("rev_local"), "changed")
+          .otherwise("unchanged").as("status")
+      )
+  }
+
   /** Latest-wins upsert merge (storage.rs:118+ ON CONFLICT DO UPDATE):
     * union base + updates with a source priority, keep one row per key.
     * Single shuffle on the key; at 100 TB this is the MERGE pattern over
@@ -218,8 +262,16 @@ object Sync {
     * OLDEST change — the staleness signal a status dashboard sorts by.
     * One partial-agg shuffle to a cells-sized frame.
     */
-  def syncStatusRollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir)
+  def syncStatusRollup(spark: SparkSession, dir: String): DataFrame =
+    statusRollupFrom(Tables.orders(spark, dir)).orderBy("dictionary", "sync_status")
+
+  /** The gauge core of [[syncStatusRollup]] over an arbitrary orders
+    * frame — unsorted so the SAME aggregation runs as a streaming
+    * Complete-mode query ([[graft.streaming.Streams.syncStatusGauge]]),
+    * which is how the stats dashboard consumes it live.
+    */
+  private[graft] def statusRollupFrom(orders: DataFrame): DataFrame =
+    orders
       .select(
         col("o_orderpriority").as("dictionary"),
         when(col("o_orderstatus") === "O", "pending_fetch")
@@ -230,8 +282,6 @@ object Sync {
       .agg(
         count(lit(1)).as("n_articles"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("oldest_changed"))
-      .orderBy("dictionary", "sync_status")
-  }
 
   /** Queue depth statistics — the per-namespace worker-queue gauge the
     * reference polls from its queue store (web.rs:580
@@ -242,19 +292,26 @@ object Sync {
     * output); `backlog` = pending + running + scheduled is the depth
     * number the dashboard alerts on.
     */
-  def queueDepthStats(spark: SparkSession, dir: String): DataFrame = {
+  def queueDepthStats(spark: SparkSession, dir: String): DataFrame =
+    queueDepthFrom(Tables.events(spark, dir)).orderBy("namespace")
+
+  /** The gauge core of [[queueDepthStats]] over an arbitrary events
+    * frame — unsorted so the SAME aggregation runs as a streaming
+    * Complete-mode query ([[graft.streaming.Streams.queueDepthGauge]]),
+    * which is how the stats dashboard consumes it live.
+    */
+  private[graft] def queueDepthFrom(ev: DataFrame): DataFrame = {
     val state = expr(
       """CASE CAST(event_id % 6 AS INT)
         |  WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
         |  WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END""".stripMargin)
     def n(s: String) = sum(when(col("state") === s, 1L).otherwise(0L)).as(s)
-    Tables.events(spark, dir)
+    ev
       .select(col("event_type").as("namespace"), state.as("state"))
       .groupBy("namespace")
       .agg(n("pending"), n("running"), n("failed"), n("dead"),
         n("scheduled"), n("done"))
       .withColumn("backlog", col("pending") + col("running") + col("scheduled"))
-      .orderBy("namespace")
   }
 
   /** Outbox depth statistics — the reference's outbox health query

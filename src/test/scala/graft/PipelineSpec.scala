@@ -113,4 +113,28 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Int]("keep") == (if (expect) 1 else 0))
     }
   }
+
+  test("indexed curation report equals the per-run report; cluster gate never re-bands") {
+    val plain = Pipeline.curationReport(spark, sf)
+    val indexed = Pipeline.curationReportFrom(Pipeline.curateGatesIndexed(spark, sf))
+    assert(indexed.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(indexed).count() == 0)
+    // the load-not-recompute contract: the indexed cluster gate's plan
+    // contains NO signature hashing, banding, or text scan — it reads
+    // the persisted label index (bucketed) and derives keep with one
+    // tiny aggregation
+    val plan = graft.dedup.MinhashIndexStore.dedupClusterIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("xxhash64"), s"indexed cluster gate recomputes signatures:\n$plan")
+    assert(!plan.contains("minhash_band_buckets"), s"indexed cluster gate re-bands:\n$plan")
+    assert(!plan.toLowerCase.contains("documents.parquet"),
+      "indexed cluster gate re-scans the corpus text")
+    // labels are bucketed by cluster, so the size agg and the size join
+    // read bucket-aligned: bucketed scans, no hash-partition shuffle
+    // (a BroadcastExchange of the tiny sizes frame is fine)
+    assert(plan.contains("Bucketed: true"),
+      s"indexed cluster gate not reading the bucketed label index:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"indexed cluster gate shuffles the label index:\n$plan")
+  }
 }

@@ -10,8 +10,40 @@ class PlanAuditSpec extends SparkSpec {
   /** cosine_topk is the DECLARED brute-force baseline: its 20-row query
     * side broadcasts into a nested-loop by construction. Everything else
     * must plan equi-joins.
+    *
+    * dedup_embedding is the second declared baseline, quadratic in
+    * COMPUTE rather than plan shape: exact near-dup pairs at cosine
+    * ≥ 0.35, where sign-LSH provably cannot prune (ρ ≈ 0.70 — see the
+    * operator's Scaladoc), executed as a blocked grid that shuffles
+    * O(n·B) rows and never plans a BNLJ/cartesian (so it stays subject
+    * to the shape audits above). Its O(n²) contract is guarded by a
+    * loud construction-time row bound, and the PRODUCTION path at real
+    * near-dup thresholds is `dedup_embedding_lsh` (cos ≥ 0.8,
+    * O(candidates) work). The test below pins all three facts so the
+    * posture cannot silently erode.
     */
   private val bruteForceBaselines = Set("cosine_topk")
+
+  test("dedup_embedding declares its quadratic baseline posture loudly") {
+    // 1. the row-bound guard fails at construction, naming the
+    //    production alternative — a 100 TB caller gets an error, not a
+    //    multi-day job
+    val err = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.dedupEmbeddingExact(spark, sf, maxRows = 1)
+    }
+    assert(err.getMessage.contains("O(n²)"), err.getMessage)
+    assert(err.getMessage.contains("dedupEmbeddingLsh"), err.getMessage)
+    // 2. even the quadratic baseline keeps the scale-safe SHAPE: blocked
+    //    equi-join grid, no nested loop, no cartesian product
+    val plan = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"dedup_embedding lost its blocked-grid shape:\n$plan")
+    // 3. the production path exists as a first-class oracle-checked entry
+    assert(SparkEntry.queries.contains("dedup_embedding_lsh") &&
+      SparkEntry.oracleSql.contains("dedup_embedding_lsh"),
+      "production path dedup_embedding_lsh missing from the query registry")
+  }
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

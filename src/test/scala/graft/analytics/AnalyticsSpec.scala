@@ -166,4 +166,21 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("week_offset") >= 0L)
     }
   }
+
+  test("salted_enrich equals the plain join and plans the salt fan-out") {
+    import org.apache.spark.sql.functions._
+    val salted = Analytics.saltedEnrich(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val dim = graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("cust_spend"))
+    val plain = ev.join(dim, "user_id").select("event_id", "user_id", "value", "cust_spend")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+    // the salt machinery must be IN the plan: dim-side explode fan-out and
+    // a join keyed on (user_id, __salt) — otherwise this entry silently
+    // degenerates to the plain hot-key join it exists to avoid
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), s"salted_enrich lost its dim fan-out:\n$plan")
+    assert(plan.contains("__salt"), s"salted_enrich join not salted:\n$plan")
+  }
 }

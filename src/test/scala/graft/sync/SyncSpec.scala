@@ -141,4 +141,23 @@ class SyncSpec extends SparkSpec {
       .map(_.getAs[String]("scope")).toSet
     assert(fired == expected, s"backlog_high fired $fired, expected $expected")
   }
+
+  test("sync_diff_bucketed equals sync_diff and plans ZERO exchanges") {
+    val plain = Sync.syncDiff(spark, sf)
+    val bucketed = Sync.syncDiffBucketed(spark, sf)
+    // value-identical to the shuffling formulation
+    assert(bucketed.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(bucketed).count() == 0)
+    // the 100 TB claim: both sides are bucket-aligned on the join key, so
+    // the full-outer diff moves NO rows — no Exchange anywhere in the plan
+    // (walked with AQE off; AQE only re-plans within the same exchange set)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Sync.syncDiffBucketed(spark, sf).queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(!plan.contains("Exchange"), s"bucketed diff still shuffles:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"bucketed diff not reading bucketed scans:\n$plan")
+  }
 }
