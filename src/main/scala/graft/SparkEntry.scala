@@ -86,6 +86,9 @@ object SparkEntry {
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_embedding_lsh" -> (Dedup.dedupEmbeddingLsh _),
+    // rows-only by design (approximate candidate generation; precision 1,
+    // recall floor-pinned in DedupSpec against the exact grid)
+    "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn _),
     "decontaminate"     -> (Curate.decontaminate _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),

@@ -150,7 +150,7 @@ object Similarity {
     * fine; `vec_id < k` would silently seed nothing) — re-coded to
     * dense cids via the constant-size window-after-limit pattern.
     */
-  private[sim] def ivfCentroids(e: DataFrame, k: Int, eager: Boolean = true): DataFrame = {
+  private[graft] def ivfCentroids(e: DataFrame, k: Int, eager: Boolean = true): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
       crossCentroids(e, cents)
         .groupBy("vec_id")
@@ -186,11 +186,22 @@ object Similarity {
     * narrow (vec_id, cid) pairs — an explicit space-for-recall trade
     * that leaves per-query probe cost unchanged.
     */
-  private[sim] def ivfInvertedIndex(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[sim] def ivfInvertedIndex(e: DataFrame, centroids: DataFrame): DataFrame =
+    ivfMultiIndex(e, centroids, assign = 2)
+
+  /** [[ivfInvertedIndex]] with the assignment count as a knob: each
+    * vector joins its top-`assign` centroid lists. The ANN query paths
+    * stay at 2; the cluster-blocked embedding-dedup candidate generator
+    * uses 3, where the extra membership buys pair recall (a qualifying
+    * pair is missed only when NO centroid appears in both vectors'
+    * top-`assign` sets) at a linear index-size cost.
+    */
+  private[graft] def ivfMultiIndex(e: DataFrame, centroids: DataFrame,
+      assign: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     crossCentroids(e, centroids)
       .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") <= 2)
+      .filter(col("ark") <= assign)
       .select(col("vec_id"), col("cid"))
   }
 

@@ -55,18 +55,29 @@ class MaterializeSpec extends SparkSpec {
     assert(acc.value == 1000L, "a consumer re-ran lineage past the pin")
   }
 
-  test("lazy checkpoint-mode pin is side-effect-free and still computes once") {
+  test("checkpoint-mode pin is always eager (no CacheManager leak) and computes once") {
+    // the lazy flag is deliberately IGNORED in reliable-checkpoint mode:
+    // a lazy pin would have to keep its transient DISK_ONLY cache
+    // registered in the session CacheManager until some first action,
+    // and CacheManager holds a strong reference for the session
+    // lifetime — the leak ADVICE r9 flagged. The contract is now:
+    // construction materializes exactly once, the transient cache is
+    // unpersisted immediately, and consumers read checkpoint blocks.
+    // (Plan-construction laziness for audit tooling lives in the
+    // localCheckpoint mode those tools run under.)
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("lazy-subtree-evals")
     val base = spark.range(0, 1000, 1, 4).as[Long]
       .map { x => acc.add(1); x }.toDF("v")
     val pinned = inCheckpointMode { Materialize.once(base, eager = false) }
-    // construction must not run jobs — audit/report tooling builds
-    // frames only to inspect their plans
-    assert(acc.value == 0L, s"lazy pin ran the subtree at construction (${acc.value})")
-    assert(pinned.count() == 1000L)
     assert(acc.value == 1000L,
-      s"first action computed the subtree ${acc.value / 1000.0}x (expected 1x)")
+      s"pin computed the subtree ${acc.value / 1000.0}x at construction (expected exactly 1x)")
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(base.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isEmpty,
+      "transient pin cache leaked a CacheManager entry")
+    assert(pinned.count() == 1000L)
+    assert(acc.value == 1000L, "a consumer re-ran lineage past the pin")
     assert(pinned.count() == 1000L)
     assert(acc.value == 1000L, "a later consumer re-ran lineage past the pin")
   }

@@ -204,6 +204,51 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dedup_embedding_ann is a subset of exact pairs with recall above floor") {
+    // precision 1 by construction (exact cosine verification), recall
+    // approximate: measured 0.84-0.88 at k=16/top-3 on this corpus
+    // (see dedupEmbeddingAnn doc) — floor 0.75 leaves margin for
+    // float-sum order differences in Lloyd training
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos6"))).toSet
+    val exact = pairSet(Dedup.dedupEmbedding(spark, sf))
+    val ann = pairSet(Dedup.dedupEmbeddingAnn(spark, sf))
+    assert(ann.subsetOf(exact), "ANN produced a pair the exact grid did not")
+    assert(exact.nonEmpty)
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall $recall below floor 0.75 (${ann.size}/${exact.size})")
+  }
+
+  test("dedup_embedding_ann finds injected near-duplicates at the SemDeDup threshold") {
+    // the regime the cluster-blocked path is FOR: threshold above the
+    // corpus cosine bulk (0.8 vs max ~0.48), tight clone clusters —
+    // measured recall 30/30 here while candidate work stays Σ m_c²
+    val base = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val clones = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+               CAST(x * (1.0 + 0.15 * CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT))""")
+          .as("embedding"))
+    val union = base.unionByName(clones)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos6"))).toSet
+    val exact = pairSet(Dedup.dedupEmbeddingExactFrom(union, 0.8))
+    val ann = pairSet(Dedup.dedupEmbeddingAnnFrom(union, threshold = 0.8))
+    assert(exact.size >= 30)
+    assert(ann.subsetOf(exact))
+    assert(ann.size.toDouble / exact.size >= 0.9,
+      s"high-threshold recall ${ann.size}/${exact.size} below 0.9")
+  }
+
+  test("dedup_embedding_ann plan has no nested-loop or cartesian join") {
+    val plan = Dedup.dedupEmbeddingAnn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup_embedding fails loudly past its declared O(n²) row bound") {
     val e = intercept[IllegalArgumentException] {
       Dedup.dedupEmbeddingExact(spark, sf, maxRows = 10L)
