@@ -272,9 +272,12 @@ object Similarity {
     * 64-float vector (256 B) compresses to 8 code bytes — at 100 TB of
     * embeddings THIS is what fits an index in executor memory; raw
     * vectors are read only for the final re-rank of a bounded candidate
-    * set. ADC top-`PqRerank` candidates get exact re-scoring; measured
-    * recall 0.90-0.92 vs brute force (the same range as full-vector
-    * `annIvf`), floor-pinned at 0.85 in SimilaritySpec.
+    * set. ADC top-`max(PqRerank, n/25)` candidates get exact re-scoring
+    * (the depth grows with the corpus — see the sweep in ivfPqSearch;
+    * a fixed 100 measured 0.58 recall at 20k vectors); measured recall
+    * 0.90-0.93 vs brute force at sf0.001-sf1 (the same range as
+    * full-vector `annIvf`), floor-pinned at 0.85 in SimilaritySpec and
+    * ScaleRecallSpec.
     */
   private val PqSubs = 8
   private val PqSubDim = 8
@@ -400,7 +403,23 @@ object Similarity {
     */
   private[sim] def ivfPqSearch(e: DataFrame, centroids: DataFrame,
       index: DataFrame, books: DataFrame, codes: DataFrame,
-      queries: DataFrame, excludeSelf: Boolean, nProbe: Int = 4): DataFrame = {
+      queries: DataFrame, excludeSelf: Boolean, nProbe: Int = 4,
+      rerank: Option[Int] = None): DataFrame = {
+    // ADC re-rank depth must grow with the probed candidate pool or
+    // recall collapses as the corpus grows: the sf1 validation measured
+    // 0.58 recall at 20k vectors with the old FIXED depth of 100 (the
+    // 32-code ADC ordering is a noisy permutation, so the rank of a
+    // true neighbour scales with pool size ≈ n·assign·nProbe/k). The
+    // depth now scales with n (codes is one row per corpus vector, and
+    // it is materialized/persisted on every path, so the count is
+    // cheap) — still a bounded re-rank: 4% of the corpus at the default
+    // geometry (sf1 sweep: depth 100→0.58, 400→0.84, n/25=800→0.93,
+    // 1200→0.96). The 100 TB posture is NOT an ever-growing re-rank,
+    // it is growing PqCodes with the corpus (finer ADC → smaller
+    // constant); this divisor keeps the shipped 32-code geometry honest
+    // until that flip (see PqCodes doc).
+    val depth = rerank.getOrElse(
+      math.max(PqRerank, (codes.count() / 25L).toInt))
     val q = queries.select("vec_id", "embedding")
       .dropDuplicates("vec_id")
       .withColumn("norm", norm64("embedding"))
@@ -439,7 +458,7 @@ object Similarity {
         s"""aggregate(sequence(0, ${PqSubs - 1}), CAST(0.0 AS DOUBLE),
            |  (acc, s) -> acc + element_at(lut, s * $PqCodes + element_at(codes, s + 1)))""".stripMargin))
       .withColumn("ark", row_number().over(adcW))
-      .filter(col("ark") <= PqRerank)
+      .filter(col("ark") <= depth)
       .select("q_id", "n_id")
     // exact re-rank of the bounded ADC shortlist
     exactTop5(shortlist, q, e)

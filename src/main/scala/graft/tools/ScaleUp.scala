@@ -64,7 +64,13 @@ object ScaleUp {
     spark.stop()
   }
 
-  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `only` restricts which tables are written (strides still come from
+    * the full source so key shifts stay identical to a full scale-up) —
+    * the sf1 recall spec replicates just `embeddings` this way instead
+    * of paying for the whole corpus.
+    */
+  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int,
+      only: Seq[String] = Tables): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // one stride per key space, shared across every table that
     // references it — strides come from the SOURCE key ranges
@@ -130,7 +136,7 @@ object ScaleUp {
         .withColumn("vec_id", shift("vec_id", sVec))
         .withColumn("embedding", signFlip(col("embedding"))))
 
-    scaled.foreach { case (t, df) =>
+    scaled.filter { case (t, _) => only.contains(t) }.foreach { case (t, df) =>
       val cols = read(t).columns.map(col) // source column order, drops rep
       // keep file counts scan-friendly: dims stay single-file, fact
       // tables get a handful of files per replica
