@@ -119,6 +119,40 @@ object Sinks {
     written
   }
 
+  /** In-place table rewrite with a staging-then-swap rename so readers
+    * never observe a partial state — the write-back primitive behind the
+    * maintenance actions (`sync.Maintenance`): the reference issues
+    * imperative `UPDATE`/`DELETE` statements (web.rs:823-919); the
+    * columnar equivalent rewrites the table from a transformed frame.
+    *
+    * Protocol: materialize `df` fully into `<path>.staging` (the frame
+    * may READ from `path` — the write action completes before anything
+    * moves), then `path` → `<path>.trash`, `<path>.staging` → `path`,
+    * delete the trash. Directory rename is atomic on HDFS, so a
+    * concurrent reader sees the old table or the new one, never a mix;
+    * object stores without atomic rename should front this with their
+    * own commit protocol (Iceberg/Delta-style manifest swap). A crashed
+    * run leaves either a stale `.staging` (overwritten next run) or a
+    * `.trash` alongside a complete new `path` (cleaned next run) —
+    * re-running is always safe. Returns the rewritten row count.
+    */
+  def swapRewrite(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                  path: String, format: String = "parquet"): Long = {
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(path + ".staging")
+    val trash = new Path(path + ".trash")
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
+    if (fs.exists(trash)) fs.delete(trash, true) // leftover from a crashed run
+    require(fs.exists(target), s"swapRewrite target $path does not exist")
+    require(fs.rename(target, trash), s"swapRewrite could not stage out $path")
+    require(fs.rename(staging, target),
+      s"swapRewrite could not move staging into place for $path")
+    fs.delete(trash, true)
+    spark.read.format(format).load(path).count()
+  }
+
   /** Latest-wins upsert merge into an existing snapshot (storage.rs:118+
     * ON CONFLICT DO UPDATE): union + one row per key by source priority.
     * Single shuffle on the key; at 100 TB this is MERGE over bucketed
