@@ -349,31 +349,54 @@ object Similarity {
     * stream); both results are pinned so every consumer reads the
     * trained copy.
     */
+  /** Unit-normalized exploded subvector stream `(vec_id, sub, sv)` —
+    * the input shape for both PQ training and frozen-codebook encoding.
+    */
+  private def subvectors(e: DataFrame): DataFrame =
+    unitized(e).select("vec_id", "unit")
+      .select(col("vec_id"), explode(expr(SubExpr)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+
+  /** Nearest-codebook-cell assignment per (vec_id, sub). */
+  private def assignSubCodes(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "sub")
+      // the sv·sv self-term is constant across the 32 code candidates
+      // and cannot move the argmin — d2 keeps only the code-dependent
+      // terms, a third fewer vec_dot calls on the hottest training join
+      .withColumn("d2",
+        call_function("vec_dot", col("cv"), col("cv"))
+          - lit(2.0) * call_function("vec_dot", col("sv"), col("cv")))
+      .groupBy("vec_id", "sub")
+      // struct min: lowest L2, ties to the lowest code — deterministic
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+
+  /** Encode a normed `(vec_id, embedding, norm)` frame against FROZEN
+    * codebooks → the narrow `(vec_id, codes)` index payload. This is
+    * pqTrain's final step factored out so a persisted index can absorb
+    * new batches without retraining (`VectorIndexStore.appendIvfPq`):
+    * per-vector encoding depends only on the codebooks, so
+    * append-then-query equals rebuild-with-frozen-quantizers exactly.
+    */
+  private[graft] def pqEncode(e: DataFrame, books: DataFrame): DataFrame =
+    assignSubCodes(subvectors(e), books)
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
+        .as("codes"))
+
   private[sim] def pqTrain(e: DataFrame): (DataFrame, DataFrame) = {
     // PQ on UNIT vectors: subvector dot products then SUM to the full
     // cosine, so ADC approximates the exact score directly
-    val unit = unitized(e).select("vec_id", "unit")
-    val subs = unit.select(col("vec_id"), explode(expr(SubExpr)).as("p"))
-      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val subs = subvectors(e)
       .materializeOnce() // training rounds + final encoding
-    def assignCodes(books: DataFrame): DataFrame =
-      subs.join(broadcast(books), "sub")
-        // the sv·sv self-term is constant across the 32 code candidates
-        // and cannot move the argmin — d2 keeps only the code-dependent
-        // terms, a third fewer vec_dot calls on the hottest training join
-        .withColumn("d2",
-          call_function("vec_dot", col("cv"), col("cv"))
-            - lit(2.0) * call_function("vec_dot", col("sv"), col("cv")))
-        .groupBy("vec_id", "sub")
-        // struct min: lowest L2, ties to the lowest code — deterministic
-        .agg(min(struct(col("d2"), col("code"))).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    def assignCodes(books: DataFrame): DataFrame = assignSubCodes(subs, books)
     // seeds: the PqCodes LOWEST corpus ids (id-space independent — a
     // filter on vec_id < PqCodes would seed NOTHING for a corpus whose
     // ids start past 32 and silently return an empty index), re-coded
     // dense 0..PqCodes-1 so the sub*PqCodes+code LUT key never collides
     val seedW = Window.partitionBy(pmod(col("vec_id"), lit(1))).orderBy(col("vec_id"))
-    val seedIds = unit.select("vec_id").orderBy("vec_id").limit(PqCodes)
+    val seedIds = e.select("vec_id").orderBy("vec_id").limit(PqCodes)
       .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
     var books = subs.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("code"), col("sv").as("cv"))

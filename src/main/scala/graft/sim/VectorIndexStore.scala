@@ -90,6 +90,43 @@ object VectorIndexStore {
     IvfPqIndex(centroids, lists, null, null)
   }
 
+  /** Append a new vector batch to a PERSISTED IVF-PQ index without
+    * retraining — the between-crawls maintenance move (the dedup side's
+    * `MinhashIndexStore` twin): the FROZEN centroids assign the batch
+    * to inverted lists (same top-2 multi-assignment as the build) and
+    * the FROZEN codebooks encode it (`Similarity.pqEncode`), then both
+    * bucketed tables take the batch through `Sinks.appendBucketed` —
+    * only the batch is scanned, nothing re-trains, and reads stay
+    * exchange-free. Because per-vector assignment and encoding depend
+    * only on the frozen quantizers, querying the appended index equals
+    * querying an index REBUILT with the same quantizers over the full
+    * corpus bit-for-bit (spec-pinned). Centroid drift is the documented
+    * trade: after enough appends the quantizers stop fitting the
+    * corpus (recall decays), and the answer is a rebuild — the
+    * fingerprint protocol (`IndexScratch.ensureBuilt` in
+    * `annIvfPqIndexed`) already triggers one on source regeneration.
+    *
+    * Batch vec_ids must be new: an already-indexed id would duplicate
+    * its list/code rows and poison ADC ranking, so the overlap check
+    * fails loudly (one narrow semi-join against the codes table).
+    */
+  def appendIvfPq(newEmb: DataFrame, basePath: String): IvfPqIndex = {
+    val spark = newEmb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val idx = loadIvfPq(spark, basePath)
+    val e = normed(newEmb).materializeOnce(eager = true) // lists + codes + guard
+    val overlap = e.select("vec_id")
+      .join(idx.codes.select("vec_id"), "vec_id").count()
+    require(overlap == 0L,
+      s"appendIvfPq: $overlap vec_ids of the batch are already indexed " +
+        "(append is insert-only; rebuild or re-id the batch)")
+    val lists = Similarity.ivfMultiIndex(e, idx.centroids, assign = 2)
+    val codes = Similarity.pqEncode(e, idx.books)
+    Sinks.appendBucketed(lists, tableName(basePath, "lists"), "cid", Buckets)
+    Sinks.appendBucketed(codes, tableName(basePath, "codes"), "vec_id", Buckets)
+    loadIvfPq(spark, basePath)
+  }
+
   /** Load a persisted index: tiny frames as plain parquet reads, the
     * bucketed frames through their (restored-if-needed) catalog entries
     * so reads keep the exchange-free bucket layout.

@@ -71,6 +71,19 @@ object Sinks {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Append a batch INTO an existing bucketed table with the same
+    * bucket spec (must match the `writeBucketed` call that created it —
+    * Spark rejects a mismatched spec rather than silently breaking the
+    * layout). New rows land in correctly-named bucket files, so
+    * exchange-free reads survive the append; what degrades is file
+    * count (one file per bucket per append), which `compact` owns.
+    */
+  def appendBucketed(df: DataFrame, table: String, keyCol: String,
+                     buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, keyCol).sortBy(keyCol).format("parquet")
+      .saveAsTable(table)
+
   /** Re-register a bucketed table written by `writeBucketed` in a NEW
     * session. Spark's bucketing METADATA lives in the catalog and (with
     * the default in-memory catalog) dies with the writing session,

@@ -129,6 +129,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"loaded-index recall $recall below floor 0.85")
   }
 
+  test("appendIvfPq equals a frozen-quantizer rebuild bit-for-bit and rejects dup ids") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-append").toString + "/idx"
+    // index the first ~80% of the corpus, append the rest as a new crawl
+    val cut = 400L
+    val old = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    assert(batch.count() > 0)
+    VectorIndexStore.buildIvfPq(old, base)
+    val appended = VectorIndexStore.appendIvfPq(batch, base)
+    // expected: the SAME frozen quantizers applied to the full corpus
+    val full = emb.withColumn("norm", Vectors.norm64("embedding"))
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val fromAppended = rows(Similarity.ivfPqSearch(full,
+      appended.centroids, appended.lists, appended.books, appended.codes,
+      queries, excludeSelf = true))
+    val fromRebuilt = rows(Similarity.ivfPqSearch(full,
+      appended.centroids,
+      Similarity.ivfMultiIndex(full, appended.centroids, assign = 2),
+      appended.books,
+      Similarity.pqEncode(full, appended.books),
+      queries, excludeSelf = true))
+    assert(fromAppended.nonEmpty)
+    assert(fromAppended == fromRebuilt)
+    // neighbours from BOTH sides of the cut surface (the append is live)
+    val nids = Similarity.ivfPqSearch(full, appended.centroids,
+      appended.lists, appended.books, appended.codes, queries,
+      excludeSelf = true)
+      .collect().map(_.getAs[Long]("n_id"))
+    assert(nids.exists(_ >= cut) && nids.exists(_ < cut))
+    // insert-only contract: re-appending the same ids fails loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexStore.appendIvfPq(batch, base)
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
+
   test("persisted IVF-PQ query plan reads bucketed index scans and never retrains") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
