@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_exact"     -> (Dedup.dedupExact _),
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
+    "dedup_cluster_best" -> (Dedup.dedupClusterBest _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_incremental_indexed" ->
       (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
@@ -90,6 +91,7 @@ object SparkEntry {
     // recall floor-pinned in DedupSpec against the exact grid)
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn _),
     "decontaminate"     -> (Curate.decontaminate _),
+    "contamination_report" -> (Curate.contaminationReport _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
@@ -883,6 +885,53 @@ object SparkEntry {
         |  CAST(cc.doc_id = cc.cluster AS INT) AS keep
         |FROM cc JOIN sizes ON cc.cluster = sizes.cluster
         |ORDER BY cc.doc_id""".stripMargin,
+    "dedup_cluster_best" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT p.y, reach.lbl FROM reach JOIN pairs p ON p.x = reach.node
+        |  WHERE reach.lbl < p.y),
+        |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY cluster),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t <> '' AND translate(t,
+        |          'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') = '')) AS n_alpha
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 40 END)
+        |        - (CASE WHEN (1000000 * n_stop) // n_tokens BETWEEN 20000 AND 600000
+        |               THEN 0 ELSE 20 END)
+        |        - (CASE WHEN (1000000 * n_distinct) // n_tokens >= 200000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN (1000000 * n_alpha) // n_tokens >= 600000 THEN 0 ELSE 20 END)
+        |      AS score
+        |  FROM s),
+        |jq AS (SELECT cc.doc_id, cc.cluster, q.score FROM cc JOIN q USING (doc_id)),
+        |best AS (
+        |  SELECT cluster, doc_id AS best_doc FROM (
+        |    SELECT cluster, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster
+        |                         ORDER BY score DESC, doc_id ASC) AS rk
+        |    FROM jq) WHERE rk = 1)
+        |SELECT jq.doc_id AS doc_id, jq.cluster AS cluster,
+        |  sizes.cluster_size AS cluster_size, jq.score AS score,
+        |  best.best_doc AS best_doc,
+        |  CAST(jq.doc_id = best.best_doc AS INT) AS keep
+        |FROM jq JOIN sizes USING (cluster) JOIN best USING (cluster)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(trim(text)) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
@@ -1010,6 +1059,26 @@ object SparkEntry {
         |  CAST(COALESCE(sh.n_shared, 0) > 0 AS INT) AS contaminated
         |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "contamination_report" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(l) >= 8
+        |        THEN list_transform(range(1, len(l) - 6), i ->
+        |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |          l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])
+        |        ELSE []::VARCHAR[] END) AS grams
+        |      FROM d),
+        |ev AS (SELECT doc_id AS eval_id, grams FROM g WHERE doc_id % 97 = 0),
+        |evg AS (SELECT eval_id, unnest(grams) AS gram FROM ev),
+        |trg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT eval_id, COUNT(DISTINCT doc_id) AS n_contaminating_docs,
+        |               COUNT(*) AS n_shared_grams
+        |         FROM trg JOIN evg USING (gram) GROUP BY eval_id)
+        |SELECT ev.eval_id AS eval_id, CAST(len(ev.grams) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(hits.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+        |  CAST(COALESCE(hits.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+        |  CAST(COALESCE(hits.n_contaminating_docs, 0) > 0 AS INT) AS compromised
+        |FROM ev LEFT JOIN hits USING (eval_id)
+        |ORDER BY eval_id""".stripMargin,
     "sample_stratified" ->
       """WITH d AS (SELECT doc_id, lang,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey

@@ -64,6 +64,45 @@ object Curate {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
+  /** The EVAL-side view of decontamination — the report a benchmark
+    * owner reads: per eval document, how many training documents share
+    * at least one word-8-gram with it and the total leaked (train-doc,
+    * gram) matches. `decontaminate` answers "which training docs must
+    * go"; this answers "which benchmark items are compromised and how
+    * badly" — both halves of the published decontamination protocol.
+    *
+    * Scale shape: same as `decontaminate` — the eval gram set is
+    * fixed-size and BROADCASTS (now carrying its eval doc_id), the
+    * training side is one scan + map-side hash join + one partial-agg
+    * shuffle keyed by eval_id (output bounded by the eval suite, not
+    * the corpus). Corpus text never shuffles.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val g = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("ngram_hash_set", split(col("text"), " "), lit(ContamN))
+          .as("grams"))
+    val ev = g.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("grams"))
+    val evg = ev.select(col("eval_id"), explode(col("grams")).as("gram"))
+    val hits = g.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evg), "gram")
+      .groupBy("eval_id")
+      .agg(countDistinct(col("doc_id")).as("n_contaminating_docs"),
+        count(lit(1)).as("n_shared_grams"))
+    ev.select(col("eval_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_contaminating_docs"), lit(0L)) > 0).cast("int")
+          .as("compromised"))
+      .orderBy("eval_id") // eval-suite-sized output: global sort is bounded
+  }
+
   /** Deterministic stratified sample: the K lowest-hash documents per
     * language stratum, ranked by an md5-derived sampling key (stable
     * across engines and runs — reproducible samples are a pipeline

@@ -127,6 +127,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN-index maintenance — the vector-side twin of
+    * [[incrementalDedupGate]]: each micro-batch of newly-embedded
+    * vectors appends to the PERSISTED IVF-PQ index with frozen
+    * quantizers (`VectorIndexStore.appendIvfPq` — batch-only scan, no
+    * retraining), so the index serves queries that include vectors
+    * embedded minutes ago without ever rebuilding. Replayed
+    * micro-batches are made idempotent by an anti-join against the
+    * indexed id set BEFORE the append (append itself is insert-only
+    * and fails loudly on dup ids — correct for the batch API, wrong
+    * for at-least-once streams). A crash between the two table
+    * appends can leave list rows without code rows for a batch; the
+    * replay's anti-join (keyed on the CODES table, written second)
+    * still sees those ids as fresh and re-appends both — the
+    * duplicate list rows are harmless because every query path
+    * `distinct()`s its candidate set before scoring.
+    */
+  def vectorIndexAppend(newVecs: DataFrame,
+      basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.sim.VectorIndexStore.loadIvfPq(batch.sparkSession, basePath)
+          val fresh = batch.toDF()
+            .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+          if (!fresh.isEmpty)
+            graft.sim.VectorIndexStore.appendIvfPq(fresh, basePath)
+        }
+        ()
+      }
+      .start()
+
   /** One open session per user held in the state store by
     * `eventSessionsCustom`: bounds in epoch-nanos (full source
     * precision), the running count, and the value sum in exact cents.

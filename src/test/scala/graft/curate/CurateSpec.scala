@@ -38,6 +38,33 @@ class CurateSpec extends SparkSpec {
     assert(got.filter(_._2 > 0) == expected)
   }
 
+  test("contamination_report is the eval-side view consistent with decontaminate") {
+    val rep = Curate.contaminationReport(spark, sf).collect()
+    val nEval = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).count()
+    // one row per eval doc, ordered
+    assert(rep.length == nEval)
+    assert(rep.map(_.getAs[Long]("eval_id")).toSeq ==
+      rep.map(_.getAs[Long]("eval_id")).sorted.toSeq)
+    val dec = Curate.decontaminate(spark, sf).collect()
+    // each training-side shared gram matches ≥1 eval doc, and an eval
+    // gram can sit in several eval docs — so the eval-side total counts
+    // AT LEAST every training-side match
+    val totalTrain = dec.map(_.getAs[Long]("n_shared")).sum
+    val totalEval = rep.map(_.getAs[Long]("n_shared_grams")).sum
+    assert(totalEval >= totalTrain)
+    // the two sides agree on whether ANY leakage exists
+    assert((totalEval > 0) == dec.exists(_.getAs[Int]("contaminated") == 1))
+    assert(rep.forall { r =>
+      val (docs, grams) = (r.getAs[Long]("n_contaminating_docs"),
+        r.getAs[Long]("n_shared_grams"))
+      docs <= grams || docs == 0
+    })
+    assert(rep.forall(r =>
+      r.getAs[Int]("compromised") ==
+        (if (r.getAs[Long]("n_contaminating_docs") > 0) 1 else 0)))
+  }
+
   test("sample_stratified takes the K lowest-hash docs per stratum, deterministically") {
     val a = Curate.sampleStratified(spark, sf, k = 7).collect()
     val b = Curate.sampleStratified(spark, sf, k = 7).collect()

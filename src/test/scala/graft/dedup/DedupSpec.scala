@@ -315,6 +315,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_best keeps exactly the highest-quality doc per cluster") {
+    val rows = Dedup.dedupClusterBest(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.values.forall { g =>
+      val maxScore = g.map(_.getAs[Int]("score")).max
+      val expectKeep = g.filter(_.getAs[Int]("score") == maxScore)
+        .map(_.getAs[Long]("doc_id")).min
+      val keepers = g.filter(_.getAs[Int]("keep") == 1)
+      keepers.length == 1 &&
+        keepers.head.getAs[Long]("doc_id") == expectKeep &&
+        g.forall(_.getAs[Long]("best_doc") == expectKeep)
+    })
+    // the cluster map itself is dedup_cluster's, unchanged
+    val base = Dedup.dedupCluster(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"))).toSet
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+      .toSet == base)
+  }
+
   test("localForest preserves components and node coverage on a crafted graph") {
     val sql = spark.sqlContext
     import sql.implicits._
