@@ -95,6 +95,7 @@ object SparkEntry {
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
+    "domain_mix_temperature" -> (Curate.domainMixTemperature _),
     "repetition_stats"  -> (Curate.repetitionStats _),
     "importance_weights" -> (Curate.importanceWeights _),
     "importance_sample" -> (Curate.importanceSample _),
@@ -1111,6 +1112,25 @@ object SparkEntry {
         |  CAST(target_ppm AS BIGINT) AS target_ppm,
         |  CAST(least(1000000, (1000000 * target_ppm) // greatest(share_ppm, 1)) AS BIGINT) AS rate_ppm
         |FROM m ORDER BY lang, source""".stripMargin,
+    "domain_mix_temperature" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS cell_tokens
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(cell_tokens) AS tot_tokens FROM c),
+        |s AS (SELECT lang, source, n_docs, cell_tokens,
+        |        (1000000 * cell_tokens) // tot_tokens AS share_ppm,
+        |        CAST(floor(sqrt(CAST((1000000 * cell_tokens) // tot_tokens AS DOUBLE)))
+        |             AS BIGINT) AS temp_w
+        |      FROM c, t),
+        |ws AS (SELECT SUM(temp_w) AS sum_w FROM s)
+        |SELECT lang, source, n_docs, CAST(cell_tokens AS BIGINT) AS cell_tokens,
+        |  CAST(share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(temp_w AS BIGINT) AS temp_w,
+        |  CAST((1000000 * temp_w) // sum_w AS BIGINT) AS weight_ppm,
+        |  CAST(least(1000000,
+        |    (1000000 * ((1000000 * temp_w) // sum_w)) // greatest(share_ppm, 1))
+        |    AS BIGINT) AS rate_ppm
+        |FROM s, ws ORDER BY lang, source""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -378,6 +378,51 @@ object Curate {
       .orderBy("lang", "source")
   }
 
+  /** Temperature-flattened domain mixture (α = 1/2) — the standard
+    * multilingual/multi-domain rebalancing next to `domainMix`'s
+    * flatten-to-uniform: mixture weight ∝ share^α, which upweights
+    * tail domains without letting the head dominate (α=1 keeps the
+    * natural mix, α=0 is uniform; 1/2 is the published middle ground).
+    *
+    * INTEGER-EXACT on purpose: weight ∝ isqrt(share_ppm), where isqrt
+    * is FLOOR(SQRT(x)) over x ≤ 1e6 — IEEE sqrt is correctly rounded
+    * and the nearest integer boundary is ~1/(2√x) ≥ 5e-4 away, nine
+    * orders above double ulp, so the floor is bit-stable across
+    * engines (a pow(x, 0.3)-style α would NOT be: pow is not required
+    * correctly rounded and libm results differ in the last ulp — the
+    * hash gate would flip). Normalization and rates stay in ppm DIV
+    * arithmetic like every mixing operator here.
+    *
+    * Scale shape: identical to `domainMix` — one partial-agg corpus
+    * pass to the cell level (pinned: both the Σw aggregate and the
+    * final projection read it), then arithmetic against two broadcast
+    * 1-row totals frames (each crossJoin rewritten to a
+    * BroadcastHashJoin by plans.SingleRowCrossToEquiJoin).
+    */
+  def domainMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("cell_tokens"))
+      .materializeOnce() // one corpus pass feeds Σw AND the projection
+    val totals = cells.agg(sum(col("cell_tokens")).as("tot_tokens"))
+    val s = cells.crossJoin(broadcast(totals))
+      .withColumn("share_ppm",
+        expr("CAST((1000000 * cell_tokens) DIV tot_tokens AS BIGINT)"))
+      .withColumn("temp_w",
+        expr("CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE))) AS BIGINT)"))
+    val ws = s.agg(sum(col("temp_w")).as("sum_w"))
+    s.crossJoin(broadcast(ws))
+      .withColumn("weight_ppm",
+        expr("CAST((1000000 * temp_w) DIV sum_w AS BIGINT)"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("CAST((1000000 * weight_ppm) DIV GREATEST(share_ppm, 1) AS BIGINT)")))
+      .select(col("lang"), col("source"), col("n_docs"), col("cell_tokens"),
+        col("share_ppm"), col("temp_w"), col("weight_ppm"), col("rate_ppm"))
+      .orderBy("lang", "source")
+  }
+
   /** DSIR-style importance weighting: score each document by how much
     * its unigram distribution resembles a TARGET domain relative to the
     * source corpus — the data-selection signal behind importance

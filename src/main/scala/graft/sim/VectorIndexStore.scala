@@ -168,6 +168,29 @@ object VectorIndexStore {
       queries, excludeSelf)
   }
 
+  /** Index health report — the ops view a store keeps next to its
+    * artifacts (the vector twin of the queue/outbox gauges): per
+    * centroid list, member count and share of the corpus, plus the
+    * overall balance statistics a probe planner reads (a degenerate
+    * quantizer shows up here as one mega-list — nProbe stops pruning —
+    * or many empty lists — recall paid for nothing). One partial-agg
+    * pass over the narrow (vec_id, cid) lists frame (bucket-scanned
+    * when loaded, never the raw vectors), then tiny-frame arithmetic.
+    */
+  def indexStats(spark: SparkSession, basePath: String): DataFrame = {
+    val idx = loadIvfPq(spark, basePath, withPq = false)
+    val per = idx.lists.groupBy("cid").agg(count(lit(1)).as("list_size"))
+    val tot = per.agg(sum(col("list_size")).as("tot"),
+      count(lit(1)).as("n_lists"), max(col("list_size")).as("max_size"))
+    per.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+      .select(col("cid"), col("list_size"),
+        expr("CAST((1000000 * list_size) DIV tot AS BIGINT)").as("share_ppm"),
+        expr("CAST((1000000 * max_size * n_lists) DIV tot AS BIGINT)")
+          .as("skew_ppm"), // 1e6 = perfectly balanced; k×1e6 = one mega-list
+        col("n_lists"))
+      .orderBy(col("cid"))
+  }
+
   /** Query-entry form: build the index at a deterministic scratch
     * location if absent (first call of a session/round — the
     * `_INDEX_OK` marker plays the index-registry entry a production

@@ -65,6 +65,27 @@ class CurateSpec extends SparkSpec {
         (if (r.getAs[Long]("n_contaminating_docs") > 0) 1 else 0)))
   }
 
+  test("domain_mix_temperature flattens toward the tail with exact isqrt weights") {
+    val rows = Curate.domainMixTemperature(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // temp_w is the exact integer sqrt of share_ppm
+    assert(rows.forall { r =>
+      val (s, w) = (r.getAs[Long]("share_ppm"), r.getAs[Long]("temp_w"))
+      w * w <= s && s < (w + 1) * (w + 1)
+    })
+    // weights form a distribution (ppm, DIV truncation loses < n_cells)
+    val sumW = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(sumW > 1000000L - rows.length && sumW <= 1000000L)
+    // temperature ordering: a smaller-share cell never gets a smaller
+    // weight, and relative upweighting is strictly tail-biased
+    val byShare = rows.sortBy(_.getAs[Long]("share_ppm"))
+    val ws = byShare.map(_.getAs[Long]("weight_ppm"))
+    assert(ws.zip(ws.tail).forall { case (lo, hi) => lo <= hi })
+    val lift = byShare.map(r => r.getAs[Long]("weight_ppm").toDouble /
+      math.max(1L, r.getAs[Long]("share_ppm")))
+    assert(lift.head >= lift.last, "tail cell must be upweighted relative to head")
+  }
+
   test("sample_stratified takes the K lowest-hash docs per stratum, deterministically") {
     val a = Curate.sampleStratified(spark, sf, k = 7).collect()
     val b = Curate.sampleStratified(spark, sf, k = 7).collect()

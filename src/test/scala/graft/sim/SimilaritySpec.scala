@@ -170,6 +170,25 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("already indexed"))
   }
 
+  test("indexStats reports list sizes, shares, and balance over the persisted index") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-stats").toString + "/idx"
+    VectorIndexStore.buildIvfPq(emb, base)
+    val rows = VectorIndexStore.indexStats(spark, base).collect()
+    val n = emb.count()
+    // top-2 multi-assignment: exactly 2n index rows across all lists
+    assert(rows.map(_.getAs[Long]("list_size")).sum == 2 * n)
+    assert(rows.map(_.getAs[Int]("cid")).distinct.length == rows.length)
+    val skew = rows.head.getAs[Long]("skew_ppm")
+    assert(rows.forall(_.getAs[Long]("skew_ppm") == skew), "skew is a corpus constant")
+    assert(skew >= 1000000L, "skew_ppm floors at the balanced 1e6")
+    // shares are ppm of the index rows
+    val shares = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares > 1000000L - rows.length && shares <= 1000000L)
+  }
+
   test("persisted IVF-PQ query plan reads bucketed index scans and never retrains") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
