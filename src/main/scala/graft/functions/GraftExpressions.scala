@@ -56,6 +56,8 @@ object GraftFunctions {
         intLit("lsh_probe_buckets", es(2)), probeFlips = true)),
     "ngram_hash_set" ->
       (es => NgramHashSet(es(0), intLit("ngram_hash_set", es(1)))),
+    "ngram_hash_seq" ->
+      (es => NgramHashSeq(es(0), intLit("ngram_hash_seq", es(1)))),
     "simhash32" -> (es => Simhash32(es.head)),
     "simhash64" -> (es => Simhash64(es.head)),
     "rolling_fp" ->
@@ -337,6 +339,32 @@ object Mix {
                    n: Int): GenericArrayData = {
     val sz = arr.numElements()
     if (sz < n) return new GenericArrayData(Array.emptyLongArray)
+    val g = ngramHashes(arr, n)
+    java.util.Arrays.sort(g)
+    var w = 1
+    var i = 1
+    while (i < g.length) {
+      if (g(i) != g(w - 1)) { g(w) = g(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(g, w))
+  }
+
+  /** Positional variant (NgramHashSeq): the hash of every n-token
+    * window IN ORDER, no dedup — element k is the gram starting at
+    * token k. The span detector needs positions, so the set form's
+    * sort/dedup would destroy exactly the information it consumes.
+    */
+  def ngramHashSeq(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   n: Int): GenericArrayData = {
+    val sz = arr.numElements()
+    if (sz < n) return new GenericArrayData(Array.emptyLongArray)
+    new GenericArrayData(ngramHashes(arr, n))
+  }
+
+  private def ngramHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                          n: Int): Array[Long] = {
+    val sz = arr.numElements()
     val th = new Array[Long](sz)
     var i = 0
     while (i < sz) { th(i) = strHash(arr.getUTF8String(i)); i += 1 }
@@ -349,14 +377,7 @@ object Mix {
       g(i) = hh
       i += 1
     }
-    java.util.Arrays.sort(g)
-    var w = 1
-    i = 1
-    while (i < g.length) {
-      if (g(i) != g(w - 1)) { g(w) = g(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(g, w))
+    g
   }
 }
 
@@ -614,6 +635,26 @@ case class NgramHashSet(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Mix.ngramHashSet($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Positional n-gram hashes: element k is the 64-bit hash of the n-token
+  * window starting at token k (no sort, no dedup — see NgramHashSet for
+  * the set form). Feeds the duplicated-span detector, where the gram's
+  * POSITION is the payload.
+  */
+case class NgramHashSeq(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mix.ngramHashSeq(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Mix.ngramHashSeq($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
