@@ -222,7 +222,20 @@ object Bench {
         try w.println(varianceLine) finally w.close()
       } catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // the harness tail-parses ONLY the final line from a ~2000-char log
+    // window. At 93+ entries the per-query map no longer fits (round 10
+    // was recorded unparseable), so the map moves to its own earlier line
+    // plus a committed local file, and the final line carries just the
+    // fixed-size totals — it can never outgrow the window again no matter
+    // how many queries the surface adds.
+    val timesLine =
+      s"""{"metric":"query_times","queries":$qs,"sf":"$sfDir"}"""
+    println(timesLine)
+    try {
+      val w = new java.io.PrintWriter("bench_times_last.json")
+      try w.println(timesLine) finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${results.size},"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

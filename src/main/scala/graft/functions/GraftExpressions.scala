@@ -36,6 +36,17 @@ object GraftFunctions {
       s"$fn expects a literal INT parameter, got: $other")
   }
 
+  /** Window-size parameters (n-gram width, rolling-fp window) must be ≥ 1:
+    * n = 0 would emit sz+1 zero hashes and negative n an oversized
+    * all-zero array — silent garbage, so fail at plan time instead.
+    */
+  private def posIntLit(fn: String, e: Expression): Int = {
+    val i = intLit(fn, e)
+    if (i < 1) throw new IllegalArgumentException(
+      s"$fn expects a positive window size, got: $i")
+    i
+  }
+
   /** Name → expression builder for every native function. Shared by the
     * per-session runtime registration and the SparkSessionExtensions
     * injection, so the two surfaces can never drift.
@@ -55,13 +66,13 @@ object GraftFunctions {
       (es => LshBandBuckets(es(0), intLit("lsh_probe_buckets", es(1)),
         intLit("lsh_probe_buckets", es(2)), probeFlips = true)),
     "ngram_hash_set" ->
-      (es => NgramHashSet(es(0), intLit("ngram_hash_set", es(1)))),
+      (es => NgramHashSet(es(0), posIntLit("ngram_hash_set", es(1)))),
     "ngram_hash_seq" ->
-      (es => NgramHashSeq(es(0), intLit("ngram_hash_seq", es(1)))),
+      (es => NgramHashSeq(es(0), posIntLit("ngram_hash_seq", es(1)))),
     "simhash32" -> (es => Simhash32(es.head)),
     "simhash64" -> (es => Simhash64(es.head)),
     "rolling_fp" ->
-      (es => RollingFp(es(0), intLit("rolling_fp", es(1)))),
+      (es => RollingFp(es(0), posIntLit("rolling_fp", es(1)))),
     "vec_sum" ->
       (es => VectorSumD(es.head).toAggregateExpression()),
   )

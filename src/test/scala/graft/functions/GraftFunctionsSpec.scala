@@ -107,6 +107,52 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ngram_hash_seq is positional: element k = hash of window at k, no dedup") {
+    registered
+    val rows = Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("toks"))
+      .select(col("toks"),
+        call_function("ngram_hash_seq", col("toks"), lit(3)).as("seq"),
+        call_function("ngram_hash_set", col("toks"), lit(3)).as("set"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val seq = r.getSeq[Long](1)
+      val set = r.getSeq[Long](2)
+      // length sz-n+1 (0 when too short), NO dedup/sort
+      val expectLen = math.max(0, toks.length - 3 + 1)
+      assert(seq.length == expectLen)
+      // the multiset of positional hashes deduped+sorted IS the set form —
+      // same hash family, so positions only add information
+      assert(seq.distinct.sorted == set)
+      // element k must depend only on the window at k: windows with equal
+      // token triples must hash equal, distinct triples must hash distinct
+      val windows = toks.sliding(3).toSeq
+      if (windows.nonEmpty && seq.nonEmpty) {
+        val byWindow = windows.zip(seq).groupBy(_._1)
+        byWindow.values.foreach(g => assert(g.map(_._2).distinct.size == 1))
+        assert(byWindow.keySet.size == seq.distinct.size)
+      }
+    }
+  }
+
+  test("n-gram and rolling-fp window parameters reject n < 1") {
+    registered
+    Seq("ngram_hash_set", "ngram_hash_seq").foreach { fn =>
+      Seq(0, -2).foreach { bad =>
+        val err = intercept[Exception] {
+          spark.sql(s"SELECT $fn(array('a','b','c'), $bad)").collect()
+        }
+        assert(err.getMessage.contains("positive"), s"$fn($bad): ${err.getMessage}")
+      }
+    }
+    val err = intercept[Exception] {
+      spark.sql("SELECT rolling_fp('abc', 0)").collect()
+    }
+    assert(err.getMessage.contains("positive"))
+  }
+
   test("lsh_band_buckets equals the packed-bands + SQL xxhash64 composition") {
     registered
     // the fused expression must produce bit-identical buckets to the
@@ -181,9 +227,18 @@ class GraftFunctionsSpec extends SparkSpec {
   test("the SQL extension injects every native function without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)
-    // injection itself must cover the full builder list; resolution is
-    // covered by the plain-SQL test above on the shared session
-    assert(GraftFunctions.builders.size == 11)
+    // injection and runtime registration share GraftFunctions.builders, so
+    // the real invariant is that every builder also resolves on the live
+    // session after register() — derived from the list itself so a new
+    // expression can never leave this test stale
+    registered
+    val reg = spark.sessionState.functionRegistry
+    val missing = GraftFunctions.builders.map(_._1).filterNot { name =>
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    }
+    assert(missing.isEmpty, s"unregistered native functions: $missing")
+    assert(GraftFunctions.builders.map(_._1).distinct.size ==
+      GraftFunctions.builders.size, "duplicate builder names")
   }
 
   test("registerViews exposes the full table surface to plain SQL") {
@@ -211,6 +266,7 @@ class GraftFunctionsSpec extends SparkSpec {
           call_function("simhash32", col("toks")).as("a"),
           call_function("simhash64", col("toks")).as("a64"),
           call_function("ngram_hash_set", col("toks"), lit(3)).as("b"),
+          call_function("ngram_hash_seq", col("toks"), lit(3)).as("bq"),
           call_function("sorted_intersect_count",
             array_sort(expr("transform(toks, x -> xxhash64(x))")),
             array_sort(expr("transform(toks, x -> xxhash64(x, 7))"))).as("c"),
