@@ -79,6 +79,8 @@ object SparkEntry {
     "dedup_minhash"   -> (Dedup.dedupMinhash _),
     "dedup_cluster"   -> (Dedup.dedupCluster _),
     "dedup_cluster_best" -> (Dedup.dedupClusterBest _),
+    "dedup_cluster_best_indexed" ->
+      (graft.dedup.MinhashIndexStore.dedupClusterBestIndexed _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_incremental_indexed" ->
       (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
@@ -115,6 +117,8 @@ object SparkEntry {
     "ann_ivf_pq"  -> (Similarity.annIvfPq _),
     "ann_ivf_pq_indexed" ->
       (graft.sim.VectorIndexStore.annIvfPqIndexed _),
+    "vindex_stats" ->
+      (graft.sim.VectorIndexStore.vindexStats _),
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
@@ -213,6 +217,29 @@ object SparkEntry {
       // the persisted-cluster-index report is a load-not-recompute swap of
       // the dedup gate — identical oracle, identical hash
       "curation_report_indexed" -> base("curation_report"),
+      // survivor selection over LOADED cluster labels — identical oracle,
+      // identical hash to the per-call minhash→CC→argmax chain
+      "dedup_cluster_best_indexed" -> base("dedup_cluster_best"),
+      // the list-balance gauge is a deterministic aggregation over the
+      // PERSISTED inverted-lists parquet (list membership itself is
+      // training-order-dependent, so the oracle reads the artifact, not a
+      // recomputation). `{{scratch:ivfpq}}` is substituted by Verify with
+      // the per-corpus index location before the oracle JSON is dumped.
+      "vindex_stats" ->
+        """WITH per AS (
+          |  SELECT cid, COUNT(*) AS list_size
+          |  FROM '{{scratch:ivfpq}}/lists/*.parquet' GROUP BY 1),
+          |tot AS (
+          |  SELECT SUM(list_size) AS tot, COUNT(*) AS n_lists,
+          |         MAX(list_size) AS max_size
+          |  FROM per)
+          |SELECT cid,
+          |  CAST(list_size AS BIGINT) AS list_size,
+          |  CAST((1000000 * list_size) // tot AS BIGINT) AS share_ppm,
+          |  CAST((1000000 * max_size * n_lists) // tot AS BIGINT) AS skew_ppm,
+          |  CAST(n_lists AS BIGINT) AS n_lists
+          |FROM per, tot
+          |ORDER BY cid""".stripMargin,
       // the salted join is semantically the plain inner join — the oracle
       // knows nothing about salt
       "salted_enrich" ->

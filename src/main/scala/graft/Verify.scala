@@ -42,8 +42,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `{{scratch:KIND}}` placeholders resolve to the per-corpus index
+    // scratch location for THIS sfDir — oracles that verify a persisted
+    // artifact (vindex_stats) read the same files the query read.
+    val scratch = "\\{\\{scratch:([a-z]+)\\}\\}".r
+    def resolve(sql: String): String =
+      scratch.replaceAllIn(sql, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          graft.core.IndexScratch.scratchBase(sfDir, m.group(1))))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

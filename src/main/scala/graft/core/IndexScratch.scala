@@ -19,6 +19,15 @@ object IndexScratch {
   def scratchBase(dir: String, kind: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-index-v1-$kind-${md5hex(dir).take(10)}"
 
+  /** Hadoop-FS existence probe (works for any configured filesystem,
+    * not just local paths — the stores' artifacts live wherever the
+    * cluster's default FS puts them).
+    */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Cheap content fingerprint of a source table directory: relative
     * paths, sizes, and mtimes of its data files, recursively
     * (hive-partitioned sources keep data in subdirectories — a

@@ -223,4 +223,17 @@ object MinhashIndexStore {
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).cast("int").as("keep"))
   }
+
+  /** `Dedup.dedupClusterBest` served from the persisted label index:
+    * clusters come from the loaded `(doc_id, cluster)` labels (zero
+    * banding / CC in the plan — same contract as `dedupClusterIndexed`),
+    * and only the quality score recomputes, which is a LINEAR text scan
+    * keyed by doc_id. The survivor selection is the shared
+    * `Dedup.clusterBestFrom` argmax, so output is value-identical to the
+    * per-call path (hash-checked against the SAME DuckDB oracle).
+    */
+  def dedupClusterBestIndexed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterBestFrom(
+      dedupClusterIndexed(spark, dir).select("doc_id", "cluster", "cluster_size"),
+      graft.text.TextOps.qualityScore(spark, dir).select(col("doc_id"), col("score")))
 }

@@ -328,7 +328,10 @@ object Similarity {
     val (books, codes) = pqTrain(e)
     val centroids = ivfCentroids(e, k = 16, eager = false)
     val index = ivfInvertedIndex(e, centroids)
-    ivfPqSearch(e, centroids, index, books, codes, queries, excludeSelf)
+    // one count on the just-materialized narrow codes frame sizes the
+    // ADC re-rank depth for this training session
+    ivfPqSearch(e, centroids, index, books, codes, queries, excludeSelf,
+      corpusN = codes.count())
   }
 
   /** Subspace-slicing expression shared by corpus encoding and query
@@ -426,23 +429,25 @@ object Similarity {
     */
   private[sim] def ivfPqSearch(e: DataFrame, centroids: DataFrame,
       index: DataFrame, books: DataFrame, codes: DataFrame,
-      queries: DataFrame, excludeSelf: Boolean, nProbe: Int = 4,
-      rerank: Option[Int] = None): DataFrame = {
+      queries: DataFrame, excludeSelf: Boolean, corpusN: Long,
+      nProbe: Int = 4, rerank: Option[Int] = None): DataFrame = {
     // ADC re-rank depth must grow with the probed candidate pool or
     // recall collapses as the corpus grows: the sf1 validation measured
     // 0.58 recall at 20k vectors with the old FIXED depth of 100 (the
     // 32-code ADC ordering is a noisy permutation, so the rank of a
     // true neighbour scales with pool size ≈ n·assign·nProbe/k). The
-    // depth now scales with n (codes is one row per corpus vector, and
-    // it is materialized/persisted on every path, so the count is
-    // cheap) — still a bounded re-rank: 4% of the corpus at the default
-    // geometry (sf1 sweep: depth 100→0.58, 400→0.84, n/25=800→0.93,
-    // 1200→0.96). The 100 TB posture is NOT an ever-growing re-rank,
-    // it is growing PqCodes with the corpus (finer ADC → smaller
-    // constant); this divisor keeps the shipped 32-code geometry honest
-    // until that flip (see PqCodes doc).
+    // depth scales with `corpusN`, which callers supply ONCE — the
+    // in-plan path counts its just-materialized codes frame; the
+    // persisted-index path reads n from the index METADATA, so no
+    // corpus-wide count job runs per query batch — still a bounded
+    // re-rank: 4% of the corpus at the default geometry (sf1 sweep:
+    // depth 100→0.58, 400→0.84, n/25=800→0.93, 1200→0.96). The
+    // 100 TB posture is NOT an ever-growing re-rank, it is growing
+    // PqCodes with the corpus (finer ADC → smaller constant); this
+    // divisor keeps the shipped 32-code geometry honest until that
+    // flip (see PqCodes doc).
     val depth = rerank.getOrElse(
-      math.max(PqRerank, (codes.count() / 25L).toInt))
+      math.max(PqRerank, (corpusN / 25L).toInt))
     val q = queries.select("vec_id", "embedding")
       .dropDuplicates("vec_id")
       .withColumn("norm", norm64("embedding"))

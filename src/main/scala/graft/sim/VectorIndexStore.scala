@@ -39,10 +39,14 @@ import graft.sinks.Sinks
 object VectorIndexStore {
 
   /** The persistable IVF(-PQ) artifacts; `books`/`codes` are null for a
-    * plain-IVF index.
+    * plain-IVF index. `n` is the indexed corpus size, persisted in the
+    * index metadata at build/append time so the query path can size its
+    * ADC re-rank depth WITHOUT a corpus-wide count job per query batch
+    * (the size is known when the index is written; recounting it per
+    * query was the one remaining driver-side action on the ANN path).
     */
   final case class IvfPqIndex(centroids: DataFrame, lists: DataFrame,
-                              books: DataFrame, codes: DataFrame)
+                              books: DataFrame, codes: DataFrame, n: Long)
 
   private val Buckets = 32
   private val IvfK = 16
@@ -74,7 +78,9 @@ object VectorIndexStore {
       Buckets, Some(s"$basePath/lists"))
     Sinks.writeBucketed(codes, tableName(basePath, "codes"), "vec_id",
       Buckets, Some(s"$basePath/codes"))
-    IvfPqIndex(centroids, lists, books, codes)
+    val n = codes.count() // codes is pinned: one narrow count at build
+    writeMeta(spark, basePath, n)
+    IvfPqIndex(centroids, lists, books, codes, n)
   }
 
   /** Plain-IVF variant: centroids + bucketed inverted lists only. */
@@ -87,8 +93,27 @@ object VectorIndexStore {
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$basePath/centroids")
     Sinks.writeBucketed(lists, tableName(basePath, "lists"), "cid",
       Buckets, Some(s"$basePath/lists"))
-    IvfPqIndex(centroids, lists, null, null)
+    val n = e.count()
+    writeMeta(spark, basePath, n)
+    IvfPqIndex(centroids, lists, null, null, n)
   }
+
+  /** Corpus size as a one-row parquet next to the other artifacts. */
+  private def writeMeta(spark: SparkSession, basePath: String, n: Long): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("n").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/meta")
+  }
+
+  /** Indexed corpus size from metadata; an index written before the
+    * metadata existed falls back to ONE count of its codes/lists table
+    * (per load, not per query) so old scratch locations keep working.
+    */
+  private def readMeta(spark: SparkSession, basePath: String,
+      fallback: => DataFrame): Long =
+    if (IndexScratch.pathExists(spark, s"$basePath/meta"))
+      spark.read.parquet(s"$basePath/meta").head().getLong(0)
+    else fallback.count()
 
   /** Append a new vector batch to a PERSISTED IVF-PQ index without
     * retraining — the between-crawls maintenance move (the dedup side's
@@ -124,6 +149,9 @@ object VectorIndexStore {
     val codes = Similarity.pqEncode(e, idx.books)
     Sinks.appendBucketed(lists, tableName(basePath, "lists"), "cid", Buckets)
     Sinks.appendBucketed(codes, tableName(basePath, "codes"), "vec_id", Buckets)
+    // the metadata count advances by the batch size — appended indexes
+    // keep answering queries without ever recounting the corpus
+    writeMeta(spark, basePath, idx.n + e.count())
     loadIvfPq(spark, basePath)
   }
 
@@ -137,13 +165,16 @@ object VectorIndexStore {
       s"$basePath/lists", "cid", Buckets)
     val lists = spark.table(tableName(basePath, "lists"))
     val centroids = spark.read.parquet(s"$basePath/centroids")
-    if (!withPq) IvfPqIndex(centroids, lists, null, null)
-    else {
+    if (!withPq) {
+      val n = readMeta(spark, basePath, lists.select("vec_id").distinct())
+      IvfPqIndex(centroids, lists, null, null, n)
+    } else {
       Sinks.restoreBucketed(spark, tableName(basePath, "codes"),
         s"$basePath/codes", "vec_id", Buckets)
+      val codes = spark.table(tableName(basePath, "codes"))
       IvfPqIndex(centroids, lists,
-        spark.read.parquet(s"$basePath/books"),
-        spark.table(tableName(basePath, "codes")))
+        spark.read.parquet(s"$basePath/books"), codes,
+        readMeta(spark, basePath, codes))
     }
   }
 
@@ -156,7 +187,7 @@ object VectorIndexStore {
     graft.functions.GraftFunctions.register(spark)
     val idx = loadIvfPq(spark, basePath)
     Similarity.ivfPqSearch(normed(emb), idx.centroids, idx.lists,
-      idx.books, idx.codes, queries, excludeSelf)
+      idx.books, idx.codes, queries, excludeSelf, corpusN = idx.n)
   }
 
   /** `Similarity.annIvfFrom` semantics over a persisted IVF index. */
@@ -201,11 +232,35 @@ object VectorIndexStore {
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
+    val base = ensureIvfPq(spark, dir)
+    annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
+  }
+
+  /** Build-if-missing at the per-corpus scratch location; returns the
+    * index base path. Shared by the ANN query entry and the stats gauge
+    * so both read the same artifact.
+    */
+  def ensureIvfPq(spark: SparkSession, dir: String): String = {
     val base = IndexScratch.scratchBase(dir, "ivfpq")
     IndexScratch.ensureBuilt(base,
       IndexScratch.sourceFingerprint(spark, s"$dir/embeddings.parquet")) {
-      buildIvfPq(emb, base)
+      buildIvfPq(graft.core.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding"), base)
     }
-    annIvfPqFromIndex(spark, base, emb, emb.filter(col("vec_id") < 20))
+    base
+  }
+
+  /** Query-entry form of `indexStats`: the list-balance gauge over the
+    * per-corpus persisted index (built here if absent — same artifact
+    * `annIvfPqIndexed` queries). Because the gauge is a deterministic
+    * aggregation over the PERSISTED lists parquet, it hash-checks
+    * against a DuckDB oracle reading the same files — the stats math is
+    * verified even though the list CONTENTS are training-order-dependent.
+    */
+  def vindexStats(spark: SparkSession, dir: String): DataFrame = {
+    // register() also installs the single-row-cross rewrite, so the
+    // 1-row totals crossJoin below plans as a broadcast equi-join
+    graft.functions.GraftFunctions.register(spark)
+    indexStats(spark, ensureIvfPq(spark, dir))
   }
 }

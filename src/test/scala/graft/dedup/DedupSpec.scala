@@ -334,6 +334,25 @@ class DedupSpec extends SparkSpec {
       .toSet == base)
   }
 
+  test("dedup_cluster_best_indexed equals the per-call path and never re-bands") {
+    val plain = Dedup.dedupClusterBest(spark, sf)
+    val indexed = MinhashIndexStore.dedupClusterBestIndexed(spark, sf)
+    assert(indexed.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(indexed).count() == 0)
+    // load-not-recompute: clusters come from the persisted label index —
+    // no signature hashing, no banding in the plan. (The QUALITY score is
+    // a declared linear text scan, so documents.parquet legitimately
+    // appears once — what must be gone is the minhash chain.)
+    val plan = MinhashIndexStore.dedupClusterBestIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("minhash_band_buckets"),
+      s"indexed cluster-best re-bands:\n$plan")
+    assert(!plan.contains("sorted_intersect_count"),
+      s"indexed cluster-best re-verifies pairs:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"indexed cluster-best not reading the bucketed label index:\n$plan")
+  }
+
   test("localForest preserves components and node coverage on a crafted graph") {
     val sql = spark.sqlContext
     import sql.implicits._

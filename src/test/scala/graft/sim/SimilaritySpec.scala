@@ -106,7 +106,7 @@ class SimilaritySpec extends SparkSpec {
     val fromBuilt = rows(Similarity.ivfPqSearch(
       emb.withColumn("norm", Vectors.norm64("embedding")),
       built.centroids, built.lists, built.books, built.codes,
-      queries, excludeSelf = true))
+      queries, excludeSelf = true, corpusN = built.n))
     // ...then DROP the catalog entries (what a fresh session looks like:
     // the in-memory catalog is gone, only the files remain) and query
     // from the persisted artifacts alone
@@ -148,19 +148,19 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(_.toString).sorted.toSeq
     val fromAppended = rows(Similarity.ivfPqSearch(full,
       appended.centroids, appended.lists, appended.books, appended.codes,
-      queries, excludeSelf = true))
+      queries, excludeSelf = true, corpusN = appended.n))
     val fromRebuilt = rows(Similarity.ivfPqSearch(full,
       appended.centroids,
       Similarity.ivfMultiIndex(full, appended.centroids, assign = 2),
       appended.books,
       Similarity.pqEncode(full, appended.books),
-      queries, excludeSelf = true))
+      queries, excludeSelf = true, corpusN = appended.n))
     assert(fromAppended.nonEmpty)
     assert(fromAppended == fromRebuilt)
     // neighbours from BOTH sides of the cut surface (the append is live)
     val nids = Similarity.ivfPqSearch(full, appended.centroids,
       appended.lists, appended.books, appended.codes, queries,
-      excludeSelf = true)
+      excludeSelf = true, corpusN = appended.n)
       .collect().map(_.getAs[Long]("n_id"))
     assert(nids.exists(_ >= cut) && nids.exists(_ < cut))
     // insert-only contract: re-appending the same ids fails loudly
@@ -168,6 +168,28 @@ class SimilaritySpec extends SparkSpec {
       VectorIndexStore.appendIvfPq(batch, base)
     }
     assert(e.getMessage.contains("already indexed"))
+  }
+
+  test("index metadata carries the corpus size through build, load, append, and fallback") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = emb.count()
+    val cut = n / 2
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-meta").toString + "/idx"
+    val built = VectorIndexStore.buildIvfPq(emb.filter(col("vec_id") < cut), base)
+    assert(built.n == cut)
+    assert(VectorIndexStore.loadIvfPq(spark, base).n == cut)
+    // append advances the metadata count by the batch size — no recount
+    val appended = VectorIndexStore.appendIvfPq(
+      emb.filter(col("vec_id") >= cut), base)
+    assert(appended.n == n)
+    assert(VectorIndexStore.loadIvfPq(spark, base).n == n)
+    // a pre-metadata index (meta/ absent) falls back to one count at load
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/meta"), true)
+    assert(VectorIndexStore.loadIvfPq(spark, base).n == n)
   }
 
   test("indexStats reports list sizes, shares, and balance over the persisted index") {

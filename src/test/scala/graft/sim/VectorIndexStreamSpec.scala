@@ -43,7 +43,8 @@ class VectorIndexStreamSpec extends SparkSpec {
     val got = rows(VectorIndexStore.annIvfPqFromIndex(spark, base, emb, queries))
     val expected = rows(Similarity.ivfPqSearch(full, idx.centroids,
       Similarity.ivfMultiIndex(full, idx.centroids, assign = 2), idx.books,
-      Similarity.pqEncode(full, idx.books), queries, excludeSelf = true))
+      Similarity.pqEncode(full, idx.books), queries, excludeSelf = true,
+      corpusN = idx.n))
     assert(got.nonEmpty && got == expected)
     // and neighbours from the streamed half actually surface
     val nids = VectorIndexStore.annIvfPqFromIndex(spark, base, emb, queries)
