@@ -21,16 +21,42 @@ object Pipeline {
     * @return the (key-matched) search documents that were written
     */
   def syncAndIndex(spark: SparkSession, dir: String, outPath: String,
-                   chunkSize: Int = 5000): DataFrame = {
-    val dirty = graft.sync.Sync.syncDiff(spark, dir)
+                   chunkSize: Int = 5000,
+                   eligible: Option[DataFrame] = None): DataFrame = {
+    val diffDirty = graft.sync.Sync.syncDiff(spark, dir)
       .filter(col("status").isin("new", "changed"))
       .select(col("key"))
+    // an article held by a worker (non-idle sync state) must not be
+    // re-indexed under it — `eligible` is the idle key set from the
+    // article-state store; absent means every key is fair game (the
+    // reference's trigger_sync without a held set)
+    val dirty = eligible.fold(diffDirty)(e => diffDirty.join(e, "key"))
     // inner join = "index exactly the dirty set"; the search-doc build
     // only aggregates rows that survive the key filter
     val docs = graft.index.Indexing.searchDoc(spark, dir)
       .join(dirty, "key")
     graft.sinks.Sinks.chunkedWrite(docs, "n_name", "key", chunkSize, outPath)
     docs
+  }
+
+  /** The admin recovery round-trip (web.rs: `reset_orphaned_articles`
+    * then trigger_sync): release every article stuck in a non-idle
+    * sync state — the in-place staged-swap write-back
+    * (`Maintenance.applyTo`) — then run the sync-and-index cycle gated
+    * on the NEW state, so keys the reset just released are indexed in
+    * the same round-trip. Returns (rows released, docs indexed). The
+    * whole sequence is retry-idempotent: a second run releases 0 rows
+    * and rewrites the same chunks (spec-pinned).
+    */
+  def adminResync(spark: SparkSession, dir: String, statePath: String,
+                  outPath: String, nowNs: Long,
+                  chunkSize: Int = 5000): (Long, DataFrame) = {
+    val released = graft.sync.Maintenance.applyTo(spark, statePath)(
+      graft.sync.Maintenance.resetOrphans(_, nowNs))
+    val idle = spark.read.parquet(statePath)
+      .filter(col("sync_status") === "idle")
+      .select("key")
+    (released, syncAndIndex(spark, dir, outPath, chunkSize, Some(idle)))
   }
 
   /** The six per-document gate frames the curation flows share, each

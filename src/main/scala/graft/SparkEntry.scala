@@ -108,6 +108,7 @@ object SparkEntry {
     "pii_stats"         -> (Pii.piiStats _),
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
+    "span_dedup"        -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "profile_stats"     -> (Profile.profileStats _),
     "outlier_stats"     -> (Profile.outlierStats _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
@@ -1389,6 +1390,27 @@ object SparkEntry {
          |       + len(regexp_extract_all(card, '${Pii.PhoneRe}'))
          |       + len(regexp_extract_all(card, '${Pii.Ipv4Re}')) AS BIGINT) AS n_redacted
          |FROM c ORDER BY c_custkey""".stripMargin,
+    // gram identity is hash-based on the Spark side (ngram_hash_seq,
+    // 64-bit — collisions negligible at corpus vocabulary sizes); the
+    // oracle recomputes from the gram STRINGS, so a collision would
+    // surface as a hash mismatch rather than hide
+    "span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pg AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)
+        |),
+        |dup AS (SELECT g FROM pg GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |hit AS (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM pg JOIN dup USING (g))
+        |SELECT doc_id,
+        |  CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) - MIN(pos) + 3 AS BIGINT) AS span_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM hit GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "para_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |paras AS (

@@ -339,6 +339,46 @@ object Streams {
   def syncStatusGauge(orders: DataFrame): DataFrame =
     graft.sync.Sync.statusRollupFrom(orders)
 
+  /** Live alert feed — the streaming twin of `alert_rollup` (the
+    * matrix-notifier input, matrix_notify_service.rs:114
+    * `send_message` fed by threshold breaches on the health gauges):
+    * the event stream folds into the batch operator's SINGLE
+    * streaming-legal gauge aggregation (`Sync.alertGaugesFrom`) in
+    * Complete mode, and each micro-batch emission — the full refreshed
+    * (event_type, backlog, dead, pending) gauge frame — re-derives the
+    * breach rows with the batch `alertsFromGauges` inside
+    * `foreachBatch` ([[alertFeed]]). The split matters: the breach
+    * logic needs cross-namespace averages (window over the aggregate),
+    * which streaming cannot chain after an aggregation, but the gauge
+    * frame is namespace-counted (tiny), so deriving breaches per tick
+    * is constant work — exactly what the reference's notifier does per
+    * poll. State is bounded by the namespace set at any stream length.
+    */
+  def alertGauge(events: DataFrame): DataFrame =
+    graft.sync.Sync.alertGaugesFrom(events)
+
+  /** Breach derivation for one Complete-mode emission of
+    * [[alertGauge]] — the per-tick half of the alert feed, shared with
+    * the batch `alert_rollup` so the live and batch alert sets cannot
+    * drift.
+    */
+  def alertsFromGauges(gauges: DataFrame): DataFrame =
+    graft.sync.Sync.alertsFromGauges(gauges)
+
+  /** The assembled notifier feed: every micro-batch, `publish` receives
+    * the CURRENT full breach frame (what the notifier would fan out as
+    * messages — Complete-mode semantics, matching the reference's
+    * poll-and-push loop). Returns the running query; callers own stop().
+    */
+  def alertFeed(events: DataFrame)(publish: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    alertGauge(events).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .foreachBatch { (g: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        publish(alertsFromGauges(g))
+      }
+      .start()
+
   /** Watermarked INCREMENTAL queue depth — per-hour namespace depth
     * deltas in Append mode, for the dashboard's "activity over the
     * last N hours" strip (the windowed complement of the cumulative

@@ -363,18 +363,26 @@ object Sync {
     * namespace-counted (tiny), so the explicit single-partition windows
     * computing the averages are constant-size at any corpus scale.
     */
-  def alertRollup(spark: SparkSession, dir: String): DataFrame = {
-    // ONE events scan and ONE groupBy(event_type) computes all three
-    // gauges (backlog and dead from the %6 state code, outbox pending
-    // from the %3 processed code — the same derivations
-    // queueDepthStats / outboxDepthStats document); reusing those two
-    // operators verbatim would scan and shuffle the corpus twice for
-    // gauges grouped by the same key. At 100 TB the scan IS the query.
+  def alertRollup(spark: SparkSession, dir: String): DataFrame =
+    alertsFromGauges(alertGaugesFrom(Tables.events(spark, dir)))
+      .orderBy("source", "scope", "condition")
+
+  /** The gauge half of [[alertRollup]]: ONE events scan and ONE
+    * groupBy(event_type) computes all three gauges (backlog and dead
+    * from the %6 state code, outbox pending from the %3 processed
+    * code — the same derivations queueDepthStats / outboxDepthStats
+    * document); reusing those two operators verbatim would scan and
+    * shuffle the corpus twice for gauges grouped by the same key. At
+    * 100 TB the scan IS the query. A single streaming-legal aggregation,
+    * so the SAME code runs in Complete mode as the live feed
+    * ([[graft.streaming.Streams.alertGauge]]).
+    */
+  private[graft] def alertGaugesFrom(ev: DataFrame): DataFrame = {
     val state = expr(
       """CASE CAST(event_id % 6 AS INT)
         |  WHEN 0 THEN 'pending' WHEN 1 THEN 'running' WHEN 2 THEN 'failed'
         |  WHEN 3 THEN 'dead' WHEN 4 THEN 'scheduled' ELSE 'done' END""".stripMargin)
-    val g = Tables.events(spark, dir)
+    ev
       .select(col("event_type"), state.as("state"),
         (col("event_id") % 3 === 0).cast("long").as("is_pending"))
       .groupBy("event_type")
@@ -383,6 +391,13 @@ object Sync {
           .otherwise(0L)).as("backlog"),
         sum(when(col("state") === "dead", 1L).otherwise(0L)).as("dead"),
         sum(col("is_pending")).as("pending"))
+  }
+
+  /** The breach half of [[alertRollup]] over an already-aggregated
+    * gauge frame — tiny (namespace-counted), so the notifier feed can
+    * re-derive it per dashboard tick from each Complete-mode emission.
+    */
+  private[graft] def alertsFromGauges(g: DataFrame): DataFrame = {
     // constant-partition windows over the namespace-count-sized frame
     val w = Window.partitionBy(pmod(col("backlog"), lit(1)))
     val ga = g
@@ -401,7 +416,6 @@ object Sync {
         lit("pending_high").as("condition"),
         col("pending").as("observed"), col("pthr").as("threshold"))
     backlogHigh.unionByName(deadJobs).unionByName(pendingHigh)
-      .orderBy("source", "scope", "condition")
   }
 
   /** SCD type-2 revision history: the reference keeps per-article

@@ -375,6 +375,27 @@ class DedupSpec extends SparkSpec {
     assert(!labels.contains(20L))
   }
 
+  test("dupSpans merges consecutive shared grams into maximal cross-doc spans") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // docs 1 and 2 share the 5-token run "a b c d e" (three 3-grams at
+    // positions 0..2 in doc 1, 2..4 in doc 2) and nothing else; doc 3
+    // repeats ITS OWN trigram twice but shares nothing cross-doc; doc 4
+    // is fully unique.
+    val docs = Seq(
+      (1L, "a b c d e x y z w"),
+      (2L, "q r a b c d e s t"),
+      (3L, "p p p m n p p p o"),
+      (4L, "unique words only here never repeated elsewhere")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpansDocs(docs, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("n_grams"))).toSet
+    // one maximal span per sharing doc: grams 0-2 in doc 1 (tokens 0..4),
+    // grams 2-4 in doc 2 (tokens 2..6); no spans for docs 3 and 4
+    assert(got == Set((1L, 0L, 5L, 3L), (2L, 2L, 5L, 3L)))
+  }
+
   test("paraDedup drops cross-doc repeated paragraphs, keeps within-doc repeats") {
     val sql = spark.sqlContext
     import sql.implicits._

@@ -74,6 +74,35 @@ class StreamsGaugeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("alertFeed publishes the batch alert_rollup breach set after every micro-batch") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val chunks = events.grouped(math.max(1, events.size / 3)).toSeq
+    val stream = MemoryStream[Ev](spark)
+    @volatile var published = Seq.empty[String]
+    val query = Streams.alertFeed(stream.toDF()) { alerts =>
+      published = sortedLines(alerts)
+    }
+    try {
+      var prefix = Seq.empty[Ev]
+      chunks.foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+        prefix = prefix ++ chunk
+        val want = sortedLines(graft.sync.Sync.alertsFromGauges(
+          graft.sync.Sync.alertGaugesFrom(prefix.toDF())))
+        assert(published.nonEmpty && published == want,
+          s"alert feed diverged from batch at prefix ${prefix.size}")
+      }
+      // the final emission IS the batch alert_rollup over the full corpus
+      val full = sortedLines(graft.sync.Sync.alertRollup(spark, sf))
+      assert(published == full)
+    } finally query.stop()
+  }
+
   test("queueDepthWindowed matches the batch per-hour depth rollup") {
     val sql = spark.sqlContext
     import sql.implicits._

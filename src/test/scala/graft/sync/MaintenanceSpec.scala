@@ -83,6 +83,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".staging")))
   }
 
+  test("adminResync: reset-orphans feeds the sync cycle it unblocks (round-trip)") {
+    import spark.implicits._
+    // article-state store over the real diff key space: a slice of the
+    // dirty keys is stuck under workers (non-idle), the rest is idle
+    val dirtyKeys = graft.sync.Sync.syncDiff(spark, sf)
+      .filter(col("status").isin("new", "changed"))
+      .select("key").as[Long].collect().sorted.toSeq
+    assert(dirtyKeys.nonEmpty)
+    val stuck = dirtyKeys.filter(_ % 3 == 0).toSet
+    assert(stuck.nonEmpty && stuck.size < dirtyKeys.size)
+    val statePath = tmp("graft-admin-state")
+    dirtyKeys.map(k =>
+        (k, if (stuck(k)) "fetching" else "idle", 100L))
+      .toDF("key", "sync_status", "status_changed_at")
+      .write.parquet(statePath)
+    // before the admin action, the held keys are NOT indexed
+    val outBefore = Files.createTempDirectory("graft-admin-out1").toString
+    val idleOnly = spark.read.parquet(statePath)
+      .filter(col("sync_status") === "idle").select("key")
+    val before = graft.Pipeline.syncAndIndex(spark, sf, outBefore,
+        eligible = Some(idleOnly))
+      .select("key").as[Long].collect().toSet
+    assert(before.intersect(stuck).isEmpty)
+    // the round-trip: release the orphans, then the sync cycle picks
+    // them up in the same run (web.rs clear-then-trigger_sync)
+    val outAfter = Files.createTempDirectory("graft-admin-out2").toString
+    val (released, docs) =
+      graft.Pipeline.adminResync(spark, sf, statePath, outAfter, nowNs = 999L)
+    assert(released == stuck.size)
+    val indexed = docs.select("key").as[Long].collect().toSet
+    // ...and equals the ungated cycle now that every key is idle (not
+    // every dirty key HAS a search doc — "new" keys exist only on the
+    // remote side — so the ungated cycle is the right universe)
+    val outPlain = Files.createTempDirectory("graft-admin-out3").toString
+    val plain = graft.Pipeline.syncAndIndex(spark, sf, outPlain)
+      .select("key").as[Long].collect().toSet
+    assert(indexed == plain)
+    // the released keys that have search docs were indexed THIS run
+    val releasedIndexable = stuck.intersect(plain)
+    assert(releasedIndexable.nonEmpty && releasedIndexable.subsetOf(indexed))
+    // retried round-trip: releases nothing, indexes the same set
+    val outRetry = Files.createTempDirectory("graft-admin-out4").toString
+    val (released2, docs2) =
+      graft.Pipeline.adminResync(spark, sf, statePath, outRetry, nowNs = 1234L)
+    assert(released2 == 0L)
+    assert(docs2.select("key").as[Long].collect().toSet == indexed)
+  }
+
   test("maintenance transforms are scan-bound: no exchange in any plan") {
     import spark.implicits._
     val state = Seq((1L, "fetching", 1L)).toDF("key", "sync_status", "status_changed_at")
