@@ -19,7 +19,8 @@ object StrategyReport {
 
   /** The query entries whose plans contain an adaptive switch. */
   private val Adaptive = Seq(
-    "dedup_minhash", "dedup_cluster", "dedup_incremental",
+    "dedup_minhash", "dedup_cluster", "dedup_cluster_best",
+    "dedup_cluster_best_indexed", "dedup_incremental",
     "dedup_incremental_indexed", "simhash_near", "ngram_jaccard",
     "dedup_embedding_lsh", "para_dedup", "shard_pack", "seq_pack")
 
