@@ -9,7 +9,12 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.core.Graft.session(cpus = 8)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only subset filter, same contract as Verify's
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         // pre-execution AQE plan: join/exchange/scan structure is final
         // enough to audit; codegen spans only exist in the post-execution

@@ -84,6 +84,8 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_incremental_indexed" ->
       (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
+    "mhindex_stats" ->
+      (graft.dedup.MinhashIndexStore.mhindexStats _),
     "simhash_fp"      -> (Dedup.simhashFp _),
     "simhash_near"    -> (Dedup.simhashNear _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
@@ -94,6 +96,7 @@ object SparkEntry {
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn _),
     "decontaminate"     -> (Curate.decontaminate _),
     "contamination_report" -> (Curate.contaminationReport _),
+    "semantic_decon"    -> ((s: SparkSession, d: String) => Curate.semanticDecon(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
@@ -226,6 +229,19 @@ object SparkEntry {
       // training-order-dependent, so the oracle reads the artifact, not a
       // recomputation). `{{scratch:ivfpq}}` is substituted by Verify with
       // the per-corpus index location before the oracle JSON is dumped.
+      // the dedup-index bucket-size histogram: same persisted-artifact
+      // protocol as vindex_stats (banded content is hash-deterministic,
+      // but reading the artifact keeps the two gauges symmetric)
+      "mhindex_stats" ->
+        """WITH per AS (
+          |  SELECT bucket, COUNT(*) AS bucket_size
+          |  FROM '{{scratch:minhash}}/banded/*.parquet' GROUP BY 1)
+          |SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+          |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |  CAST(bucket_size * COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(*) * bucket_size * (bucket_size - 1) // 2 AS BIGINT) AS est_pairs
+          |FROM per GROUP BY bucket_size
+          |ORDER BY bucket_size""".stripMargin,
       "vindex_stats" ->
         """WITH per AS (
           |  SELECT cid, COUNT(*) AS list_size
@@ -1192,6 +1208,27 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
         |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // same double-precision element-order fold + round-6 contract the
+    // cosine_topk oracle hash-matches
+    "semantic_decon" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |ev AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+        |s AS (SELECT tr.vec_id, ev.vec_id AS eval_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(tr.embedding[k] AS DOUBLE) * CAST(ev.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (tr.norm * ev.norm), 6) AS cos6
+        |  FROM tr, ev),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, eval_id) AS rk FROM s),
+        |a AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN cos6 >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        |  FROM s GROUP BY 1)
+        |SELECT a.vec_id, a.n_close, r.cos6 AS max_cos6, r.eval_id AS closest_eval,
+        |  CAST(a.n_close > 0 AS INT) AS contaminated
+        |FROM a JOIN r USING (vec_id) WHERE r.rk = 1 ORDER BY a.vec_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,

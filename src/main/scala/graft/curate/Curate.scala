@@ -64,6 +64,68 @@ object Curate {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
+  /** Cosine threshold above which a training vector counts as
+    * semantically contaminated by an eval vector. Matches
+    * `dedup_embedding`'s exact-pair threshold (the bulk regime on this
+    * corpus — max cross cosine ≈ 0.51 — so the gate produces real
+    * positives to verify; a production suite would set the
+    * paraphrase-contamination point for its embedding model).
+    */
+  private val SemanticThreshold = 0.35
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * lexical 8-gram gate: a training document is flagged when its
+    * embedding's cosine against ANY eval-suite embedding reaches the
+    * threshold (paraphrased or translated benchmark leakage shares no
+    * 8-gram but sits next to the eval item in embedding space — the
+    * gap published decontamination protocols close with exactly this
+    * check). Per training vector: how many eval vectors are close, the
+    * max cosine, the closest eval id (ties to the lowest id), and the
+    * flag.
+    *
+    * Scale shape: the eval suite is FIXED-SIZE regardless of corpus
+    * (like the lexical gate's gram set), so it packs into ONE row of
+    * (eval_id, embedding, norm) structs and broadcasts — the 1-row
+    * cross join rewrites to a broadcast hash join
+    * (SingleRowCrossToEquiJoin), and the scoring is a per-row
+    * `transform` fold over the broadcast array: O(|eval|) dots per
+    * training vector, embarrassingly parallel, ZERO shuffle — the
+    * whole operator is scan-bound. Exact by construction (no LSH
+    * recall question at a threshold banding provably cannot prune —
+    * see dedupEmbedding's ρ analysis); if the eval suite ever grew
+    * corpus-shaped, the bipartite LSH machinery (`dedupEmbeddingLsh`)
+    * is the handoff. Cosines are computed in DOUBLE in element order
+    * and rounded to 6 places, the same contract the cosine_topk oracle
+    * hash-matches.
+    */
+  def semanticDecon(spark: SparkSession, dir: String,
+      threshold: Double = SemanticThreshold): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("norm", graft.sim.Vectors.norm64("embedding"))
+    val evPack = e.filter(col("vec_id") % EvalMod === 0)
+      .agg(collect_list(struct(col("vec_id").as("eval_id"),
+        col("embedding").as("emb"), col("norm").as("n"))).as("evs"))
+    e.filter(col("vec_id") % EvalMod =!= 0)
+      .crossJoin(broadcast(evPack))
+      .withColumn("scored", expr(
+        """transform(evs, v -> struct(
+          |  round(vec_dot(embedding, v.emb) / (norm * v.n), 6) AS cos6,
+          |  v.eval_id AS eval_id))""".stripMargin))
+      // argmax by struct ordering: max cos6, then lowest eval_id
+      .withColumn("best", expr(
+        "array_max(transform(scored, s -> struct(s.cos6 AS c, -s.eval_id AS ni)))"))
+      .select(col("vec_id"),
+        expr(s"CAST(size(filter(scored, s -> s.cos6 >= $threshold)) AS BIGINT)")
+          .as("n_close"),
+        col("best.c").as("max_cos6"),
+        (-col("best.ni")).as("closest_eval"),
+        expr(s"CAST(size(filter(scored, s -> s.cos6 >= $threshold)) > 0 AS INT)")
+          .as("contaminated"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
+  }
+
   /** The EVAL-side view of decontamination — the report a benchmark
     * owner reads: per eval document, how many training documents share
     * at least one word-8-gram with it and the total leaked (train-doc,

@@ -178,6 +178,40 @@ object MinhashIndexStore {
     dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
   }
 
+  /** MinHash-index health gauge — the dedup twin of the vector store's
+    * `indexStats`: the distribution of LSH bucket sizes over the
+    * PERSISTED band index, with the estimated pair count each size
+    * class contributes (`n_buckets · s(s−1)/2` — EXACTLY the statistic
+    * the adaptive candidate chooser thresholds on, so an operator
+    * watching this gauge sees the direct→components flip coming before
+    * it happens). Hot buckets (stopword-heavy shingles, template
+    * pages) show up as a long tail here; the grid path exists for
+    * them. One partial-agg pass over the narrow (doc_id, bucket) index
+    * rows — never the corpus text — then a histogram-sized second agg.
+    */
+  def mhindexStats(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = scratchBase(dir, "minhash")
+    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    ensureBuilt(base, fp) {
+      build(Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0), base)
+    }
+    Sinks.restoreBucketed(spark, tableName(base, "banded"),
+      s"$base/banded", "bucket", Buckets)
+    spark.table(tableName(base, "banded"))
+      .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("bucket_size"),
+        col("n_buckets"),
+        (col("bucket_size") * col("n_buckets")).as("n_rows"),
+        // integer DIV: s(s−1) is even, and long arithmetic avoids the
+        // double-division precision cliff past 2^53
+        expr("CAST(n_buckets * bucket_size * (bucket_size - 1) DIV 2 AS BIGINT)")
+          .as("est_pairs"))
+      .orderBy("bucket_size") // histogram-sized output: bounded sort
+  }
+
   // --- persisted corpus cluster labels (the curation gate's index) --------
 
   /** Persisted near-dup CLUSTER LABELS for a whole corpus — the

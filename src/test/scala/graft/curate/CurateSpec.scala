@@ -293,4 +293,40 @@ class CurateSpec extends SparkSpec {
     // doc 1 is pure target vocabulary, doc 2 shares none, doc 3 is half
     assert(w(1L) > w(3L) && w(3L) > w(2L) && w(2L) == 0L)
   }
+
+  test("semantic_decon matches a driver recompute over the eval split") {
+    val rows = Curate.semanticDecon(spark, sf).collect()
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1))
+    val (ev, tr) = embs.partition(_._1 % 97 == 0)
+    assert(ev.nonEmpty && rows.length == tr.length)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // same rounding Spark's round() applies to doubles: BigDecimal
+    // via the shortest decimal representation, HALF_UP
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val norms = embs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val expected = tr.map { case (id, e) =>
+      val scored = ev.map { case (eid, ee) =>
+        (r6(dot(e, ee) / (norms(id) * norms(eid))), eid)
+      }
+      val nClose = scored.count(_._1 >= 0.35).toLong
+      val (bestC, bestId) = scored.maxBy { case (c, eid) => (c, -eid) }
+      id -> ((nClose, bestC, bestId, if (nClose > 0) 1 else 0))
+    }.toMap
+    rows.foreach { r =>
+      val got = (r.getAs[Long]("n_close"), r.getAs[Double]("max_cos6"),
+        r.getAs[Long]("closest_eval"), r.getAs[Int]("contaminated"))
+      assert(got == expected(r.getAs[Long]("vec_id")),
+        s"vec ${r.getAs[Long]("vec_id")}: $got != ${expected(r.getAs[Long]("vec_id"))}")
+    }
+    // the corpus has real semantic neighbours at the bulk threshold —
+    // the gate must produce positives to be a meaningful check
+    assert(rows.exists(_.getAs[Int]("contaminated") == 1))
+  }
 }

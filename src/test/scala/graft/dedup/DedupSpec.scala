@@ -353,6 +353,27 @@ class DedupSpec extends SparkSpec {
       s"indexed cluster-best not reading the bucketed label index:\n$plan")
   }
 
+  test("mhindex_stats recounts the persisted band index exactly") {
+    val stats = MinhashIndexStore.mhindexStats(spark, sf).collect()
+    val base = graft.core.IndexScratch.scratchBase(sf, "minhash")
+    val banded = spark.read.parquet(s"$base/banded")
+    val hist = banded.groupBy("bucket").count().collect()
+      .map(_.getLong(1)).groupBy(identity)
+      .map { case (s, xs) => s -> xs.length.toLong }
+    assert(stats.nonEmpty && stats.length == hist.size)
+    // histogram-sized output arrives sorted by size class
+    assert(stats.map(_.getAs[Long]("bucket_size")).toSeq ==
+      stats.map(_.getAs[Long]("bucket_size")).sortBy(identity).toSeq)
+    stats.foreach { r =>
+      val s = r.getAs[Long]("bucket_size")
+      assert(r.getAs[Long]("n_buckets") == hist(s))
+      assert(r.getAs[Long]("n_rows") == s * hist(s))
+      assert(r.getAs[Long]("est_pairs") == hist(s) * s * (s - 1) / 2)
+    }
+    // every index row is accounted for in exactly one size class
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == banded.count())
+  }
+
   test("localForest preserves components and node coverage on a crafted graph") {
     val sql = spark.sqlContext
     import sql.implicits._
