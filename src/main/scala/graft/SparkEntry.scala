@@ -86,6 +86,8 @@ object SparkEntry {
       (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
     "mhindex_stats" ->
       (graft.dedup.MinhashIndexStore.mhindexStats _),
+    "dedup_cluster_stats" ->
+      (graft.dedup.MinhashIndexStore.dedupClusterStats _),
     "simhash_fp"      -> (Dedup.simhashFp _),
     "simhash_near"    -> (Dedup.simhashNear _),
     "ngram_jaccard"   -> (Dedup.ngramJaccard _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "decontaminate"     -> (Curate.decontaminate _),
     "contamination_report" -> (Curate.contaminationReport _),
     "semantic_decon"    -> ((s: SparkSession, d: String) => Curate.semanticDecon(s, d)),
+    "decon_combined"    -> (Curate.deconCombined _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
@@ -930,6 +933,32 @@ object SparkEntry {
         |  CAST(cc.doc_id = cc.cluster AS INT) AS keep
         |FROM cc JOIN sizes ON cc.cluster = sizes.cluster
         |ORDER BY cc.doc_id""".stripMargin,
+    // independent recomputation: the oracle re-derives clusters from the
+    // text (recursive CTE), never reading the persisted label index the
+    // Spark path serves from
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT p.y, reach.lbl FROM reach JOIN pairs p ON p.x = reach.node
+        |  WHERE reach.lbl < p.y),
+        |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY cluster),
+        |h AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total_docs FROM documents)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+        |  CAST(1000000 * (cluster_size * n_clusters - n_clusters) // total_docs
+        |    AS BIGINT) AS dup_ppm
+        |FROM h, t ORDER BY cluster_size""".stripMargin,
     "dedup_cluster_best" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
@@ -1104,6 +1133,48 @@ object SparkEntry {
         |  CAST(COALESCE(sh.n_shared, 0) > 0 AS INT) AS contaminated
         |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // union of the decontaminate and semantic_decon oracle chains,
+    // joined on the shared id space
+    "decon_combined" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(l) >= 8
+        |        THEN list_transform(range(1, len(l) - 6), i ->
+        |          l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |          l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])
+        |        ELSE []::VARCHAR[] END) AS grams
+        |      FROM d),
+        |evl AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |trl AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+        |sh AS (SELECT doc_id, COUNT(*) AS n_shared
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM trl) x
+        |       JOIN evl USING (gram) GROUP BY doc_id),
+        |lex AS (SELECT trl.doc_id,
+        |         CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |         CAST(COALESCE(sh.n_shared, 0) > 0 AS INT) AS lex_flag
+        |       FROM trl LEFT JOIN sh ON trl.doc_id = sh.doc_id),
+        |e AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |ev2 AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+        |tr2 AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+        |s2 AS (SELECT tr2.vec_id, ev2.vec_id AS eval_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(tr2.embedding[k] AS DOUBLE) * CAST(ev2.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (tr2.norm * ev2.norm), 6) AS cos6
+        |  FROM tr2, ev2),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, eval_id) AS rk FROM s2),
+        |a2 AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN cos6 >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        |  FROM s2 GROUP BY 1),
+        |sem AS (SELECT a2.vec_id, a2.n_close, r2.cos6 AS max_cos6,
+        |    CAST(a2.n_close > 0 AS INT) AS sem_flag
+        |  FROM a2 JOIN r2 USING (vec_id) WHERE r2.rk = 1)
+        |SELECT lex.doc_id, lex.n_shared, lex.lex_flag,
+        |  sem.n_close, sem.max_cos6, sem.sem_flag,
+        |  CAST(lex.lex_flag = 0 AND sem.sem_flag = 0 AS INT) AS keep
+        |FROM lex JOIN sem ON sem.vec_id = lex.doc_id
+        |ORDER BY lex.doc_id""".stripMargin,
     "contamination_report" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(l) >= 8

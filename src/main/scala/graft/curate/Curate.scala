@@ -126,6 +126,32 @@ object Curate {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
+  /** COMBINED decontamination verdict — the gate a production corpus
+    * applies before training: a document is dropped when EITHER the
+    * lexical 8-gram overlap OR the embedding-space proximity flags it.
+    * Published protocols run both checks because each catches leakage
+    * the other cannot: verbatim benchmark snippets embedded in fresh
+    * context trip the gram gate but may sit far from the eval item in
+    * embedding space, while paraphrased/translated leakage shares no
+    * 8-gram but sits next to it. Joins the two corpus-sized verdict
+    * frames on the shared id space (doc_id ≡ vec_id in the corpus
+    * layout) — ONE narrow key-to-key shuffle of verdict rows; document
+    * text and embeddings never meet in the plan.
+    */
+  def deconCombined(spark: SparkSession, dir: String): DataFrame = {
+    val lex = decontaminate(spark, dir)
+      .select(col("doc_id"), col("n_shared"),
+        col("contaminated").as("lex_flag"))
+    val sem = semanticDecon(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("n_close"),
+        col("max_cos6"), col("contaminated").as("sem_flag"))
+    lex.join(sem, Seq("doc_id")) // inner: both sides cover every training id
+      .select(col("doc_id"), col("n_shared"), col("lex_flag"),
+        col("n_close"), col("max_cos6"), col("sem_flag"),
+        (col("lex_flag") === 0 && col("sem_flag") === 0).cast("int").as("keep"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
+  }
+
   /** The EVAL-side view of decontamination — the report a benchmark
     * owner reads: per eval document, how many training documents share
     * at least one word-8-gram with it and the total leaked (train-doc,

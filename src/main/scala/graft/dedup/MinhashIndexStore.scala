@@ -258,6 +258,36 @@ object MinhashIndexStore {
         (col("doc_id") === col("cluster")).cast("int").as("keep"))
   }
 
+  /** Near-dup CLUSTER-size histogram + duplicate mass — the "dedup
+    * removed X%" gauge a corpus owner tracks across crawls, served from
+    * the persisted label index (load-not-recompute: zero banding/CC in
+    * the plan). Per cluster-size class: cluster count, doc count, and
+    * the ppm of the corpus that class contributes as REMOVABLE
+    * duplicates (`docs − clusters`, i.e. everything but one survivor
+    * per cluster). Sizes aggregate bucket-aligned off the label index
+    * (exchange-free first agg), the histogram is a second tiny agg, and
+    * the corpus total rides a 1-row broadcast — the corpus text never
+    * appears in the plan at all.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratchBase(dir, "cluster")
+    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    ensureBuilt(base, fp) { buildClusterLabels(spark, dir, base) }
+    Sinks.restoreBucketed(spark, tableName(base, "labels"),
+      s"$base/labels", "cluster", Buckets)
+    val hist = spark.table(tableName(base, "labels"))
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val totals = hist.agg(sum(col("n_docs")).as("total_docs"))
+    hist.crossJoin(broadcast(totals)) // 1-row totals: rewrites to BHJ
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("CAST(1000000 * (n_docs - n_clusters) DIV total_docs AS BIGINT)")
+          .as("dup_ppm"))
+      .orderBy("cluster_size") // histogram-sized output: bounded sort
+  }
+
   /** `Dedup.dedupClusterBest` served from the persisted label index:
     * clusters come from the loaded `(doc_id, cluster)` labels (zero
     * banding / CC in the plan — same contract as `dedupClusterIndexed`),

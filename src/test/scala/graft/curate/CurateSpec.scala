@@ -329,4 +329,27 @@ class CurateSpec extends SparkSpec {
     // the gate must produce positives to be a meaningful check
     assert(rows.exists(_.getAs[Int]("contaminated") == 1))
   }
+
+  test("decon_combined is the row-wise OR of the lexical and semantic gates") {
+    val combined = Curate.deconCombined(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val lex = Curate.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val sem = Curate.semanticDecon(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // full coverage: every training doc appears in all three frames
+    assert(combined.keySet == lex.keySet && combined.keySet == sem.keySet)
+    combined.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_shared") == lex(id).getAs[Long]("n_shared"))
+      assert(r.getAs[Int]("lex_flag") == lex(id).getAs[Int]("contaminated"))
+      assert(r.getAs[Long]("n_close") == sem(id).getAs[Long]("n_close"))
+      assert(r.getAs[Double]("max_cos6") == sem(id).getAs[Double]("max_cos6"))
+      assert(r.getAs[Int]("sem_flag") == sem(id).getAs[Int]("contaminated"))
+      assert(r.getAs[Int]("keep") ==
+        (if (r.getAs[Int]("lex_flag") == 0 && r.getAs[Int]("sem_flag") == 0) 1 else 0))
+    }
+    // the union gate is strictly stronger than either side alone iff the
+    // two flags disagree somewhere — on this corpus both gates fire
+    assert(combined.values.exists(_.getAs[Int]("keep") == 0))
+  }
 }

@@ -374,6 +374,32 @@ class DedupSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_rows")).sum == banded.count())
   }
 
+  test("dedup_cluster_stats recounts dedup_cluster and never re-bands") {
+    val stats = MinhashIndexStore.dedupClusterStats(spark, sf).collect()
+    val sizes = Dedup.dedupCluster(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size")))
+      .distinct
+    val hist = sizes.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val total = sizes.map(_._2).sum
+    assert(stats.nonEmpty && stats.length == hist.size)
+    stats.foreach { r =>
+      val s = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_clusters") == hist(s))
+      assert(r.getAs[Long]("n_docs") == s * hist(s))
+      assert(r.getAs[Long]("dup_ppm") ==
+        1000000L * (s * hist(s) - hist(s)) / total)
+    }
+    // every doc lands in exactly one size class
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == total)
+    // load-not-recompute: clusters come from the persisted label index
+    val plan = MinhashIndexStore.dedupClusterStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("minhash_band_buckets"),
+      s"cluster stats re-bands:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"cluster stats not reading the bucketed label index:\n$plan")
+  }
+
   test("localForest preserves components and node coverage on a crafted graph") {
     val sql = spark.sqlContext
     import sql.implicits._
