@@ -119,6 +119,7 @@ object SparkEntry {
     "outlier_stats"     -> (Profile.outlierStats _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
     "cosine_topk" -> (Similarity.cosineTopK _),
+    "knn_classify" -> (Similarity.knnClassify _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
     "ann_ivf_pq"  -> (Similarity.annIvfPq _),
@@ -1279,6 +1280,33 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
         |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // the cosine_topk chain extended with the majority-label vote
+    "knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s),
+        |v AS (SELECT r.q_id, emb.label, COUNT(*) AS votes
+        |      FROM r JOIN embeddings emb ON emb.vec_id = r.n_id
+        |      WHERE r.rk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT q_id, label AS pred_label, votes FROM (
+        |        SELECT q_id, label, votes,
+        |          ROW_NUMBER() OVER (PARTITION BY q_id
+        |                             ORDER BY votes DESC, label ASC) AS vrk
+        |        FROM v) WHERE vrk = 1)
+        |SELECT p.q_id, p.pred_label, CAST(p.votes AS BIGINT) AS n_votes,
+        |  t.label AS true_label,
+        |  CAST(p.pred_label = t.label AS INT) AS correct
+        |FROM p JOIN embeddings t ON t.vec_id = p.q_id
+        |ORDER BY p.q_id""".stripMargin,
     // same double-precision element-order fold + round-6 contract the
     // cosine_topk oracle hash-matches
     "semantic_decon" ->

@@ -71,10 +71,16 @@ object Tables {
       "value" -> DoubleType, "props" -> StringType),
     "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
       "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
-    // `label` is generator metadata no operator consumes — the canonical
-    // contract covers only consumed columns, so synthetic corpora (specs,
-    // derived stores) need not carry it
     "embeddings" -> Seq("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+  )
+
+  /** OPTIONAL canonical columns: consumed when present (`knn_classify`
+    * reads `label`), coerced like required ones, but their absence is
+    * not an error — synthetic corpora (specs, derived stores, ANN index
+    * frames) need not carry them.
+    */
+  private val optional: Map[String, Seq[(String, DataType)]] = Map(
+    "embeddings" -> Seq("label" -> IntegerType)
   )
 
   /** Type equality ignoring array-element nullability (Spark's own
@@ -140,9 +146,11 @@ object Tables {
     * un-adaptable types throw with the table.column named.
     */
   def normalize(df: DataFrame, table: String): DataFrame = {
-    val want = canonical.getOrElse(table,
+    val required = canonical.getOrElse(table,
       throw new IllegalArgumentException(s"unknown table '$table'"))
     val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val want = required ++
+      optional.getOrElse(table, Nil).filter { case (n, _) => have.contains(n) }
     val cols = want.map { case (name, to) =>
       val from = have.getOrElse(name, throw new IllegalArgumentException(
         s"$table.$name: column missing from parquet (have: ${df.columns.mkString(", ")})"))

@@ -55,6 +55,40 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** k-NN label classification — the canonical APPLICATION of the
+    * similarity search surface: each query vector (the `cosineTopK`
+    * query set) takes the majority label of its exact top-5 neighbours
+    * (ties to the lowest label id), reported against its own label.
+    * This is the eval loop an embedding-pipeline owner runs after every
+    * re-embed — "did the new encoder keep the label structure?" — so it
+    * belongs next to the search operators it exercises.
+    *
+    * Scale shape: everything downstream of the top-k is bounded by
+    * |queries|·k rows — the label join broadcasts nothing new (labels
+    * ride the corpus frame the top-k already scanned), the vote count
+    * and arg-max group on the tiny result. Swapping `cosineTopK` for an
+    * ANN path (`annIvfPqFromIndex` at scale) changes recall, not shape.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val votes = cosineTopK(spark, dir)
+      .join(labels.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    // arg-max as struct-max of (votes, -label): unordered aggregate,
+    // deterministic lowest-label tie-break
+    val pred = votes.groupBy("q_id")
+      .agg(max(struct(col("votes"), (-col("label")).cast("long").as("nl"))).as("b"))
+      .select(col("q_id"), (-col("b.nl")).cast("int").as("pred_label"),
+        col("b.votes").as("n_votes"))
+    pred
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")),
+        "q_id")
+      .select(col("q_id"), col("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("q_id")
+  }
+
   /** Multi-band hyperplane LSH ANN: a query's candidates are the vectors
     * sharing ANY of its 16 band buckets (4 planes each). The QUERY side
     * multi-probes — its own bucket plus every 1-bit sign flip per band

@@ -52,4 +52,22 @@ class TablesSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](Tables.normalizeTs(bad))
     assert(err.getMessage.contains("events.ts"))
   }
+
+  test("embeddings.label is optional: kept when present, tolerated when absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    // live testdata carries it — canonical read keeps it as Int
+    val live = Tables.embeddings(spark, sf)
+    assert(live.columns.contains("label"))
+    assert(live.schema("label").dataType == IntegerType)
+    // a synthetic frame without it normalizes fine (derived stores,
+    // ANN index frames) — and a Long label coerces down like other keys
+    val noLabel = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Tables.normalize(noLabel, "embeddings").columns.toSeq ==
+      Seq("vec_id", "embedding"))
+    val longLabel = Seq((1L, Seq(1.0f), 7L)).toDF("vec_id", "embedding", "label")
+    val n = Tables.normalize(longLabel, "embeddings")
+    assert(n.schema("label").dataType == IntegerType)
+    assert(n.head.getAs[Int]("label") == 7)
+  }
 }

@@ -16,6 +16,27 @@ class SimilaritySpec extends SparkSpec {
     })
   }
 
+  test("knn_classify is the majority vote over the exact top-5, ties to lowest label") {
+    val knn = Similarity.knnClassify(spark, sf).collect()
+    assert(knn.length == 20)
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val top = Similarity.cosineTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    knn.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val votes = top(q).map(x => labels(x.getAs[Long]("n_id")))
+        .groupBy(identity).map { case (l, xs) => l -> xs.length }
+      val (predLabel, nVotes) = votes.maxBy { case (l, v) => (v, -l) }
+      assert(r.getAs[Int]("pred_label") == predLabel)
+      assert(r.getAs[Long]("n_votes") == nVotes.toLong)
+      assert(r.getAs[Int]("true_label") == labels(q))
+      assert(r.getAs[Int]("correct") ==
+        (if (predLabel == labels(q)) 1 else 0))
+    }
+  }
+
   test("ann_lsh recall: bucketed neighbours are a subset of brute-force candidates") {
     val ann = Similarity.annLsh(spark, sf).collect()
     assert(ann.forall(r => r.getAs[Long]("rk") <= 5))
