@@ -120,6 +120,7 @@ object SparkEntry {
     "length_histogram"  -> (TextOps.lengthHistogram _),
     "cosine_topk" -> (Similarity.cosineTopK _),
     "knn_classify" -> (Similarity.knnClassify _),
+    "embed_centroid_stats" -> (Similarity.embedCentroidStats _),
     "ann_lsh"     -> (Similarity.annLsh _),
     "ann_ivf"     -> (Similarity.annIvf _),
     "ann_ivf_pq"  -> (Similarity.annIvfPq _),
@@ -1307,6 +1308,40 @@ object SparkEntry {
         |  CAST(p.pred_label = t.label AS INT) AS correct
         |FROM p JOIN embeddings t ON t.vec_id = p.q_id
         |ORDER BY p.q_id""".stripMargin,
+    // integer-exact contract: micro-unit quantized vectors, exact long
+    // centroid sums, and every double expression consumes only exact
+    // integers in element order — bit-identical across engines
+    "embed_centroid_stats" ->
+      """WITH qv AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ex AS (SELECT label, k AS pos, SUM(q[k]) AS s
+        |  FROM qv, range(1, 65) t(k) GROUP BY 1, 2),
+        |cn AS (SELECT label, list(s ORDER BY pos) AS cen FROM ex GROUP BY 1),
+        |ct AS (SELECT label, COUNT(*) AS n_vecs FROM qv GROUP BY 1),
+        |sc AS (SELECT qv.label,
+        |    CAST(FLOOR(round(
+        |      list_reduce(list_transform(range(1, 65),
+        |        k -> CAST(qv.q[k] AS DOUBLE) * CAST(cn.cen[k] AS DOUBLE)),
+        |        (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(qv.q,
+        |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(cn.cen,
+        |             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))),
+        |      6) * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM qv JOIN cn USING (label))
+        |SELECT ct.label, CAST(ct.n_vecs AS BIGINT) AS n_vecs,
+        |  round(sqrt(list_reduce(list_transform(cn.cen,
+        |      v -> (CAST(v AS DOUBLE) / ct.n_vecs) * (CAST(v AS DOUBLE) / ct.n_vecs)),
+        |    (x, y) -> x + y)) / CAST(1000000.0 AS DOUBLE), 6) AS centroid_norm6,
+        |  CAST(m.mean_ppm AS BIGINT) AS mean_cos_ppm,
+        |  CAST(m.min_ppm AS BIGINT) AS min_cos_ppm
+        |FROM ct JOIN cn USING (label)
+        |JOIN (SELECT label, SUM(cos_ppm) // COUNT(*) AS mean_ppm,
+        |        MIN(cos_ppm) AS min_ppm
+        |      FROM sc GROUP BY 1) m USING (label)
+        |ORDER BY ct.label""".stripMargin,
     // same double-precision element-order fold + round-6 contract the
     // cosine_topk oracle hash-matches
     "semantic_decon" ->

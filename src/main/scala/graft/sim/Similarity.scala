@@ -533,6 +533,65 @@ object Similarity {
     * mismatches. Scan-bound single projection — codegen'd higher-order
     * predicates over the float array, no shuffle, no explode.
     */
+  /** Per-label embedding-space diagnostics — the cluster-cohesion gauge
+    * an embedding owner reads next to `knn_classify`'s accuracy: for
+    * each label, the member count, the norm of the label centroid, and
+    * the mean/min cosine of members to their own centroid (cohesion —
+    * a label whose members don't point at their centroid is a label the
+    * encoder lost). Complements `embed_qc` (per-vector validity) with
+    * per-CLASS geometry.
+    *
+    * Determinism contract (hash-gate-proof across engines): embeddings
+    * quantize to exact micro-unit longs (`floor(x·1e6)`), per-dim
+    * centroid sums are exact integer arithmetic, and every double
+    * expression downstream consumes only those exact integers in a
+    * fixed element-order fold — so Spark and DuckDB compute
+    * bit-identical doubles. Cohesion cosines round to 6 places then
+    * quantize to ppm ints; their mean/min are integer-exact. Cosines
+    * use the raw centroid SUM vector (scale cancels), so no division
+    * enters before the final rounded expressions.
+    *
+    * Scale shape: pass 1 is a narrow posexplode (label, pos, q_k) with
+    * map-side partial aggregation collapsing to |labels|·dim rows per
+    * partition; pass 2 re-scans the corpus once against the broadcast
+    * |labels|-row centroid frame. No corpus-sized shuffle anywhere —
+    * both aggregations are bounded by the label space.
+    */
+  def embedCentroidStats(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+          .as("q"))
+    val cen = qv.select(col("label"), posexplode(col("q")).as(Seq("pos", "qk")))
+      .groupBy("label", "pos").agg(sum("qk").as("s"))
+      .groupBy("label")
+      // pos is unique per label, so the struct sort is a deterministic
+      // reassembly of the centroid vector in dimension order
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)")
+        .as("cen"))
+    val counts = qv.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val cohesion = qv.join(broadcast(cen), "label")
+      .withColumn("dotc", expr(
+        "aggregate(zip_with(q, cen, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (x, y) -> x + y)"))
+      .withColumn("nq", expr(
+        "sqrt(aggregate(transform(q, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 0.0D, (x, y) -> x + y))"))
+      .withColumn("ncs", expr(
+        "sqrt(aggregate(transform(cen, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 0.0D, (x, y) -> x + y))"))
+      .withColumn("cos_ppm", expr(
+        "CAST(FLOOR(round(dotc / (nq * ncs), 6) * 1000000.0D + 0.5D) AS BIGINT)"))
+      .groupBy("label")
+      .agg(sum("cos_ppm").as("sum_ppm"), min("cos_ppm").as("min_cos_ppm"))
+    cen.join(counts, "label").join(cohesion, "label")
+      .select(col("label"), col("n_vecs"),
+        expr("""round(sqrt(aggregate(transform(cen,
+          |  v -> (CAST(v AS DOUBLE) / n_vecs) * (CAST(v AS DOUBLE) / n_vecs)),
+          |  0.0D, (x, y) -> x + y)) / 1000000.0D, 6)""".stripMargin)
+          .as("centroid_norm6"),
+        expr("CAST(sum_ppm DIV n_vecs AS BIGINT)").as("mean_cos_ppm"),
+        col("min_cos_ppm"))
+      .orderBy("label") // label-space-sized output: bounded sort
+  }
+
   def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
     // no global ORDER BY — corpus-sized QC report (see embedQcFrom doc)
     embedQcFrom(Tables.embeddings(spark, dir), expectDim)

@@ -37,6 +37,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed_centroid_stats matches a driver recompute of the quantized geometry") {
+    val rows = Similarity.embedCentroidStats(spark, sf).collect()
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+    val byLabel = embs.groupBy(_._1)
+    assert(rows.length == byLabel.size)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val members = byLabel(l).map(_._2)
+      val n = members.length
+      assert(r.getAs[Long]("n_vecs") == n.toLong)
+      val cen = Array.tabulate(64)(k => members.map(_(k)).sum)
+      val meanNorm = math.sqrt(
+        cen.map(v => (v.toDouble / n) * (v.toDouble / n)).sum) / 1e6
+      assert(r.getAs[Double]("centroid_norm6") == r6(meanNorm))
+      val ncs = math.sqrt(cen.map(v => v.toDouble * v.toDouble).sum)
+      val ppms = members.map { q =>
+        val dot = q.zip(cen).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val nq = math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
+        math.floor(r6(dot / (nq * ncs)) * 1e6 + 0.5).toLong
+      }
+      assert(r.getAs[Long]("mean_cos_ppm") == ppms.sum / n)
+      assert(r.getAs[Long]("min_cos_ppm") == ppms.min)
+      // cohesion sanity: members point at their own centroid
+      assert(r.getAs[Long]("mean_cos_ppm") > 0)
+    }
+  }
+
   test("ann_lsh recall: bucketed neighbours are a subset of brute-force candidates") {
     val ann = Similarity.annLsh(spark, sf).collect()
     assert(ann.forall(r => r.getAs[Long]("rk") <= 5))
