@@ -100,14 +100,25 @@ object Curate {
     */
   def semanticDecon(spark: SparkSession, dir: String,
       threshold: Double = SemanticThreshold): DataFrame = {
-    GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("norm", graft.sim.Vectors.norm64("embedding"))
-    val evPack = e.filter(col("vec_id") % EvalMod === 0)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    semanticDeconFrom(e.filter(col("vec_id") % EvalMod =!= 0),
+      e.filter(col("vec_id") % EvalMod === 0), threshold)
+  }
+
+  /** [[semanticDecon]] over arbitrary training and eval frames — the
+    * shared core the streaming gate (`Streams.semanticDeconGate`) runs
+    * per micro-batch against the same fixed eval suite.
+    */
+  def semanticDeconFrom(train: DataFrame, evalVecs: DataFrame,
+      threshold: Double = SemanticThreshold): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    def withNorm(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"))
+        .withColumn("norm", graft.sim.Vectors.norm64("embedding"))
+    val evPack = withNorm(evalVecs)
       .agg(collect_list(struct(col("vec_id").as("eval_id"),
         col("embedding").as("emb"), col("norm").as("n"))).as("evs"))
-    e.filter(col("vec_id") % EvalMod =!= 0)
+    withNorm(train)
       .crossJoin(broadcast(evPack))
       .withColumn("scored", expr(
         """transform(evs, v -> struct(

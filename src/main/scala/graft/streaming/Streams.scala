@@ -160,6 +160,35 @@ object Streams {
       }
       .start()
 
+  /** Streaming semantic-decontamination gate — the embedding twin of
+    * [[incrementalDedupGate]]: every micro-batch of newly-embedded
+    * vectors is scored against the FIXED eval-suite frame
+    * (`Curate.semanticDeconFrom` — the eval pack broadcasts, the batch
+    * side never shuffles), so contaminated documents are flagged
+    * minutes after embedding instead of at the next corpus sweep.
+    * Verdicts land in a batch_id-partitioned parquet sink with dynamic
+    * partition overwrite, so a replayed micro-batch rewrites its
+    * partition instead of duplicating it (same idempotence contract as
+    * the relay/dedup sinks).
+    */
+  def semanticDeconGate(newVecs: DataFrame, evalVecs: DataFrame,
+      path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.curate.Curate.semanticDeconFrom(batch.toDF(), evalVecs)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        }
+        ()
+      }
+      .start()
+
   /** One open session per user held in the state store by
     * `eventSessionsCustom`: bounds in epoch-nanos (full source
     * precision), the running count, and the value sum in exact cents.
