@@ -22,7 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     * O(candidates) work). The test below pins all three facts so the
     * posture cannot silently erode.
     */
-  private val bruteForceBaselines = Set("cosine_topk")
+  // knn_classify is DEFINED on the exact top-5 (the vote is the eval
+  // an ANN path is recall-pinned against), so it rides cosine_topk's
+  // declared baseline join; swapping in annIvfPqFromIndex is the scale
+  // path and changes recall, not the operator shape
+  private val bruteForceBaselines = Set("cosine_topk", "knn_classify")
 
   test("dedup_embedding declares its quadratic baseline posture loudly") {
     // 1. the row-bound guard fails at construction, naming the

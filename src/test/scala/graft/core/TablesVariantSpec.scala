@@ -103,9 +103,10 @@ class TablesVariantSpec extends SparkSpec {
       .withColumn("vec_id", col("vec_id").cast(IntegerType)))
   }
 
-  test("embeddings: generator-metadata label column is pruned, absence tolerated") {
-    val e = Tables.embeddings(spark, sf) // live testdata HAS label; loader must drop it
-    assert(!e.columns.contains("label"))
+  test("embeddings: optional label column is kept when present (knn_classify consumes it)") {
+    val e = Tables.embeddings(spark, sf)
+    assert(e.columns.contains("label"))
+    // absence tolerated + Long→Int coercion: TablesSpec pins both
   }
 
   test("events: raw INT64-ns ts (rounds ≤7 layout) loads identically") {
