@@ -563,13 +563,16 @@ object Similarity {
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
           .as("q"))
     val cen = qv.select(col("label"), posexplode(col("q")).as(Seq("pos", "qk")))
-      .groupBy("label", "pos").agg(sum("qk").as("s"))
+      // every vector contributes one row per pos, so the per-(label,pos)
+      // row count IS the member count — carrying it here saves a third
+      // corpus scan for a separate count aggregation
+      .groupBy("label", "pos").agg(sum("qk").as("s"), count(lit(1)).as("cnt"))
       .groupBy("label")
       // pos is unique per label, so the struct sort is a deterministic
       // reassembly of the centroid vector in dimension order
       .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)")
-        .as("cen"))
-    val counts = qv.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .as("cen"),
+        max("cnt").as("n_vecs"))
     val cohesion = qv.join(broadcast(cen), "label")
       .withColumn("dotc", expr(
         "aggregate(zip_with(q, cen, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (x, y) -> x + y)"))
@@ -581,7 +584,7 @@ object Similarity {
         "CAST(FLOOR(round(dotc / (nq * ncs), 6) * 1000000.0D + 0.5D) AS BIGINT)"))
       .groupBy("label")
       .agg(sum("cos_ppm").as("sum_ppm"), min("cos_ppm").as("min_cos_ppm"))
-    cen.join(counts, "label").join(cohesion, "label")
+    cen.join(cohesion, "label")
       .select(col("label"), col("n_vecs"),
         expr("""round(sqrt(aggregate(transform(cen,
           |  v -> (CAST(v AS DOUBLE) / n_vecs) * (CAST(v AS DOUBLE) / n_vecs)),
