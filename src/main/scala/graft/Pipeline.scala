@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -176,6 +176,67 @@ object Pipeline {
           col("rare_flagged") === 0 && col("lm_flagged") === 0 &&
           col("dedup_keep") === 1 && col("contaminated") === 0).cast("int"))
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
+
+  /** Gate-attrition FUNNEL — the one-page summary every curation run is
+    * judged by: per pipeline stage (published order: quality →
+    * repetition → rarity → LM → dedup → decontamination), how many
+    * candidates entered, how many that stage dropped, how many remain,
+    * and the cumulative survival ppm. Stage N's count applies gates
+    * 1..N, so the last row's `n_out` equals the survivor manifest size
+    * by construction. Served from the PERSISTED dedup label index
+    * (`curateGatesIndexed` — the production gate path); the oracle
+    * recomputes the whole chain independently.
+    *
+    * Scale shape: ONE aggregation pass over the decision table (all six
+    * stacked conditions as parallel partial-agg sums), then a 6-row
+    * explode of the totals row — nothing here is more than
+    * report-scan-bound.
+    */
+  def gateFunnel(spark: SparkSession, dir: String): DataFrame =
+    gateFunnelFrom(curationReportFrom(curateGatesIndexed(spark, dir)))
+
+  /** [[gateFunnel]] over any decision table with the report's columns. */
+  def gateFunnelFrom(report: DataFrame): DataFrame = {
+    def surviving(conds: Column*): Column =
+      sum(when(conds.reduce(_ && _), 1L).otherwise(0L))
+    val q = col("q_keep") === 1
+    val rep = col("rep_flagged") === 0
+    val rare = col("rare_flagged") === 0
+    val lm = col("lm_flagged") === 0
+    val dd = col("dedup_keep") === 1
+    val dc = col("contaminated") === 0
+    report.agg(
+      count(lit(1)).as("n0"),
+      surviving(q).as("n1"),
+      surviving(q, rep).as("n2"),
+      surviving(q, rep, rare).as("n3"),
+      surviving(q, rep, rare, lm).as("n4"),
+      surviving(q, rep, rare, lm, dd).as("n5"),
+      surviving(q, rep, rare, lm, dd, dc).as("n6"))
+      .select(explode(expr(
+        """array(
+          |  struct(CAST(1 AS BIGINT) AS stage_idx, 'quality' AS stage,
+          |    n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out,
+          |    1000000 * n1 DIV n0 AS survival_ppm),
+          |  struct(CAST(2 AS BIGINT) AS stage_idx, 'repetition' AS stage,
+          |    n1 AS n_in, n1 - n2 AS n_dropped, n2 AS n_out,
+          |    1000000 * n2 DIV n0 AS survival_ppm),
+          |  struct(CAST(3 AS BIGINT) AS stage_idx, 'rarity' AS stage,
+          |    n2 AS n_in, n2 - n3 AS n_dropped, n3 AS n_out,
+          |    1000000 * n3 DIV n0 AS survival_ppm),
+          |  struct(CAST(4 AS BIGINT) AS stage_idx, 'lm' AS stage,
+          |    n3 AS n_in, n3 - n4 AS n_dropped, n4 AS n_out,
+          |    1000000 * n4 DIV n0 AS survival_ppm),
+          |  struct(CAST(5 AS BIGINT) AS stage_idx, 'dedup' AS stage,
+          |    n4 AS n_in, n4 - n5 AS n_dropped, n5 AS n_out,
+          |    1000000 * n5 DIV n0 AS survival_ppm),
+          |  struct(CAST(6 AS BIGINT) AS stage_idx, 'decontamination' AS stage,
+          |    n5 AS n_in, n5 - n6 AS n_dropped, n6 AS n_out,
+          |    1000000 * n6 DIV n0 AS survival_ppm))""".stripMargin)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_in"),
+        col("s.n_dropped"), col("s.n_out"), col("s.survival_ppm"))
+      .orderBy("stage_idx") // 6-row output: bounded sort
   }
 
   /** Embedding index pipeline: QC gate → LSH ANN over the surviving

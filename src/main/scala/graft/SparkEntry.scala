@@ -104,6 +104,8 @@ object SparkEntry {
     "shard_pack"        -> (Curate.shardPack _),
     "domain_mix"        -> (Curate.domainMix _),
     "domain_mix_temperature" -> (Curate.domainMixTemperature _),
+    "epoch_plan" -> ((s: SparkSession, d: String) => Curate.epochPlan(s, d)),
+    "gate_funnel" -> (Pipeline.gateFunnel _),
     "repetition_stats"  -> (Curate.repetitionStats _),
     "importance_weights" -> (Curate.importanceWeights _),
     "importance_sample" -> (Curate.importanceSample _),
@@ -229,6 +231,38 @@ object SparkEntry {
       // survivor selection over LOADED cluster labels — identical oracle,
       // identical hash to the per-call minhash→CC→argmax chain
       "dedup_cluster_best_indexed" -> base("dedup_cluster_best"),
+      // the funnel reuses the ENTIRE report chain: the report's final
+      // SELECT becomes a `rep` CTE and the stage attrition aggregates
+      // over it — one source of truth for the six gate definitions
+      "gate_funnel" -> {
+        val report = base("curation_report")
+        val idx = report.lastIndexOf("\nSELECT doc_id, q_keep,")
+        val chain = report.substring(0, idx)
+        val repSel = report.substring(idx + 1).stripSuffix("\nORDER BY doc_id")
+        chain + ",\nrep AS (" + repSel + "),\n" +
+          """f AS (SELECT COUNT(*) AS n0,
+            |  SUM(CASE WHEN q_keep = 1 THEN 1 ELSE 0 END) AS n1,
+            |  SUM(CASE WHEN q_keep = 1 AND rep_flagged = 0 THEN 1 ELSE 0 END) AS n2,
+            |  SUM(CASE WHEN q_keep = 1 AND rep_flagged = 0 AND rare_flagged = 0
+            |      THEN 1 ELSE 0 END) AS n3,
+            |  SUM(CASE WHEN q_keep = 1 AND rep_flagged = 0 AND rare_flagged = 0
+            |      AND lm_flagged = 0 THEN 1 ELSE 0 END) AS n4,
+            |  SUM(CASE WHEN q_keep = 1 AND rep_flagged = 0 AND rare_flagged = 0
+            |      AND lm_flagged = 0 AND dedup_keep = 1 THEN 1 ELSE 0 END) AS n5,
+            |  SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS n6
+            | FROM rep)
+            |SELECT * FROM (
+            |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'quality' AS stage,
+            |    CAST(n0 AS BIGINT) AS n_in, CAST(n0 - n1 AS BIGINT) AS n_dropped,
+            |    CAST(n1 AS BIGINT) AS n_out,
+            |    CAST(1000000 * n1 // n0 AS BIGINT) AS survival_ppm FROM f
+            |  UNION ALL SELECT 2, 'repetition', n1, n1 - n2, n2, 1000000 * n2 // n0 FROM f
+            |  UNION ALL SELECT 3, 'rarity', n2, n2 - n3, n3, 1000000 * n3 // n0 FROM f
+            |  UNION ALL SELECT 4, 'lm', n3, n3 - n4, n4, 1000000 * n4 // n0 FROM f
+            |  UNION ALL SELECT 5, 'dedup', n4, n4 - n5, n5, 1000000 * n5 // n0 FROM f
+            |  UNION ALL SELECT 6, 'decontamination', n5, n5 - n6, n6, 1000000 * n6 // n0 FROM f
+            |) ORDER BY stage_idx""".stripMargin
+      },
       // the list-balance gauge is a deterministic aggregation over the
       // PERSISTED inverted-lists parquet (list membership itself is
       // training-order-dependent, so the oracle reads the artifact, not a
@@ -1248,6 +1282,43 @@ object SparkEntry {
         |    (1000000 * ((1000000 * temp_w) // sum_w)) // greatest(share_ppm, 1))
         |    AS BIGINT) AS rate_ppm
         |FROM s, ws ORDER BY lang, source""".stripMargin,
+    // the domain_mix_temperature chain extended with the budget/epoch
+    // arithmetic; split products mirror the Spark side exactly
+    "epoch_plan" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS cell_tokens
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(cell_tokens) AS tot_tokens FROM c),
+        |s AS (SELECT lang, source, cell_tokens,
+        |        (1000000 * cell_tokens) // tot_tokens AS share_ppm,
+        |        CAST(floor(sqrt(CAST((1000000 * cell_tokens) // tot_tokens AS DOUBLE)))
+        |             AS BIGINT) AS temp_w
+        |      FROM c, t),
+        |ws AS (SELECT SUM(temp_w) AS sum_w FROM s),
+        |m AS (SELECT lang, source, cell_tokens,
+        |        (1000000 * temp_w) // sum_w AS weight_ppm
+        |      FROM s, ws),
+        |b AS (SELECT tot_tokens // 1000000 * 2000000 +
+        |        (tot_tokens % 1000000) * 2000000 // 1000000 AS budget_tokens
+        |      FROM t),
+        |p AS (SELECT m.*, b.budget_tokens,
+        |        b.budget_tokens // 1000000 * m.weight_ppm +
+        |          (b.budget_tokens % 1000000) * m.weight_ppm // 1000000 AS planned_tokens
+        |      FROM m, b),
+        |ep AS (SELECT p.*,
+        |        planned_tokens // cell_tokens * 1000000 +
+        |          (planned_tokens % cell_tokens) * 1000000 // cell_tokens AS epochs_ppm
+        |      FROM p)
+        |SELECT lang, source, CAST(cell_tokens AS BIGINT) AS cell_tokens,
+        |  CAST(weight_ppm AS BIGINT) AS weight_ppm,
+        |  CAST(budget_tokens AS BIGINT) AS budget_tokens,
+        |  CAST(planned_tokens AS BIGINT) AS planned_tokens,
+        |  CAST(epochs_ppm AS BIGINT) AS epochs_ppm,
+        |  CAST(least(epochs_ppm, 4000000) AS BIGINT) AS epochs_capped_ppm,
+        |  CAST(cell_tokens // 1000000 * least(epochs_ppm, 4000000) +
+        |    (cell_tokens % 1000000) * least(epochs_ppm, 4000000) // 1000000
+        |    AS BIGINT) AS alloc_tokens
+        |FROM ep ORDER BY lang, source""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

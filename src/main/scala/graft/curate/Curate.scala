@@ -522,6 +522,58 @@ object Curate {
       .orderBy("lang", "source")
   }
 
+  /** Data-recipe EPOCH PLAN — the table that turns a mixture into a
+    * training run: given the temperature-flattened weights
+    * ([[domainMixTemperature]]) and a token budget (a multiple of the
+    * corpus), per (lang, source) cell: the budgeted token allocation,
+    * the implied epoch count over that cell (ppm — 1e6 = exactly one
+    * pass; >1e6 means repeats), the capped epochs (published recipes
+    * bound repetition — ~4 epochs before degradation), and the tokens
+    * actually achievable under the cap. This is the artifact a
+    * pretraining run is configured from.
+    *
+    * All arithmetic is integer-exact ppm DIV like every mixing
+    * operator here. Products that could overflow BIGINT at 100 TB
+    * corpus sizes (budget, allocation) use the split form
+    * `(a DIV 1e6)·m + ((a % 1e6)·m) DIV 1e6` — exact to within the
+    * same floor semantics on both engines and safe for any corpus; the
+    * one remaining envelope is `(planned % cell)·1e6` in the epoch
+    * ratio, safe while a single CELL holds ≤ 9.2e12 tokens (≈37 TB of
+    * text in one domain — past that, promote to DECIMAL(38,0) the way
+    * `outlier_stats` did).
+    *
+    * Scale shape: one corpus pass to the cell level (inherited from
+    * `domainMixTemperature`), then pure arithmetic against broadcast
+    * 1-row totals — output is mixture-table-sized.
+    */
+  def epochPlan(spark: SparkSession, dir: String,
+      budgetMultPpm: Long = 2000000L,
+      maxEpochsPpm: Long = 4000000L): DataFrame = {
+    require(budgetMultPpm >= 1 && maxEpochsPpm >= 1,
+      s"epochPlan: budgetMultPpm/maxEpochsPpm must be positive")
+    val mix = domainMixTemperature(spark, dir)
+      .select("lang", "source", "cell_tokens", "weight_ppm")
+    val totals = mix.agg(sum(col("cell_tokens")).as("tot_tokens"))
+    mix.crossJoin(broadcast(totals)) // 1-row totals: rewrites to BHJ
+      .withColumn("budget_tokens", expr(
+        s"CAST(tot_tokens DIV 1000000 * $budgetMultPpm + " +
+          s"(tot_tokens % 1000000) * $budgetMultPpm DIV 1000000 AS BIGINT)"))
+      .withColumn("planned_tokens", expr(
+        "CAST(budget_tokens DIV 1000000 * weight_ppm + " +
+          "(budget_tokens % 1000000) * weight_ppm DIV 1000000 AS BIGINT)"))
+      .withColumn("epochs_ppm", expr(
+        "CAST(planned_tokens DIV cell_tokens * 1000000 + " +
+          "(planned_tokens % cell_tokens) * 1000000 DIV cell_tokens AS BIGINT)"))
+      .withColumn("epochs_capped_ppm", least(col("epochs_ppm"), lit(maxEpochsPpm)))
+      .withColumn("alloc_tokens", expr(
+        "CAST(cell_tokens DIV 1000000 * epochs_capped_ppm + " +
+          "(cell_tokens % 1000000) * epochs_capped_ppm DIV 1000000 AS BIGINT)"))
+      .select(col("lang"), col("source"), col("cell_tokens"),
+        col("weight_ppm"), col("budget_tokens"), col("planned_tokens"),
+        col("epochs_ppm"), col("epochs_capped_ppm"), col("alloc_tokens"))
+      .orderBy("lang", "source") // mixture-table-sized output: bounded sort
+  }
+
   /** DSIR-style importance weighting: score each document by how much
     * its unigram distribution resembles a TARGET domain relative to the
     * source corpus — the data-selection signal behind importance

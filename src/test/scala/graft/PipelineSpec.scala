@@ -137,4 +137,28 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"indexed cluster gate shuffles the label index:\n$plan")
   }
+
+  test("gate_funnel stages reconcile with the decision table and the manifest") {
+    val funnel = Pipeline.gateFunnel(spark, sf).collect()
+    assert(funnel.length == 6)
+    assert(funnel.map(_.getAs[String]("stage")).toSeq == Seq(
+      "quality", "repetition", "rarity", "lm", "dedup", "decontamination"))
+    val report = Pipeline.curationReport(spark, sf).collect()
+    // row 1 enters with every candidate; counts are monotone and each
+    // stage's bookkeeping balances
+    assert(funnel.head.getAs[Long]("n_in") == report.length.toLong)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_out"))
+      assert(r.getAs[Long]("survival_ppm") ==
+        1000000L * r.getAs[Long]("n_out") / report.length)
+    }
+    assert(funnel.sliding(2).forall(p =>
+      p(0).getAs[Long]("n_out") == p(1).getAs[Long]("n_in")))
+    // the funnel's exit equals the survivor manifest exactly
+    assert(funnel.last.getAs[Long]("n_out") ==
+      report.count(_.getAs[Int]("keep") == 1).toLong)
+    assert(funnel.last.getAs[Long]("n_out") ==
+      Pipeline.curateCorpus(spark, sf).count())
+  }
 }

@@ -294,6 +294,35 @@ class CurateSpec extends SparkSpec {
     assert(w(1L) > w(3L) && w(3L) > w(2L) && w(2L) == 0L)
   }
 
+  test("epoch_plan arithmetic matches a driver recompute from the mixture") {
+    val plan = Curate.epochPlan(spark, sf).collect()
+    val mix = Curate.domainMixTemperature(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("cell_tokens"), r.getAs[Long]("weight_ppm"))).toMap
+    assert(plan.length == mix.size)
+    val tot = mix.values.map(_._1).sum
+    val budget = tot / 1000000 * 2000000 + tot % 1000000 * 2000000 / 1000000
+    plan.foreach { r =>
+      val (cell, w) = mix((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("cell_tokens") == cell)
+      assert(r.getAs[Long]("weight_ppm") == w)
+      assert(r.getAs[Long]("budget_tokens") == budget)
+      val planned = budget / 1000000 * w + budget % 1000000 * w / 1000000
+      assert(r.getAs[Long]("planned_tokens") == planned)
+      val epochs = planned / cell * 1000000 + planned % cell * 1000000 / cell
+      assert(r.getAs[Long]("epochs_ppm") == epochs)
+      val capped = math.min(epochs, 4000000L)
+      assert(r.getAs[Long]("epochs_capped_ppm") == capped)
+      assert(r.getAs[Long]("alloc_tokens") ==
+        cell / 1000000 * capped + cell % 1000000 * capped / 1000000)
+      // the cap only ever shrinks the allocation
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("planned_tokens")
+        || epochs <= 4000000L)
+    }
+    // a 2x budget over a flattened mix must schedule repeats somewhere
+    assert(plan.exists(_.getAs[Long]("epochs_ppm") > 1000000L))
+  }
+
   test("semantic_decon matches a driver recompute over the eval split") {
     val rows = Curate.semanticDecon(spark, sf).collect()
     val embs = graft.core.Tables.embeddings(spark, sf)
