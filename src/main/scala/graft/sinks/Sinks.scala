@@ -166,6 +166,37 @@ object Sinks {
     spark.read.format(format).load(path).count()
   }
 
+  /** Materialize the PACKED TRAINING CORPUS — the step after
+    * `shardPackDocs`/`curateCorpus` that turns the shard MANIFEST into
+    * the on-disk layout a trainer reads: document rows joined to their
+    * shard assignment, repartitioned BY SHARD so each shard lands as
+    * one coherent unit, written hive-partitioned by `shard_id` (a
+    * trainer's data loader reads shard k via partition pruning — one
+    * directory, no scan of the rest). Overwrite mode keeps re-runs
+    * idempotent. Returns the read-back per-shard audit (docs + tokens
+    * per shard, FROM THE FILES) so the caller reconciles what landed
+    * against the manifest it planned — the check a production writer
+    * runs before publishing the corpus snapshot.
+    *
+    * Scale shape: one narrow manifest join (doc_id keys) + one shuffle
+    * on shard_id — the minimum to co-locate a shard's docs in one
+    * writer task; the audit is a footer-level scan of the written
+    * parquet.
+    */
+  def writeShardedCorpus(docs: DataFrame, manifest: DataFrame,
+      path: String): DataFrame = {
+    val joined = docs.join(manifest.select("doc_id", "shard_id", "n_tokens"),
+      "doc_id")
+    joined
+      .repartition(col("shard_id")) // whole shards per writer task
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard_id")
+      .parquet(path)
+    docs.sparkSession.read.parquet(path)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+  }
+
   /** Latest-wins upsert merge into an existing snapshot (storage.rs:118+
     * ON CONFLICT DO UPDATE): union + one row per key by source priority.
     * Single shuffle on the key; at 100 TB this is MERGE over bucketed

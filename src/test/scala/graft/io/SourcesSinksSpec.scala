@@ -210,4 +210,34 @@ class SourcesSinksSpec extends SparkSpec {
       catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
     }
   }
+
+  test("sharded corpus write lands each shard whole, audited, and prunable") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val manifest = graft.curate.Curate.shardPackDocs(docs)
+    val out = java.nio.file.Files.createTempDirectory("shardwrite").toString
+    val audit = graft.sinks.Sinks.writeShardedCorpus(docs, manifest, out)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"))).toMap
+    val planned = manifest.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("t"))).toMap
+    // what landed == what the manifest planned, shard by shard
+    assert(audit == planned)
+    // a trainer reading shard 0 sees exactly its docs via pruning
+    val s0 = spark.read.parquet(out).filter(col("shard_id") === 0)
+    assert(s0.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val expected0 = manifest.filter(col("shard_id") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(s0.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(expected0))
+    // text rides along: shard rows carry the full document
+    assert(s0.columns.toSet == Set("doc_id", "text", "n_tokens", "shard_id"))
+    // re-run is idempotent
+    val audit2 = graft.sinks.Sinks.writeShardedCorpus(docs, manifest, out)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"))).toMap
+    assert(audit2 == planned)
+  }
 }
