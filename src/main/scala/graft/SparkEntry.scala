@@ -65,6 +65,7 @@ object SparkEntry {
     "text_stats" -> (TextOps.textStats _),
     "lang_id"    -> (TextOps.langId _),
     "token_freq" -> (TextOps.tokenFreq _),
+    "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
     "token_bpe"      -> (TextOps.tokenBpe _),
     "quality_score"  -> (TextOps.qualityScore _),
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
@@ -745,6 +746,34 @@ object SparkEntry {
         |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
         |       WHEN s_zh = best THEN 'zh' ELSE 'und' END = lang AS INT) AS is_match
         |FROM m ORDER BY doc_id""".stripMargin,
+    // KMV is deterministic over the portable md5-prefix hash, so the
+    // ESTIMATE itself hash-matches — the single-level ROW_NUMBER here
+    // recomputes what the Spark side selects with its two-level top-k
+    "distinct_sketch" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS l FROM documents),
+        |tk AS (SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+        |  FROM (SELECT lang, unnest(CASE WHEN len(l) >= 3
+        |          THEN list_transform(range(1, len(l) - 1),
+        |            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+        |          ELSE []::VARCHAR[] END) AS g
+        |        FROM d) x),
+        |r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+        |      FROM tk),
+        |b AS (SELECT lang, h, rk FROM r WHERE rk <= 256),
+        |kq AS (SELECT lang, COUNT(*) AS n_kept,
+        |         MAX(CASE WHEN rk = 256 THEN h END) AS kth_hash
+        |       FROM b GROUP BY 1),
+        |ex AS (SELECT lang, COUNT(*) AS n_exact FROM tk GROUP BY 1),
+        |est AS (SELECT ex.lang, ex.n_exact, kq.kth_hash,
+        |          COALESCE(CAST(FLOOR(255 * CAST(4294967296 AS DOUBLE) / kq.kth_hash)
+        |            AS BIGINT), kq.n_kept) AS est_distinct
+        |        FROM ex JOIN kq USING (lang))
+        |SELECT lang, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(kth_hash AS BIGINT) AS kth_hash,
+        |  CAST(est_distinct AS BIGINT) AS est_distinct,
+        |  CAST(1000000 * ABS(est_distinct - n_exact) // n_exact AS BIGINT) AS err_ppm
+        |FROM est ORDER BY lang""".stripMargin,
     "token_freq" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)

@@ -332,4 +332,64 @@ object TextOps {
         expr("CAST((1000000 * n_docs) DIV total AS BIGINT)").as("share_ppm"))
       .orderBy("bucket_lo")
   }
+
+  /** KMV (bottom-k / k-minimum-values) DISTINCT SKETCH per language —
+    * the mergeable cardinality sketch a 100 TB pipeline uses where an
+    * exact distinct is a full vocabulary shuffle: keep the k smallest
+    * 32-bit token hashes per group; `est = (k−1)·2³²/kth_min`. Unlike
+    * HLL (whose register layout is engine-private), KMV over a
+    * portable hash is DETERMINISTIC — the same k hashes on any engine —
+    * so the estimate itself passes the DuckDB hash gate (md5-prefix
+    * hash, the same portable primitive simhash/sample_stratified use).
+    *
+    * The k-smallest selection is a TWO-LEVEL exact top-k so no single
+    * window partition ever holds a language's whole vocabulary: level 1
+    * ranks within (lang, h % 256) — 256-way split of the hash space —
+    * and level 2 ranks the ≤ 256·k survivors per lang. Bounded state at
+    * any scale; both levels are deterministic (hashes are distinct
+    * within a group).
+    *
+    * The `n_exact`/`err_ppm` columns are the validation rail (they cost
+    * the exact distinct this sketch exists to avoid) — a production
+    * caller reads `est_distinct` and drops the rail; the bench keeps it
+    * so the error is measured, not assumed (k=256 → σ ≈ 6%).
+    */
+  def distinctSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"distinctSketch needs k >= 2, got $k")
+    // universe = word-3-gram SHINGLES per language: the cardinality the
+    // MinHash/LSH parameterization reads (band thresholds, expected
+    // bucket sizes) — and, unlike this corpus's 31-token vocabulary, a
+    // space large enough to exercise the estimator
+    val hashes = Tables.documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("l"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(l) >= 3
+          |  THEN transform(sequence(0, size(l) - 3),
+          |    i -> concat_ws(' ', slice(l, i + 1, 3)))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .select(col("lang"),
+        expr("CAST(CONV(SUBSTRING(md5(g), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+      .materializeOnce() // one shingle pass feeds the sketch AND the rail
+    val lvl1 = Window.partitionBy(col("lang"), pmod(col("h"), lit(256)))
+      .orderBy(col("h"))
+    val lvl2 = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val bottomK = hashes
+      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= k)
+    val kth = bottomK.groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("kth_hash"))
+    val exact = hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    exact.join(kth, "lang")
+      .withColumn("est_distinct",
+        // fewer than k distinct values → the sketch IS the exact set
+        coalesce(
+          expr(s"CAST(FLOOR((${k - 1}) * CAST(4294967296 AS DOUBLE) / kth_hash) AS BIGINT)"),
+          col("n_kept")))
+      .select(col("lang"), col("n_exact"), col("kth_hash"), col("est_distinct"),
+        expr("CAST(1000000 * ABS(est_distinct - n_exact) DIV n_exact AS BIGINT)")
+          .as("err_ppm"))
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
 }

@@ -126,4 +126,39 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.find(_.getAs[Long]("bucket_lo") == lo)
       .get.getAs[Long]("n_docs") == direct)
   }
+
+  test("distinct_sketch two-level bottom-k equals a driver recompute, error bounded") {
+    val rows = TextOps.distinctSketch(spark, sf).collect()
+    // driver recompute: single-level bottom-k over the same shingle hashes
+    val hashes = graft.core.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .flatMap { r =>
+        val l = r.getString(1).split(" ", -1).toSeq
+        if (l.length < 3) Seq.empty[(String, String)]
+        else l.sliding(3).map(g => r.getString(0) -> g.mkString(" ")).toSeq
+      }.distinct
+      .map { case (lang, g) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        lang -> java.lang.Long.parseLong(md5.take(8), 16)
+      }.distinct
+    val byLang = hashes.groupBy(_._1)
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val hs = byLang(r.getAs[String]("lang")).map(_._2).sorted
+      assert(r.getAs[Long]("n_exact") == hs.length.toLong)
+      if (hs.length >= 256) {
+        val kth = hs(255)
+        assert(r.getAs[Long]("kth_hash") == kth)
+        assert(r.getAs[Long]("est_distinct") ==
+          math.floor(255 * 4294967296.0 / kth).toLong)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("kth_hash")))
+        assert(r.getAs[Long]("est_distinct") == hs.length.toLong)
+      }
+      // k=256 → sigma ~6%; fail the build past ~3 sigma
+      assert(r.getAs[Long]("err_ppm") < 200000L,
+        s"${r.getAs[String]("lang")} sketch error ${r.getAs[Long]("err_ppm")} ppm")
+    }
+  }
 }
