@@ -189,6 +189,42 @@ object Streams {
       }
       .start()
 
+  /** Streaming KMV distinct-cardinality gauge — the sketch-merge
+    * pattern at its natural home: each micro-batch of newly-crawled
+    * docs contributes its own bottom-k shingle sketch, which MERGES
+    * into the persisted state (`TextOps.sketchMerge` — union's
+    * bottom-k IS the merged sketch), so the per-language shingle
+    * cardinality estimate stays current without ever re-scanning the
+    * corpus. State is langs·k rows regardless of corpus size; replays
+    * are idempotent by construction (merging a batch twice is a no-op
+    * — the union is a set). The state swap goes through
+    * `Sinks.swapRewrite` so a reader never sees a half-written state.
+    */
+  def distinctSketchGauge(newDocs: DataFrame, statePath: String,
+      k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchState = graft.text.TextOps.bottomK(
+            graft.text.TextOps.shingleHashes(batch.toDF()), k)
+          if (graft.core.IndexScratch.pathExists(spark, statePath)) {
+            val merged = graft.text.TextOps.sketchMerge(
+              spark.read.parquet(statePath), batchState, k)
+            // safe self-rewrite: swapRewrite materializes to .staging
+            // (source files still intact) before any rename touches them
+            graft.sinks.Sinks.swapRewrite(spark, merged, statePath)
+          } else {
+            batchState.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(statePath)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One open session per user held in the state store by
     * `eventSessionsCustom`: bounds in epoch-nanos (full source
     * precision), the running count, and the value sum in exact cents.

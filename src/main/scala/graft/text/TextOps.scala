@@ -356,11 +356,25 @@ object TextOps {
     */
   def distinctSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"distinctSketch needs k >= 2, got $k")
-    // universe = word-3-gram SHINGLES per language: the cardinality the
-    // MinHash/LSH parameterization reads (band thresholds, expected
-    // bucket sizes) — and, unlike this corpus's 31-token vocabulary, a
-    // space large enough to exercise the estimator
-    val hashes = Tables.documents(spark, dir)
+    val hashes = shingleHashes(Tables.documents(spark, dir))
+      .materializeOnce() // one shingle pass feeds the sketch AND the rail
+    val exact = hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    exact.join(sketchEstimate(bottomK(hashes, k), k), "lang")
+      .select(col("lang"), col("n_exact"), col("kth_hash"), col("est_distinct"),
+        expr("CAST(1000000 * ABS(est_distinct - n_exact) DIV n_exact AS BIGINT)")
+          .as("err_ppm"))
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
+
+  /** Distinct 32-bit shingle hashes per language — the sketch's
+    * universe: word-3-gram SHINGLES (the cardinality the MinHash/LSH
+    * parameterization reads: band thresholds, expected bucket sizes —
+    * and, unlike this corpus's 31-token vocabulary, a space large
+    * enough to exercise the estimator), each hashed to the portable
+    * md5-prefix 32-bit value.
+    */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"), split(col("text"), " ").as("l"))
       .select(col("lang"), explode(expr(
         """CASE WHEN size(l) >= 3
@@ -370,26 +384,47 @@ object TextOps {
       .select(col("lang"),
         expr("CAST(CONV(SUBSTRING(md5(g), 1, 8), 16, 10) AS BIGINT)").as("h"))
       .distinct()
-      .materializeOnce() // one shingle pass feeds the sketch AND the rail
+
+  /** The sketch STATE: the k smallest distinct hashes per lang, as a
+    * plain `(lang, h)` frame — langs·k rows regardless of corpus size.
+    * Two-LEVEL exact top-k so no single window partition ever holds a
+    * language's whole vocabulary: level 1 ranks within (lang, h % 256)
+    * — a 256-way split of the uniform hash space — and level 2 ranks
+    * the ≤ 256·k survivors per lang. Both levels deterministic (hashes
+    * are distinct within a group).
+    */
+  def bottomK(hashes: DataFrame, k: Int): DataFrame = {
     val lvl1 = Window.partitionBy(col("lang"), pmod(col("h"), lit(256)))
       .orderBy(col("h"))
     val lvl2 = Window.partitionBy(col("lang")).orderBy(col("h"))
-    val bottomK = hashes
+    hashes
       .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
       .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= k)
-    val kth = bottomK.groupBy("lang")
-      .agg(count(lit(1)).as("n_kept"),
-        max(when(col("rk") === k, col("h"))).as("kth_hash"))
-    val exact = hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
-    exact.join(kth, "lang")
+      .select("lang", "h")
+  }
+
+  /** MERGE two sketch states — the property that makes KMV the 100 TB
+    * shape (sketch per shard/crawl/micro-batch, merge cheaply): the
+    * union's bottom-k IS the merged sketch. Exact by construction —
+    * any hash in the merged bottom-k is in at least one input's
+    * bottom-k (state frames are langs·k rows, so this is trivially
+    * cheap).
+    */
+  def sketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    bottomK(a.union(b).distinct(), k)
+
+  /** The cardinality estimate off a sketch STATE alone (no corpus
+    * access): `est = (k−1)·2³²/kth` when the state is full, the exact
+    * member count when the universe was smaller than k.
+    */
+  def sketchEstimate(state: DataFrame, k: Int): DataFrame =
+    state.groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("max_h"))
+      .withColumn("kth_hash", when(col("n_kept") === k, col("max_h")))
       .withColumn("est_distinct",
         // fewer than k distinct values → the sketch IS the exact set
         coalesce(
           expr(s"CAST(FLOOR((${k - 1}) * CAST(4294967296 AS DOUBLE) / kth_hash) AS BIGINT)"),
           col("n_kept")))
-      .select(col("lang"), col("n_exact"), col("kth_hash"), col("est_distinct"),
-        expr("CAST(1000000 * ABS(est_distinct - n_exact) DIV n_exact AS BIGINT)")
-          .as("err_ppm"))
-      .orderBy("lang") // language-table-sized output: bounded sort
-  }
+      .select("lang", "kth_hash", "est_distinct")
 }

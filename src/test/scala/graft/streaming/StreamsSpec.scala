@@ -223,6 +223,43 @@ class StreamsSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("distinctSketchGauge merges micro-batch sketches to the batch sketch exactly") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).select("lang", "text")
+    val all = docs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val statePath = java.nio.file.Files.createTempDirectory("kmvstate")
+      .resolve("state").toString
+    val stream = MemoryStream[(String, String)](spark)
+    val query = Streams.distinctSketchGauge(
+      stream.toDS().toDF("lang", "text"), statePath, k = 64)
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      // replayed batch: merging the same hashes again is a set no-op
+      stream.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(statePath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val batch = graft.text.TextOps.bottomK(
+      graft.text.TextOps.shingleHashes(docs), 64).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(streamed.sameElements(batch))
+    // and the estimate off the streamed state equals the batch estimate
+    val se = graft.text.TextOps.sketchEstimate(
+      spark.read.parquet(statePath), 64).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    val be = graft.text.TextOps.sketchEstimate(
+      graft.text.TextOps.bottomK(graft.text.TextOps.shingleHashes(docs), 64), 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(se == be)
+  }
+
   test("streaming sessionize agrees with the batch sessionize session count") {
     val batchSessions = graft.analytics.Analytics.sessionize(spark, sf).count()
     val streamed = spark.table("sessions_sink")
