@@ -161,4 +161,29 @@ class PipelineSpec extends SparkSpec {
     assert(funnel.last.getAs[Long]("n_out") ==
       Pipeline.curateCorpus(spark, sf).count())
   }
+
+  test("publish capstone: curate -> shard-write -> audit reconciles with the funnel") {
+    // the full production hand-off: the survivor manifest materializes
+    // as the shard-partitioned corpus, and what LANDED reconciles with
+    // both the manifest and the funnel's exit row
+    val manifest = Pipeline.curateCorpus(spark, sf)
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("publish").toString
+    val audit = graft.sinks.Sinks.writeShardedCorpus(docs, manifest, out).collect()
+    val landedDocs = audit.map(_.getAs[Long]("n_docs")).sum
+    val landedTokens = audit.map(_.getAs[Long]("shard_tokens")).sum
+    assert(landedDocs == manifest.count())
+    assert(landedTokens ==
+      manifest.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+        .head.getLong(0))
+    val funnel = Pipeline.gateFunnel(spark, sf).collect()
+    assert(funnel.last.getAs[Long]("n_out") == landedDocs)
+    // every written doc is a keep=1 candidate — no eval leakage, no
+    // dropped doc sneaks into the published corpus
+    val written = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val keepSet = Pipeline.curationReport(spark, sf).collect()
+      .filter(_.getAs[Int]("keep") == 1).map(_.getAs[Long]("doc_id")).toSet
+    assert(written == keepSet)
+  }
 }
