@@ -239,6 +239,36 @@ object Pipeline {
       .orderBy("stage_idx") // 6-row output: bounded sort
   }
 
+  /** Per-SOURCE curation scorecard — the domain-reputation table a
+    * crawl planner reads (which sources to crawl deeper, which to
+    * deprioritize): per source, candidate count, curation keep rate,
+    * duplicate rate (non-survivors of the dedup gate), contamination
+    * rate, and mean quality score — all integer-exact ppm. The sibling
+    * of [[gateFunnel]] grouped by provenance instead of stage; same
+    * persisted-label gate path, same one-aggregation-pass shape (two
+    * narrow doc_id joins attach source and score, then one
+    * source-keyed partial agg).
+    */
+  def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
+    val rep = curationReportFrom(curateGatesIndexed(spark, dir))
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val q = graft.text.TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"))
+    rep.join(src, "doc_id").join(q, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(when(col("dedup_keep") === 0, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("contaminated").cast("long")).as("n_contam"),
+        sum(col("score").cast("long")).as("sum_score"))
+      .select(col("source"), col("n_candidates"),
+        expr("CAST(1000000 * n_keep DIV n_candidates AS BIGINT)").as("keep_ppm"),
+        expr("CAST(1000000 * n_dup DIV n_candidates AS BIGINT)").as("dup_ppm"),
+        expr("CAST(1000000 * n_contam DIV n_candidates AS BIGINT)").as("contam_ppm"),
+        expr("CAST(sum_score DIV n_candidates AS BIGINT)").as("mean_score"))
+      .orderBy("source") // source-table-sized output: bounded sort
+  }
+
   /** Embedding index pipeline: QC gate → LSH ANN over the surviving
     * vectors. Bad vectors (non-finite, zero, wrong dimension) never
     * enter the index or the candidate space — the validation step a

@@ -107,6 +107,7 @@ object SparkEntry {
     "domain_mix_temperature" -> (Curate.domainMixTemperature _),
     "epoch_plan" -> ((s: SparkSession, d: String) => Curate.epochPlan(s, d)),
     "gate_funnel" -> (Pipeline.gateFunnel _),
+    "source_reputation" -> (Pipeline.sourceReputation _),
     "repetition_stats"  -> (Curate.repetitionStats _),
     "importance_weights" -> (Curate.importanceWeights _),
     "importance_sample" -> (Curate.importanceSample _),
@@ -219,6 +220,18 @@ object SparkEntry {
       |FROM neu LEFT JOIN a ON neu.doc_id = a.new_id
       |ORDER BY doc_id""".stripMargin
 
+  /** The curation_report oracle with its final SELECT wrapped as a
+    * `rep` CTE, ready for derived views (gate_funnel,
+    * source_reputation) to aggregate over — the gate definitions live
+    * in ONE oracle text.
+    */
+  private def reportChainWithRep(base: Map[String, String]): String = {
+    val report = base("curation_report")
+    val idx = report.lastIndexOf("\nSELECT doc_id, q_keep,")
+    report.substring(0, idx) + ",\nrep AS (" +
+      report.substring(idx + 1).stripSuffix("\nORDER BY doc_id") + "),\n"
+  }
+
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
@@ -232,15 +245,11 @@ object SparkEntry {
       // survivor selection over LOADED cluster labels — identical oracle,
       // identical hash to the per-call minhash→CC→argmax chain
       "dedup_cluster_best_indexed" -> base("dedup_cluster_best"),
-      // the funnel reuses the ENTIRE report chain: the report's final
-      // SELECT becomes a `rep` CTE and the stage attrition aggregates
-      // over it — one source of truth for the six gate definitions
-      "gate_funnel" -> {
-        val report = base("curation_report")
-        val idx = report.lastIndexOf("\nSELECT doc_id, q_keep,")
-        val chain = report.substring(0, idx)
-        val repSel = report.substring(idx + 1).stripSuffix("\nORDER BY doc_id")
-        chain + ",\nrep AS (" + repSel + "),\n" +
+      // the funnel and the per-source scorecard reuse the ENTIRE report
+      // chain: the report's final SELECT becomes a `rep` CTE and each
+      // derived view aggregates over it — one source of truth for the
+      // six gate definitions
+      "gate_funnel" -> (reportChainWithRep(base) +
           """f AS (SELECT COUNT(*) AS n0,
             |  SUM(CASE WHEN q_keep = 1 THEN 1 ELSE 0 END) AS n1,
             |  SUM(CASE WHEN q_keep = 1 AND rep_flagged = 0 THEN 1 ELSE 0 END) AS n2,
@@ -263,7 +272,29 @@ object SparkEntry {
             |  UNION ALL SELECT 5, 'dedup', n4, n4 - n5, n5, 1000000 * n5 // n0 FROM f
             |  UNION ALL SELECT 6, 'decontamination', n5, n5 - n6, n6, 1000000 * n6 // n0 FROM f
             |) ORDER BY stage_idx""".stripMargin
-      },
+      ),
+      // per-source scorecard over the same rep CTE; the score CTE
+      // re-derives the quality points from the chain's own qm metrics
+      "source_reputation" -> (reportChainWithRep(base) +
+          """qsc AS (SELECT doc_id,
+            |  100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 40 END)
+            |      - (CASE WHEN stop_ppm BETWEEN 20000 AND 600000 THEN 0 ELSE 20 END)
+            |      - (CASE WHEN ttr_ppm >= 200000 THEN 0 ELSE 20 END)
+            |      - (CASE WHEN alpha_ppm >= 600000 THEN 0 ELSE 20 END) AS score
+            | FROM qm),
+            |srcd AS (SELECT doc_id, source FROM documents),
+            |j AS (SELECT rep.*, srcd.source, qsc.score
+            |      FROM rep JOIN srcd USING (doc_id) JOIN qsc USING (doc_id))
+            |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+            |  CAST(1000000 * SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) // COUNT(*)
+            |    AS BIGINT) AS keep_ppm,
+            |  CAST(1000000 * SUM(CASE WHEN dedup_keep = 0 THEN 1 ELSE 0 END) // COUNT(*)
+            |    AS BIGINT) AS dup_ppm,
+            |  CAST(1000000 * SUM(CASE WHEN contaminated = 1 THEN 1 ELSE 0 END) // COUNT(*)
+            |    AS BIGINT) AS contam_ppm,
+            |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score
+            |FROM j GROUP BY source ORDER BY source""".stripMargin
+      ),
       // the list-balance gauge is a deterministic aggregation over the
       // PERSISTED inverted-lists parquet (list membership itself is
       // training-order-dependent, so the oracle reads the artifact, not a

@@ -162,6 +162,32 @@ class PipelineSpec extends SparkSpec {
       Pipeline.curateCorpus(spark, sf).count())
   }
 
+  test("source_reputation aggregates the decision table per provenance exactly") {
+    val rows = Pipeline.sourceReputation(spark, sf).collect()
+    val src = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val score = graft.text.TextOps.qualityScore(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("score")).toMap
+    val rep = Pipeline.curationReport(spark, sf).collect()
+      .groupBy(r => src(r.getAs[Long]("doc_id")))
+    assert(rows.length == rep.size)
+    rows.foreach { r =>
+      val g = rep(r.getAs[String]("source"))
+      val n = g.length.toLong
+      assert(r.getAs[Long]("n_candidates") == n)
+      assert(r.getAs[Long]("keep_ppm") ==
+        1000000L * g.count(_.getAs[Int]("keep") == 1) / n)
+      assert(r.getAs[Long]("dup_ppm") ==
+        1000000L * g.count(_.getAs[Int]("dedup_keep") == 0) / n)
+      assert(r.getAs[Long]("contam_ppm") ==
+        1000000L * g.count(_.getAs[Int]("contaminated") == 1) / n)
+      assert(r.getAs[Long]("mean_score") ==
+        g.map(x => score(x.getAs[Long]("doc_id")).toLong).sum / n)
+    }
+  }
+
   test("publish capstone: curate -> shard-write -> audit reconciles with the funnel") {
     // the full production hand-off: the survivor manifest materializes
     // as the shard-partitioned corpus, and what LANDED reconciles with
