@@ -66,6 +66,7 @@ object SparkEntry {
     "lang_id"    -> (TextOps.langId _),
     "token_freq" -> (TextOps.tokenFreq _),
     "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
+    "quality_percentiles" -> (TextOps.qualityPercentiles _),
     "token_bpe"      -> (TextOps.tokenBpe _),
     "quality_score"  -> (TextOps.qualityScore _),
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
@@ -777,6 +778,38 @@ object SparkEntry {
         |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
         |       WHEN s_zh = best THEN 'zh' ELSE 'und' END = lang AS INT) AS is_match
         |FROM m ORDER BY doc_id""".stripMargin,
+    // rides the percentile == quantile_cont contract percentile_stats
+    // pinned; the score CTEs are the quality gate's own formulation
+    "quality_percentiles" ->
+      """WITH qs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t <> '' AND translate(t,
+        |          'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') = '')) AS n_alpha
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id, n_tokens,
+        |    (1000000 * n_stop) // n_tokens AS stop_ppm,
+        |    (1000000 * n_distinct) // n_tokens AS ttr_ppm,
+        |    (1000000 * n_alpha) // n_tokens AS alpha_ppm
+        |  FROM qs),
+        |qsc AS (
+        |  SELECT doc_id,
+        |    100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 40 END)
+        |        - (CASE WHEN stop_ppm BETWEEN 20000 AND 600000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN ttr_ppm >= 200000 THEN 0 ELSE 20 END)
+        |        - (CASE WHEN alpha_ppm >= 600000 THEN 0 ELSE 20 END) AS score
+        |  FROM qm),
+        |l AS (SELECT doc_id, lang FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  round(quantile_cont(score, 0.1), 6) AS p10,
+        |  round(quantile_cont(score, 0.5), 6) AS p50,
+        |  round(quantile_cont(score, 0.9), 6) AS p90
+        |FROM qsc JOIN l USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin,
     // KMV is deterministic over the portable md5-prefix hash, so the
     // ESTIMATE itself hash-matches — the single-level ROW_NUMBER here
     // recomputes what the Spark side selects with its two-level top-k

@@ -366,6 +366,28 @@ object TextOps {
       .orderBy("lang") // language-table-sized output: bounded sort
   }
 
+  /** Per-language QUALITY CALIBRATION percentiles — the thresholds a
+    * keep-top-X% policy reads before anyone hard-codes a cutoff: the
+    * p10/p50/p90 of the composite quality score per language (a gate
+    * tuned on English silently guts low-resource languages; this table
+    * is how that's caught). Rides the `percentile == quantile_cont`
+    * cross-engine contract `percentile_stats` pinned; the score join is
+    * one narrow doc_id join, the percentile is one partial-agg pass.
+    */
+  def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val lang = Tables.documents(spark, dir).select("doc_id", "lang")
+    q.join(lang, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(score, array(0.1D, 0.5D, 0.9D))").as("ps"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("ps"), 1), 6).as("p10"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p90"))
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
+
   /** Distinct 32-bit shingle hashes per language — the sketch's
     * universe: word-3-gram SHINGLES (the cardinality the MinHash/LSH
     * parameterization reads: band thresholds, expected bucket sizes —

@@ -127,6 +127,37 @@ class TextOpsSpec extends SparkSpec {
       .get.getAs[Long]("n_docs") == direct)
   }
 
+  test("quality_percentiles interpolates the per-lang score distribution exactly") {
+    val rows = TextOps.qualityPercentiles(spark, sf).collect()
+    val lang = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = TextOps.qualityScore(spark, sf).select("doc_id", "score")
+      .collect().map(r => lang(r.getLong(0)) -> r.getAs[Int]("score"))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2.toDouble).sorted }
+    assert(rows.length == scores.size)
+    // linear interpolation at rank p*(n-1), the percentile/quantile_cont
+    // definition both engines share
+    def q(xs: Seq[Double], p: Double): Double = {
+      val r = p * (xs.length - 1)
+      val lo = r.toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (r - lo) * (xs(lo + 1) - xs(lo))
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    rows.foreach { r =>
+      val xs = scores(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+      assert(r.getAs[Double]("p10") == r6(q(xs, 0.1)))
+      assert(r.getAs[Double]("p50") == r6(q(xs, 0.5)))
+      assert(r.getAs[Double]("p90") == r6(q(xs, 0.9)))
+      // calibration sanity: percentiles are ordered
+      assert(r.getAs[Double]("p10") <= r.getAs[Double]("p50") &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+    }
+  }
+
   test("distinct_sketch two-level bottom-k equals a driver recompute, error bounded") {
     val rows = TextOps.distinctSketch(spark, sf).collect()
     // driver recompute: single-level bottom-k over the same shingle hashes
