@@ -29,8 +29,11 @@ object Pipeline {
     // an article held by a worker (non-idle sync state) must not be
     // re-indexed under it — `eligible` is the idle key set from the
     // article-state store; absent means every key is fair game (the
-    // reference's trigger_sync without a held set)
-    val dirty = eligible.fold(diffDirty)(e => diffDirty.join(e, "key"))
+    // reference's trigger_sync without a held set). Narrow + distinct
+    // HERE so a caller passing the raw state frame can't leak extra
+    // columns into the written search docs or double-write on dup keys
+    val dirty = eligible.fold(diffDirty)(e =>
+      diffDirty.join(e.select("key").distinct(), "key"))
     // inner join = "index exactly the dirty set"; the search-doc build
     // only aggregates rows that survive the key filter
     val docs = graft.index.Indexing.searchDoc(spark, dir)
@@ -70,7 +73,8 @@ object Pipeline {
     * a composed session was pure waste.)
     */
   final case class CurationGates(quality: DataFrame, repetition: DataFrame,
-      rarity: DataFrame, lm: DataFrame, cluster: DataFrame, decon: DataFrame)
+      rarity: DataFrame, lm: DataFrame, cluster: DataFrame, decon: DataFrame,
+      score: DataFrame)
 
   /** Build (and pin) the gate frames for a corpus — see `CurationGates`. */
   def curateGates(spark: SparkSession, dir: String): CurationGates =
@@ -93,9 +97,16 @@ object Pipeline {
   private def curateGatesWith(spark: SparkSession, dir: String,
       clusterVerdicts: DataFrame): CurationGates = {
     import graft.core.Materialize.MatOps
+    // quality verdict AND raw score off ONE pinned text scan — the
+    // report consumes q_keep, the scorecard (sourceReputation) consumes
+    // score; splitting them post-materialization keeps the report's
+    // output schema unchanged while the corpus text is read once
+    val q = graft.text.TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("keep").as("q_keep"), col("score"))
+      .materializeOnce()
     CurationGates(
-      quality = graft.text.TextOps.qualityScore(spark, dir)
-        .select(col("doc_id"), col("keep").as("q_keep")).materializeOnce(),
+      quality = q.select("doc_id", "q_keep"),
+      score = q.select("doc_id", "score"),
       repetition = graft.curate.Curate.repetitionStats(spark, dir)
         .select(col("doc_id"), col("flagged").as("rep_flagged")).materializeOnce(),
       rarity = graft.text.Relevance.rarityScore(spark, dir)
@@ -250,11 +261,12 @@ object Pipeline {
     * source-keyed partial agg).
     */
   def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
-    val rep = curationReportFrom(curateGatesIndexed(spark, dir))
+    val g = curateGatesIndexed(spark, dir)
+    val rep = curationReportFrom(g)
     val src = Tables.documents(spark, dir).select("doc_id", "source")
-    val q = graft.text.TextOps.qualityScore(spark, dir)
-      .select(col("doc_id"), col("score"))
-    rep.join(src, "doc_id").join(q, "doc_id")
+    // g.score shares the gates' ONE pinned text scan — no second
+    // corpus pass for the same token statistics
+    rep.join(src, "doc_id").join(g.score, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_candidates"),
         sum(col("keep").cast("long")).as("n_keep"),

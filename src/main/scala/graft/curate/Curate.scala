@@ -118,6 +118,15 @@ object Curate {
     val evPack = withNorm(evalVecs)
       .agg(collect_list(struct(col("vec_id").as("eval_id"),
         col("embedding").as("emb"), col("norm").as("n"))).as("evs"))
+      // an empty eval suite must FAIL, not mark the corpus clean — a
+      // wrong path / over-filtered suite silently passing contaminated
+      // data is the worst failure mode a decontamination gate has. The
+      // guard is in-plan (no extra job): it trips when the pack row
+      // materializes.
+      .select(when(size(col("evs")) > 0, col("evs"))
+        .otherwise(raise_error(lit(
+          "semanticDeconFrom: eval frame is empty — refusing to mark the corpus clean")))
+        .as("evs"))
     withNorm(train)
       .crossJoin(broadcast(evPack))
       .withColumn("scored", expr(

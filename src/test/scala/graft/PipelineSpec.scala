@@ -24,6 +24,25 @@ class PipelineSpec extends SparkSpec {
       .collect().forall(_.getAs[Long]("count") <= 500))
   }
 
+  test("syncAndIndex narrows a wide, duplicated eligible frame to its key set") {
+    import spark.implicits._
+    val out1 = Files.createTempDirectory("graft-elig1").toString
+    val plain = Pipeline.syncAndIndex(spark, sf, out1, chunkSize = 500)
+    // raw state-store shape: extra columns AND duplicate key rows
+    val allKeys = plain.select("key").collect().map(_.getLong(0))
+    val wide = (allKeys ++ allKeys)
+      .map(k => (k, "idle", 42L)).toSeq
+      .toDF("key", "sync_status", "status_changed_at")
+    val out2 = Files.createTempDirectory("graft-elig2").toString
+    val gated = Pipeline.syncAndIndex(spark, sf, out2, chunkSize = 500,
+      eligible = Some(wide))
+    // no extra columns leak, no doc writes twice
+    assert(gated.columns.sameElements(plain.columns))
+    assert(gated.count() == gated.select("key").distinct().count())
+    assert(gated.select("key").collect().map(_.getLong(0)).sorted
+      .sameElements(allKeys.sorted))
+  }
+
   test("curateCorpus keeps only quality+survivor+clean docs and shards them") {
     val manifest = Pipeline.curateCorpus(spark, sf).collect()
     val kept = manifest.map(_.getAs[Long]("doc_id")).toSet

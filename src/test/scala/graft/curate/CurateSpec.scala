@@ -359,6 +359,14 @@ class CurateSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("contaminated") == 1))
   }
 
+  test("semantic_decon fails loudly on an empty eval suite instead of passing everything") {
+    val e = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Curate.semanticDeconFrom(e, e.filter(col("vec_id") < 0)).collect()
+    }
+    assert(err.getMessage.contains("eval frame is empty"))
+  }
+
   test("decon_combined is the row-wise OR of the lexical and semantic gates") {
     val combined = Curate.deconCombined(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
