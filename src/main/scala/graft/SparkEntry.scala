@@ -67,6 +67,7 @@ object SparkEntry {
     "token_freq" -> (TextOps.tokenFreq _),
     "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
     "quality_percentiles" -> (TextOps.qualityPercentiles _),
+    "lang_confusion" -> (TextOps.langConfusion _),
     "token_bpe"      -> (TextOps.tokenBpe _),
     "quality_score"  -> (TextOps.qualityScore _),
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
@@ -778,6 +779,27 @@ object SparkEntry {
         |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
         |       WHEN s_zh = best THEN 'zh' ELSE 'und' END = lang AS INT) AS is_match
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the lang_id chain aggregated to the (declared, detected) matrix
+    "lang_confusion" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und'], t))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of'], t))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','los','una'], t))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','les','une'], t))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['ma','de','shi'], t))) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s),
+        |p AS (SELECT lang,
+        |    CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+        |         WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+        |         WHEN s_zh = best THEN 'zh' ELSE 'und' END AS pred_lang
+        |  FROM m),
+        |c AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2),
+        |t AS (SELECT lang, SUM(n_docs) AS lang_total FROM c GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+        |  CAST(1000000 * c.n_docs // t.lang_total AS BIGINT) AS share_ppm
+        |FROM c JOIN t USING (lang) ORDER BY c.lang, c.pred_lang""".stripMargin,
     // rides the percentile == quantile_cont contract percentile_stats
     // pinned; the score CTEs are the quality gate's own formulation
     "quality_percentiles" ->

@@ -83,6 +83,26 @@ object TextOps {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
+  /** Language CONFUSION MATRIX — the aggregate QC view over [[langId]]:
+    * per (declared, detected) pair, the doc count and its share of the
+    * declared language's corpus (ppm). The table a corpus owner reads
+    * to find systematically mislabeled slices (a source whose "en"
+    * documents detect as "fr" is a scraping bug, not noise) and to
+    * judge whether the detector itself is trustworthy enough to gate
+    * on. One corpus scan (the langId projection), then two
+    * matrix-sized aggregations — the confusion matrix is |langs|²
+    * regardless of corpus size.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir).select("lang", "pred_lang")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("lang").agg(sum(col("n_docs")).as("lang_total"))
+    cells.join(totals, "lang") // matrix-sized: broadcasts
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("CAST(1000000 * n_docs DIV lang_total AS BIGINT)").as("share_ppm"))
+      .orderBy("lang", "pred_lang") // matrix-sized output: bounded sort
+  }
+
   /** Global token frequency top-100 (count desc, token asc tie-break).
     * Partial aggregation makes this a small-result shuffle at any scale;
     * the global top-k is a TakeOrderedAndProject, no full sort. The rank

@@ -127,6 +127,25 @@ class TextOpsSpec extends SparkSpec {
       .get.getAs[Long]("n_docs") == direct)
   }
 
+  test("lang_confusion recounts the langId matrix with exact shares") {
+    val rows = TextOps.langConfusion(spark, sf).collect()
+    val ids = TextOps.langId(spark, sf).select("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = ids.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val totals = ids.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("pred_lang"))
+      assert(r.getAs[Long]("n_docs") == cells(k))
+      assert(r.getAs[Long]("share_ppm") ==
+        1000000L * cells(k) / totals(k._1))
+    }
+    // each declared language's shares account for its whole corpus slice
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, g) =>
+      assert(g.map(_.getAs[Long]("n_docs")).sum == totals(l))
+    }
+  }
+
   test("quality_percentiles interpolates the per-lang score distribution exactly") {
     val rows = TextOps.qualityPercentiles(spark, sf).collect()
     val lang = graft.core.Tables.documents(spark, sf)
