@@ -18,6 +18,27 @@ TABLES = [
 ]
 
 
+def described_types(con, sql):
+    """Column name -> DuckDB type for a query, via DESCRIBE."""
+    rows = con.sql(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def type_mismatches(otypes, stypes):
+    """Oracle-vs-Spark DuckDB type divergences that change the driver's
+    typed hash. The driver hashes the *typed* frames, so an oracle column
+    that DESCRIBEs differently from the Spark parquet column (e.g. an
+    uncast SUM() widening to HUGEINT, rendered `494.0` vs the parquet's
+    BIGINT `494`) passes a Python-value compare but fails the driver.
+    Compare DESCRIBE output exactly per column name."""
+    bad = []
+    for c in sorted(set(otypes) | set(stypes)):
+        ot, st = otypes.get(c), stypes.get(c)
+        if ot != st:
+            bad.append((c, ot, st))
+    return bad
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -35,12 +56,21 @@ def main(sfdir, outdir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
+            spark_sql = f"SELECT * FROM '{outdir}/{name}/*.parquet'"
+            tbad = type_mismatches(described_types(con, f"({sql})"),
+                                   described_types(con, f"({spark_sql})"))
             o = con.sql(sql)
             ocols, orows = list(o.columns), o.fetchall()
-            s = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            s = con.sql(spark_sql)
             scols, srows = list(s.columns), s.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if tbad:
+            detail = ", ".join(f"{c}: oracle={ot} spark={st}"
+                               for c, ot, st in tbad)
+            print(f"FAIL {name}: type mismatch ({detail})")
             n_fail += 1
             continue
         oc, orr = canon(orows, ocols)

@@ -108,6 +108,29 @@ object Bench {
       SparkEntry.queries.get("ann_ivf")
         .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
     }
+    // pre-build the persisted index artifacts OUTSIDE the timed loop:
+    // the *_indexed entries exist to prove load-beats-recompute, but
+    // build-if-missing fires inside whichever indexed entry runs first
+    // (alphabetical order), so at sf1 the committed artifact recorded
+    // the build, not the load. Each store's ensure* is idempotent:
+    // fresh indexes cost one fingerprint stat here; stale ones rebuild
+    // and the cost lands on its own metric line instead of a query's.
+    // Order matters: the decision table's build loads the cluster index.
+    val prebuilt: Seq[(String, Double)] =
+      if (!new java.io.File(sfDir).isDirectory) Seq.empty
+      else Seq[(String, () => Any)](
+        "minhash" -> (() => graft.dedup.MinhashIndexStore.ensureMinhashIndex(spark, sfDir)),
+        "cluster" -> (() => graft.dedup.MinhashIndexStore.ensureClusterLabels(spark, sfDir)),
+        "decisions" -> (() => graft.curate.DecisionStore.ensureDecisions(spark, sfDir)),
+        "ivfpq" -> (() => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir))
+      ).map { case (k, f) =>
+        val t0 = System.nanoTime()
+        try f() catch {
+          case e: Throwable =>
+            System.err.println(s"index prebuild $k failed: ${e.getClass.getSimpleName}")
+        }
+        k -> (System.nanoTime() - t0) / 1e9
+      }
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)
     // optional comma-separated subset for targeted timing runs
@@ -235,7 +258,17 @@ object Bench {
       val w = new java.io.PrintWriter("bench_times_last.json")
       try w.println(timesLine) finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${results.size},"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}""")
+    // index pre-build cost on its own line: a fresh artifact reads ~0 s,
+    // a stale one shows what one crawl's index (re)build costs — never
+    // attributed to the first indexed query anymore
+    val pb = prebuilt.map { case (k, v) => "\"" + k + "\":" + s2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"index_build","builds":$pb,"sf":"$sfDir"}""")
+    // errors on their OWN line (only when present): long exception texts
+    // must never push the fixed-size final line out of the harness's
+    // ~2000-char tail window
+    if (nErr > 0) println(s"""{"metric":"errors","queries":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

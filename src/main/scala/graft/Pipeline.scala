@@ -266,7 +266,15 @@ object Pipeline {
     val src = Tables.documents(spark, dir).select("doc_id", "source")
     // g.score shares the gates' ONE pinned text scan — no second
     // corpus pass for the same token statistics
-    rep.join(src, "doc_id").join(g.score, "doc_id")
+    sourceReputationFrom(rep.join(src, "doc_id").join(g.score, "doc_id"))
+  }
+
+  /** [[sourceReputation]]'s aggregation over any decision frame carrying
+    * the report's columns plus `source` and `score` — the persisted
+    * decision table (`curate.DecisionStore`) serves it directly.
+    */
+  def sourceReputationFrom(decisions: DataFrame): DataFrame = {
+    decisions
       .groupBy("source")
       .agg(count(lit(1)).as("n_candidates"),
         sum(col("keep").cast("long")).as("n_keep"),

@@ -108,15 +108,15 @@ object SparkEntry {
     "domain_mix"        -> (Curate.domainMix _),
     "domain_mix_temperature" -> (Curate.domainMixTemperature _),
     "epoch_plan" -> ((s: SparkSession, d: String) => Curate.epochPlan(s, d)),
-    "gate_funnel" -> (Pipeline.gateFunnel _),
-    "source_reputation" -> (Pipeline.sourceReputation _),
+    "epoch_plan_bpe" -> ((s: SparkSession, d: String) => Curate.epochPlanBpe(s, d)),
+    "gate_funnel" -> (graft.curate.DecisionStore.gateFunnelIndexed _),
+    "source_reputation" -> (graft.curate.DecisionStore.sourceReputationIndexed _),
     "repetition_stats"  -> (Curate.repetitionStats _),
     "importance_weights" -> (Curate.importanceWeights _),
     "importance_sample" -> (Curate.importanceSample _),
     "seq_pack"          -> (Curate.seqPack _),
     "curation_report"   -> (Pipeline.curationReport _),
-    "curation_report_indexed" -> ((s: SparkSession, d: String) =>
-      Pipeline.curationReportFrom(Pipeline.curateGatesIndexed(s, d))),
+    "curation_report_indexed" -> (graft.curate.DecisionStore.curationReportIndexed _),
     "pii_stats"         -> (Pii.piiStats _),
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
@@ -222,6 +222,27 @@ object SparkEntry {
       |FROM neu LEFT JOIN a ON neu.doc_id = a.new_id
       |ORDER BY doc_id""".stripMargin
 
+  /** The epoch_plan oracle with its whitespace-count `c` CTE swapped
+    * for the bpe_apply chain's true tokenizer counts — the mixture and
+    * budget arithmetic stays ONE oracle text, only the token
+    * accounting differs (exactly the Spark-side composition).
+    */
+  private def epochPlanBpeOracle(base: Map[String, String]): String = {
+    val plan = base("epoch_plan")
+    val anchor = "t AS (SELECT SUM(cell_tokens) AS tot_tokens FROM c),"
+    val idx = plan.indexOf(anchor)
+    require(idx >= 0,
+      "epoch_plan oracle anchor not found — update epochPlanBpeOracle")
+    s"""WITH ${bpeRoundsCte(10)},
+       |tl AS (SELECT w, len(syms) AS n_sym FROM w10),
+       |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS (SELECT doc_id, SUM(n_sym) AS n_bpe FROM tokd JOIN tl USING (w) GROUP BY 1),
+       |c AS (SELECT lang, source, COUNT(*) AS n_docs,
+       |        SUM(CAST(COALESCE(j.n_bpe, 0) AS BIGINT)) AS cell_tokens
+       |      FROM documents d LEFT JOIN j USING (doc_id) GROUP BY 1, 2),
+       |""".stripMargin + plan.substring(idx)
+  }
+
   /** The curation_report oracle with its final SELECT wrapped as a
     * `rep` CTE, ready for derived views (gate_funnel,
     * source_reputation) to aggregate over — the gate definitions live
@@ -230,6 +251,8 @@ object SparkEntry {
   private def reportChainWithRep(base: Map[String, String]): String = {
     val report = base("curation_report")
     val idx = report.lastIndexOf("\nSELECT doc_id, q_keep,")
+    require(idx >= 0,
+      "curation_report oracle anchor not found — update reportChainWithRep")
     report.substring(0, idx) + ",\nrep AS (" +
       report.substring(idx + 1).stripSuffix("\nORDER BY doc_id") + "),\n"
   }
@@ -263,11 +286,13 @@ object SparkEntry {
             |      AND lm_flagged = 0 AND dedup_keep = 1 THEN 1 ELSE 0 END) AS n5,
             |  SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS n6
             | FROM rep)
-            |SELECT * FROM (
-            |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'quality' AS stage,
-            |    CAST(n0 AS BIGINT) AS n_in, CAST(n0 - n1 AS BIGINT) AS n_dropped,
-            |    CAST(n1 AS BIGINT) AS n_out,
-            |    CAST(1000000 * n1 // n0 AS BIGINT) AS survival_ppm FROM f
+            |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+            |  CAST(n_in AS BIGINT) AS n_in, CAST(n_dropped AS BIGINT) AS n_dropped,
+            |  CAST(n_out AS BIGINT) AS n_out,
+            |  CAST(survival_ppm AS BIGINT) AS survival_ppm FROM (
+            |  SELECT 1 AS stage_idx, 'quality' AS stage,
+            |    n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out,
+            |    1000000 * n1 // n0 AS survival_ppm FROM f
             |  UNION ALL SELECT 2, 'repetition', n1, n1 - n2, n2, 1000000 * n2 // n0 FROM f
             |  UNION ALL SELECT 3, 'rarity', n2, n2 - n3, n3, 1000000 * n3 // n0 FROM f
             |  UNION ALL SELECT 4, 'lm', n3, n3 - n4, n4, 1000000 * n4 // n0 FROM f

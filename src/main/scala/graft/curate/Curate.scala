@@ -509,10 +509,20 @@ object Curate {
     */
   def domainMixTemperature(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cells = Tables.documents(spark, dir)
+    domainMixTemperatureFromCells(Tables.documents(spark, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("cell_tokens"))
+        sum(size(split(col("text"), " ")).cast("long")).as("cell_tokens")))
+  }
+
+  /** [[domainMixTemperature]]'s arithmetic over a precomputed
+    * `(lang, source, n_docs, cell_tokens)` cell frame — the token
+    * accounting is a parameter, so the SAME mixture math runs over
+    * whitespace counts (the default) or true tokenizer counts
+    * ([[epochPlanBpe]] threads `bpe_apply`'s through).
+    */
+  def domainMixTemperatureFromCells(cellsRaw: DataFrame): DataFrame = {
+    val cells = cellsRaw
       .materializeOnce() // one corpus pass feeds Σw AND the projection
     val totals = cells.agg(sum(col("cell_tokens")).as("tot_tokens"))
     val s = cells.crossJoin(broadcast(totals))
@@ -557,10 +567,47 @@ object Curate {
     */
   def epochPlan(spark: SparkSession, dir: String,
       budgetMultPpm: Long = 2000000L,
+      maxEpochsPpm: Long = 4000000L): DataFrame =
+    epochPlanFrom(domainMixTemperature(spark, dir), budgetMultPpm, maxEpochsPpm)
+
+  /** TOKENIZER-EXACT epoch plan: the same budget/epoch arithmetic as
+    * [[epochPlan]], but every token count is `bpe_apply`'s true
+    * tokenizer count instead of the whitespace proxy — the counts a
+    * trainer's data loader actually bills against the budget.
+    * Whitespace proxies skew the mixture wherever tokenization density
+    * differs by domain (code vs prose, agglutinative vs analytic
+    * languages), and this is the table a pretraining run is configured
+    * from — the proxy error lands directly in the recipe.
+    *
+    * Scale shape: `bpeApply`'s per-doc counts (vocab-broadcast join,
+    * corpus text never shuffles) roll up to the SAME cell level in the
+    * same partial-agg pass; everything after is mixture-table-sized
+    * arithmetic against broadcast totals, identical to `epochPlan`.
+    */
+  def epochPlanBpe(spark: SparkSession, dir: String,
+      merges: Int = 10,
+      budgetMultPpm: Long = 2000000L,
       maxEpochsPpm: Long = 4000000L): DataFrame = {
+    val counts = graft.text.TextOps.bpeApply(spark, dir, merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val cells = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+      .join(counts, "doc_id") // counts frame is a total doc spine
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("cell_tokens"))
+    epochPlanFrom(domainMixTemperatureFromCells(cells),
+      budgetMultPpm, maxEpochsPpm)
+  }
+
+  /** [[epochPlan]]'s budget/epoch arithmetic over any
+    * [[domainMixTemperatureFromCells]] mixture output.
+    */
+  def epochPlanFrom(mixture: DataFrame,
+      budgetMultPpm: Long,
+      maxEpochsPpm: Long): DataFrame = {
     require(budgetMultPpm >= 1 && maxEpochsPpm >= 1,
       s"epochPlan: budgetMultPpm/maxEpochsPpm must be positive")
-    val mix = domainMixTemperature(spark, dir)
+    val mix = mixture
       .select("lang", "source", "cell_tokens", "weight_ppm")
     val totals = mix.agg(sum(col("cell_tokens")).as("tot_tokens"))
     mix.crossJoin(broadcast(totals)) // 1-row totals: rewrites to BHJ

@@ -170,12 +170,25 @@ object MinhashIndexStore {
     * `dedup_incremental` — the loaded-index path must be value-identical
     * to the per-call path.
     */
-  def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Ensure the corpus band index exists and is fresh at the
+    * deterministic scratch location (the `dedup_incremental` split:
+    * `doc_id % 5 != 0` plays the indexed corpus); returns its base
+    * path. Build-if-missing-or-stale — callers that only LOAD (the
+    * query entries, the bench pre-build) all route through here.
+    */
+  def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
     val base = scratchBase(dir, "minhash")
     val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
-    ensureBuilt(base, fp) { build(docs.filter(col("doc_id") % 5 =!= 0), base) }
-    dedupIncrementalAgainstIndex(docs.filter(col("doc_id") % 5 === 0), base)
+    ensureBuilt(base, fp) {
+      build(Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0), base)
+    }
+    base
+  }
+
+  def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureMinhashIndex(spark, dir)
+    dedupIncrementalAgainstIndex(
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0), base)
   }
 
   /** MinHash-index health gauge — the dedup twin of the vector store's
@@ -191,11 +204,7 @@ object MinhashIndexStore {
     */
   def mhindexStats(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val base = scratchBase(dir, "minhash")
-    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
-    ensureBuilt(base, fp) {
-      build(Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0), base)
-    }
+    val base = ensureMinhashIndex(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base, "banded"),
       s"$base/banded", "bucket", Buckets)
     spark.table(tableName(base, "banded"))
@@ -244,10 +253,18 @@ object MinhashIndexStore {
     * CC in the query plan (also spec-pinned, the same load-not-retrain
     * contract the ANN `*_indexed` path carries).
     */
-  def dedupClusterIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Ensure the corpus cluster-label index exists and is fresh; returns
+    * its base path (same protocol as [[ensureMinhashIndex]]).
+    */
+  def ensureClusterLabels(spark: SparkSession, dir: String): String = {
     val base = scratchBase(dir, "cluster")
     val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
     ensureBuilt(base, fp) { buildClusterLabels(spark, dir, base) }
+    base
+  }
+
+  def dedupClusterIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureClusterLabels(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base, "labels"),
       s"$base/labels", "cluster", Buckets)
     val labels = spark.table(tableName(base, "labels"))
@@ -270,9 +287,7 @@ object MinhashIndexStore {
     * appears in the plan at all.
     */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
-    val base = scratchBase(dir, "cluster")
-    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
-    ensureBuilt(base, fp) { buildClusterLabels(spark, dir, base) }
+    val base = ensureClusterLabels(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base, "labels"),
       s"$base/labels", "cluster", Buckets)
     val hist = spark.table(tableName(base, "labels"))

@@ -149,9 +149,13 @@ object VectorIndexStore {
     val codes = Similarity.pqEncode(e, idx.books)
     Sinks.appendBucketed(lists, tableName(basePath, "lists"), "cid", Buckets)
     Sinks.appendBucketed(codes, tableName(basePath, "codes"), "vec_id", Buckets)
-    // the metadata count advances by the batch size — appended indexes
-    // keep answering queries without ever recounting the corpus
-    writeMeta(spark, basePath, idx.n + e.count())
+    // metadata n = a RECOUNT of the just-appended codes table (one count
+    // per append, still zero per-query counts) — adding the batch size
+    // to the cached value would silently drift after a retried partial
+    // failure (rows appended, meta write crashed: the retry re-appends
+    // while the stale meta under-sizes the ADC re-rank depth forever)
+    val reloaded = loadIvfPq(spark, basePath)
+    writeMeta(spark, basePath, reloaded.codes.count())
     loadIvfPq(spark, basePath)
   }
 
