@@ -108,6 +108,10 @@ object Bench {
       SparkEntry.queries.get("ann_ivf")
         .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
     }
+    // optional comma-separated subset for targeted timing runs — read
+    // BEFORE the prebuild so a targeted run of one cheap query doesn't
+    // pay all four index builds on cold scratch
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // pre-build the persisted index artifacts OUTSIDE the timed loop:
     // the *_indexed entries exist to prove load-beats-recompute, but
     // build-if-missing fires inside whichever indexed entry runs first
@@ -116,14 +120,25 @@ object Bench {
     // fresh indexes cost one fingerprint stat here; stale ones rebuild
     // and the cost lands on its own metric line instead of a query's.
     // Order matters: the decision table's build loads the cluster index.
+    // Each prebuild is skipped when no surviving query depends on it.
+    def wanted(deps: String*): Boolean = only.forall(deps.exists(_))
     val prebuilt: Seq[(String, Double)] =
       if (!new java.io.File(sfDir).isDirectory) Seq.empty
-      else Seq[(String, () => Any)](
-        "minhash" -> (() => graft.dedup.MinhashIndexStore.ensureMinhashIndex(spark, sfDir)),
-        "cluster" -> (() => graft.dedup.MinhashIndexStore.ensureClusterLabels(spark, sfDir)),
-        "decisions" -> (() => graft.curate.DecisionStore.ensureDecisions(spark, sfDir)),
-        "ivfpq" -> (() => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir))
-      ).map { case (k, f) =>
+      else Seq[(String, Boolean, () => Any)](
+        ("minhash",
+          wanted("dedup_incremental_indexed", "mhindex_stats"),
+          () => graft.dedup.MinhashIndexStore.ensureMinhashIndex(spark, sfDir)),
+        ("cluster",
+          wanted("dedup_cluster_best_indexed", "dedup_cluster_stats",
+            "curation_report_indexed", "gate_funnel", "source_reputation"),
+          () => graft.dedup.MinhashIndexStore.ensureClusterLabels(spark, sfDir)),
+        ("decisions",
+          wanted("curation_report_indexed", "gate_funnel", "source_reputation"),
+          () => graft.curate.DecisionStore.ensureDecisions(spark, sfDir)),
+        ("ivfpq",
+          wanted("ann_ivf_pq_indexed", "vindex_stats"),
+          () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir))
+      ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()
         try f() catch {
           case e: Throwable =>
@@ -133,8 +148,6 @@ object Bench {
       }
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)
-    // optional comma-separated subset for targeted timing runs
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String], Long, Boolean) = {

@@ -141,6 +141,18 @@ object SparkEntry {
     "mm_meta"         -> (Multimodal.mmMeta _)
   )
 
+  /** Queries that are rows-only BY DECLARED DESIGN: approximate ANN /
+    * embedding-dedup whose exact contents depend on probe order, with
+    * recall floors pinned in ScalaTest instead of a DuckDB oracle.
+    * Every other `queries` key MUST have an `oracleSql` entry —
+    * OracleCoverageSpec enforces `queries.keySet == oracleSql.keySet ++
+    * rowsOnly`, so an unregistered oracle can never pass locally by
+    * omission again (the round-12 epoch_plan_bpe miss).
+    */
+  val rowsOnly: Set[String] = Set(
+    "ann_lsh", "ann_ivf", "ann_ivf_pq", "ann_ivf_pq_indexed",
+    "dedup_embedding_ann")
+
   /** The BPE-learning oracle unrolls the Spark operator's rounds in SQL
     * (like pagerank_ppm's iterations): round i counts adjacent symbol
     * pairs weighted by word frequency, takes the deterministic arg-max
@@ -270,6 +282,10 @@ object SparkEntry {
       // survivor selection over LOADED cluster labels — identical oracle,
       // identical hash to the per-call minhash→CC→argmax chain
       "dedup_cluster_best_indexed" -> base("dedup_cluster_best"),
+      // epoch planning with tokenizer-exact (BPE) counts: the epoch_plan
+      // oracle with its whitespace-count CTE swapped for the bpe_apply
+      // chain's true token counts
+      "epoch_plan_bpe" -> epochPlanBpeOracle(base),
       // the funnel and the per-source scorecard reuse the ENTIRE report
       // chain: the report's final SELECT becomes a `rep` CTE and each
       // derived view aggregates over it — one source of truth for the

@@ -59,10 +59,6 @@ object DecisionStore {
       Buckets, Some(s"$basePath/decisions"))
   }
 
-  /** The persisted decision table for a corpus, built if missing or
-    * stale (corpus-fingerprint marker). Wide schema: the report's
-    * columns + `source` + `score`.
-    */
   /** Ensure the decision table exists and is fresh; returns its base
     * path (the stores' shared build-if-missing-or-stale protocol).
     */
@@ -73,6 +69,10 @@ object DecisionStore {
     base
   }
 
+  /** The persisted decision table for a corpus, built if missing or
+    * stale (corpus-fingerprint marker). Wide schema: the report's
+    * columns + `source` + `score`.
+    */
   def decisionTable(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureDecisions(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base),

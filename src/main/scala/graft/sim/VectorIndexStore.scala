@@ -131,55 +131,153 @@ object VectorIndexStore {
     * fingerprint protocol (`IndexScratch.ensureBuilt` in
     * `annIvfPqIndexed`) already triggers one on source regeneration.
     *
-    * Batch vec_ids must be new: an already-indexed id would duplicate
-    * its list/code rows and poison ADC ranking, so the overlap check
-    * fails loudly (one narrow semi-join against the codes table).
+    * Append is IDEMPOTENT by vec_id: each table takes only the batch
+    * ids it doesn't already hold (one narrow anti-join per table,
+    * pinned before the write so the plan never reads the table it
+    * appends to), so a replayed append after a partial failure (lists
+    * appended, codes write crashed) repairs the missing half instead
+    * of duplicating rows and poisoning ADC ranking. Corollary
+    * contract: re-appending an already-indexed vec_id is a silent
+    * no-op — append assumes id↔vector immutability (to change a
+    * vector, delete it first or rebuild).
     */
   def appendIvfPq(newEmb: DataFrame, basePath: String): IvfPqIndex = {
     val spark = newEmb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val idx = loadIvfPq(spark, basePath)
-    val e = normed(newEmb).materializeOnce(eager = true) // lists + codes + guard
-    val overlap = e.select("vec_id")
-      .join(idx.codes.select("vec_id"), "vec_id").count()
-    require(overlap == 0L,
-      s"appendIvfPq: $overlap vec_ids of the batch are already indexed " +
-        "(append is insert-only; rebuild or re-id the batch)")
+    val e = normed(newEmb).materializeOnce(eager = true) // lists + codes
     val lists = Similarity.ivfMultiIndex(e, idx.centroids, assign = 2)
+      .join(idx.lists.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .materializeOnce(eager = true)
     val codes = Similarity.pqEncode(e, idx.books)
+      .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .materializeOnce(eager = true)
     Sinks.appendBucketed(lists, tableName(basePath, "lists"), "cid", Buckets)
     Sinks.appendBucketed(codes, tableName(basePath, "codes"), "vec_id", Buckets)
-    // metadata n = a RECOUNT of the just-appended codes table (one count
-    // per append, still zero per-query counts) — adding the batch size
-    // to the cached value would silently drift after a retried partial
-    // failure (rows appended, meta write crashed: the retry re-appends
-    // while the stale meta under-sizes the ADC re-rank depth forever)
-    val reloaded = loadIvfPq(spark, basePath)
-    writeMeta(spark, basePath, reloaded.codes.count())
+    // metadata n = a RECOUNT of the just-appended codes table (a direct
+    // narrow count of the catalog table, not a full index load) —
+    // adding the batch size to the cached value would silently drift
+    // after a retried partial failure (the stale meta under-sizes the
+    // ADC re-rank depth forever)
+    writeMeta(spark, basePath,
+      spark.table(tableName(basePath, "codes")).count())
     loadIvfPq(spark, basePath)
+  }
+
+  private def tombstonesPath(basePath: String): String =
+    s"$basePath/tombstones"
+
+  /** The tombstoned vec_ids, if any delete ever ran on this index. */
+  private def tombstones(spark: SparkSession,
+      basePath: String): Option[DataFrame] =
+    if (IndexScratch.pathExists(spark, tombstonesPath(basePath)))
+      Some(spark.read.parquet(tombstonesPath(basePath)))
+    else None
+
+  /** Hide tombstoned rows from an index frame. The tombstone set is
+    * delete-batch-sized, so the anti-join broadcasts and the streamed
+    * (bucketed) side keeps its exchange-free partitioning.
+    */
+  private def live(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.map(t => df.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(df)
+
+  /** The PHYSICAL bucketed table for an index part — includes
+    * tombstoned rows. Append-side dup prevention must key on this
+    * (physical rows, visible or not, are what duplicate), while query
+    * paths go through `loadIvfPq`, which filters.
+    */
+  private def physicalTable(spark: SparkSession, basePath: String,
+      part: String, keyCol: String): DataFrame = {
+    Sinks.restoreBucketed(spark, tableName(basePath, part),
+      s"$basePath/$part", keyCol, Buckets)
+    spark.table(tableName(basePath, part))
   }
 
   /** Load a persisted index: tiny frames as plain parquet reads, the
     * bucketed frames through their (restored-if-needed) catalog entries
-    * so reads keep the exchange-free bucket layout.
+    * so reads keep the exchange-free bucket layout. Tombstoned vectors
+    * (see [[deleteIvfPq]]) are filtered out here, so every query path
+    * downstream sees only live rows.
     */
   def loadIvfPq(spark: SparkSession, basePath: String,
       withPq: Boolean = true): IvfPqIndex = {
-    Sinks.restoreBucketed(spark, tableName(basePath, "lists"),
-      s"$basePath/lists", "cid", Buckets)
-    val lists = spark.table(tableName(basePath, "lists"))
+    val tomb = tombstones(spark, basePath)
+    val lists = live(physicalTable(spark, basePath, "lists", "cid"), tomb)
     val centroids = spark.read.parquet(s"$basePath/centroids")
     if (!withPq) {
       val n = readMeta(spark, basePath, lists.select("vec_id").distinct())
       IvfPqIndex(centroids, lists, null, null, n)
     } else {
-      Sinks.restoreBucketed(spark, tableName(basePath, "codes"),
-        s"$basePath/codes", "vec_id", Buckets)
-      val codes = spark.table(tableName(basePath, "codes"))
+      val codes = live(physicalTable(spark, basePath, "codes", "vec_id"), tomb)
       IvfPqIndex(centroids, lists,
         spark.read.parquet(s"$basePath/books"), codes,
         readMeta(spark, basePath, codes))
     }
+  }
+
+  /** Delete vectors from a persisted IVF-PQ index by TOMBSTONE — the
+    * between-crawls removal move (dedup survivors change, documents get
+    * decontaminated away; the reference's diff classifies articles that
+    * vanish from the upstream list as deleted, sync_service.rs:146-163).
+    * The delete itself writes only the merged tombstone id set — O(ids
+    * deleted so far), never O(index) — and every load anti-joins it
+    * away, so delete-then-query equals a frozen-quantizer rebuild over
+    * the surviving corpus bit-for-bit (per-vector assignment and
+    * encoding are independent, so hiding a row IS removing it;
+    * spec-pinned). Metadata `n` is recounted from live codes so the ADC
+    * re-rank depth tracks the live corpus.
+    *
+    * Deletes are idempotent (id-set union) and unknown ids are no-ops.
+    * A deleted id stays deleted even if re-appended ([[appendIvfPq]]
+    * skips ids with physical rows); to resurrect one, [[compactIvfPq]]
+    * first (physical removal), then append. When the tombstone set has
+    * grown past broadcast size, compaction folds it into the tables.
+    */
+  def deleteIvfPq(delIds: DataFrame, basePath: String): IvfPqIndex = {
+    val spark = delIds.sparkSession
+    val del = delIds.select("vec_id").distinct()
+    // pin before overwriting the path the merge just read
+    val merged = tombstones(spark, basePath)
+      .map(_.unionByName(del).distinct())
+      .getOrElse(del)
+      .materializeOnce(eager = true)
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tombstonesPath(basePath))
+    val liveCodes = live(physicalTable(spark, basePath, "codes", "vec_id"),
+      Some(merged))
+    writeMeta(spark, basePath, liveCodes.count())
+    loadIvfPq(spark, basePath)
+  }
+
+  /** Fold tombstones into the physical tables: rewrite lists/codes
+    * without the deleted rows (one bucketed overwrite each — linear in
+    * the index, which is why it's a separate maintenance pass and not
+    * part of [[deleteIvfPq]]), then drop the tombstone set. Query
+    * results are unchanged (the filter moves from plan to storage);
+    * afterwards deleted ids are physically absent, so they can be
+    * re-appended.
+    */
+  def compactIvfPq(spark: SparkSession, basePath: String): IvfPqIndex = {
+    tombstones(spark, basePath).foreach { tomb =>
+      val t = tomb.materializeOnce(eager = true)
+      // pin the filtered survivors before overwriting the tables they read
+      val lists = live(physicalTable(spark, basePath, "lists", "cid"), Some(t))
+        .materializeOnce(eager = true)
+      val codes = live(physicalTable(spark, basePath, "codes", "vec_id"), Some(t))
+        .materializeOnce(eager = true)
+      Sinks.writeBucketed(lists, tableName(basePath, "lists"), "cid",
+        Buckets, Some(s"$basePath/lists"))
+      Sinks.writeBucketed(codes, tableName(basePath, "codes"), "vec_id",
+        Buckets, Some(s"$basePath/codes"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tombstonesPath(basePath)),
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(basePath)), true)
+      writeMeta(spark, basePath,
+        spark.table(tableName(basePath, "codes")).count())
+    }
+    loadIvfPq(spark, basePath)
   }
 
   /** `Similarity.annIvfPqFrom` semantics over a PERSISTED index: loads

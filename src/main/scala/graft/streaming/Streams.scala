@@ -132,16 +132,11 @@ object Streams {
     * vectors appends to the PERSISTED IVF-PQ index with frozen
     * quantizers (`VectorIndexStore.appendIvfPq` — batch-only scan, no
     * retraining), so the index serves queries that include vectors
-    * embedded minutes ago without ever rebuilding. Replayed
-    * micro-batches are made idempotent by an anti-join against the
-    * indexed id set BEFORE the append (append itself is insert-only
-    * and fails loudly on dup ids — correct for the batch API, wrong
-    * for at-least-once streams). A crash between the two table
-    * appends can leave list rows without code rows for a batch; the
-    * replay's anti-join (keyed on the CODES table, written second)
-    * still sees those ids as fresh and re-appends both — the
-    * duplicate list rows are harmless because every query path
-    * `distinct()`s its candidate set before scoring.
+    * embedded minutes ago without ever rebuilding. At-least-once
+    * replays are safe because `appendIvfPq` is itself idempotent by
+    * vec_id (per-table anti-join inside the append): a replayed
+    * micro-batch — or a replay after a crash between the two table
+    * appends — inserts only the rows each table is missing.
     */
   def vectorIndexAppend(newVecs: DataFrame,
       basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -149,13 +144,8 @@ object Streams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val idx = graft.sim.VectorIndexStore.loadIvfPq(batch.sparkSession, basePath)
-          val fresh = batch.toDF()
-            .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
-          if (!fresh.isEmpty)
-            graft.sim.VectorIndexStore.appendIvfPq(fresh, basePath)
-        }
+        if (!batch.isEmpty)
+          graft.sim.VectorIndexStore.appendIvfPq(batch.toDF(), basePath)
         ()
       }
       .start()

@@ -182,7 +182,7 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"loaded-index recall $recall below floor 0.85")
   }
 
-  test("appendIvfPq equals a frozen-quantizer rebuild bit-for-bit and rejects dup ids") {
+  test("appendIvfPq equals a frozen-quantizer rebuild bit-for-bit and replays are no-ops") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val base = java.nio.file.Files
@@ -216,11 +216,20 @@ class SimilaritySpec extends SparkSpec {
       excludeSelf = true, corpusN = appended.n)
       .collect().map(_.getAs[Long]("n_id"))
     assert(nids.exists(_ >= cut) && nids.exists(_ < cut))
-    // insert-only contract: re-appending the same ids fails loudly
-    val e = intercept[IllegalArgumentException] {
-      VectorIndexStore.appendIvfPq(batch, base)
-    }
-    assert(e.getMessage.contains("already indexed"))
+    // idempotence: a REPLAYED append (the retried-partial-failure case)
+    // inserts nothing — counts and query results are bit-identical
+    val nLists = appended.lists.count()
+    val nCodes = appended.codes.count()
+    val replayed = VectorIndexStore.appendIvfPq(batch, base)
+    assert(replayed.lists.count() == nLists,
+      "replayed append duplicated list rows")
+    assert(replayed.codes.count() == nCodes,
+      "replayed append duplicated code rows")
+    assert(replayed.n == appended.n)
+    val afterReplay = rows(Similarity.ivfPqSearch(full,
+      replayed.centroids, replayed.lists, replayed.books, replayed.codes,
+      queries, excludeSelf = true, corpusN = replayed.n))
+    assert(afterReplay == fromAppended)
   }
 
   test("index metadata carries the corpus size through build, load, append, and fallback") {

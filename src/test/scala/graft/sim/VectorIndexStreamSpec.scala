@@ -27,8 +27,8 @@ class VectorIndexStreamSpec extends SparkSpec {
       query.processAllAvailable()
       stream.addData(b2)
       query.processAllAvailable()
-      // at-least-once replay of the first batch: the anti-join makes it
-      // a no-op instead of tripping appendIvfPq's dup-id guard
+      // at-least-once replay of the first batch: appendIvfPq's own
+      // per-table anti-join makes it a no-op
       stream.addData(b1)
       query.processAllAvailable()
     } finally query.stop()
