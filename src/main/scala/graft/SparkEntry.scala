@@ -174,16 +174,24 @@ object SparkEntry {
     * `bpeApplyOracle`: w$i is the word-frequency table after i merges
     * (the word itself rides along so the applier can join back to the
     * corpus), m$i the round's arg-max merge.
+    *
+    * Every round CTE is `AS MATERIALIZED`: DuckDB inlines CTEs by
+    * default, and each round references w${"$"}{i-1} twice (pair count +
+    * merge apply), so 10 inlined rounds re-evaluate the prefix chain
+    * exponentially — 21 s for bpe_apply at sf0.01, and 639 s for
+    * epoch_plan_bpe whose downstream CTEs fan the chain out ~6 more
+    * ways (what blew the round-13 correctness gate past its deadline).
+    * Materialized, each round runs once: 0.1-0.2 s, values identical.
     */
   private def bpeRoundsCte(k: Int): String = {
     val rounds = (1 to k).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT p.l AS l, p.r AS r, SUM(cnt) AS n FROM w${i - 1},
          |    unnest(list_transform(range(1, len(syms)),
          |      i -> struct_pack(l := syms[CAST(i AS INT)], r := syms[CAST(i AS INT) + 1]))) AS t(p)
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         |w$i AS (
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
          |  SELECT w, list_reduce(
          |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> CAST([s] AS VARCHAR[]))),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.l AND x[1] = m$i.r
@@ -191,9 +199,9 @@ object SparkEntry {
          |                     ELSE list_append(acc, x[1]) END) AS syms, cnt
          |  FROM w${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-       |wc AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE len(w) > 0 GROUP BY 1),
-       |w0 AS (SELECT w, list_transform(range(1, len(w) + 1),
+    s"""tok AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM tok WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w, list_transform(range(1, len(w) + 1),
        |         i -> substr(w, CAST(i AS INT), 1)) AS syms, cnt FROM wc),
        |$rounds""".stripMargin
   }
@@ -204,9 +212,9 @@ object SparkEntry {
     */
   private def bpeApplyOracle(k: Int): String =
     s"""WITH ${bpeRoundsCte(k)},
-       |tl AS (SELECT w, len(syms) AS n_sym FROM w$k),
-       |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |j AS (SELECT doc_id, COUNT(*) AS n_ws_tokens, SUM(n_sym) AS n_bpe
+       |tl AS MATERIALIZED (SELECT w, len(syms) AS n_sym FROM w$k),
+       |tokd AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_ws_tokens, SUM(n_sym) AS n_bpe
        |      FROM tokd JOIN tl USING (w) GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(COALESCE(n_ws_tokens, 0) AS BIGINT) AS n_ws_tokens,
@@ -246,10 +254,10 @@ object SparkEntry {
     require(idx >= 0,
       "epoch_plan oracle anchor not found — update epochPlanBpeOracle")
     s"""WITH ${bpeRoundsCte(10)},
-       |tl AS (SELECT w, len(syms) AS n_sym FROM w10),
-       |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |j AS (SELECT doc_id, SUM(n_sym) AS n_bpe FROM tokd JOIN tl USING (w) GROUP BY 1),
-       |c AS (SELECT lang, source, COUNT(*) AS n_docs,
+       |tl AS MATERIALIZED (SELECT w, len(syms) AS n_sym FROM w10),
+       |tokd AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS MATERIALIZED (SELECT doc_id, SUM(n_sym) AS n_bpe FROM tokd JOIN tl USING (w) GROUP BY 1),
+       |c AS MATERIALIZED (SELECT lang, source, COUNT(*) AS n_docs,
        |        SUM(CAST(COALESCE(j.n_bpe, 0) AS BIGINT)) AS cell_tokens
        |      FROM documents d LEFT JOIN j USING (doc_id) GROUP BY 1, 2),
        |""".stripMargin + plan.substring(idx)
@@ -269,10 +277,32 @@ object SparkEntry {
       report.substring(idx + 1).stripSuffix("\nORDER BY doc_id") + "),\n"
   }
 
+  /** DuckDB inlines CTEs by default and re-evaluates a CTE once per
+    * reference — direct or through a chain — so oracles whose CTEs fan
+    * out (the unrolled BPE rounds, the minhash→CC report chain) blow up
+    * combinatorially: at sf0.01, `epoch_plan_bpe` ran 639 s inlined vs
+    * 0.2 s materialized, and the report/cluster family ~20-40 s each vs
+    * ~5 s — the inlined total is what pushed the round-13 driver
+    * correctness run past its deadline (CORRECTNESS_r13 came back
+    * empty). Rewrite every top-level CTE header to `AS MATERIALIZED`
+    * (DuckDB ≥0.9 syntax; results are bit-identical, verified per
+    * query). The pattern requires a bare lowercase identifier directly
+    * before ` AS (` at a line start or after WITH [RECURSIVE], so
+    * recursive members with column lists (`reach(node, lbl) AS (`) and
+    * named-window clauses (`... WINDOW w AS (`, always mid-line here)
+    * are untouched.
+    */
+  private val cteHeader =
+    "(?m)(^\\s*\\|?\\s*|\\bWITH\\s+(?:RECURSIVE\\s+)?)([a-z][a-z_0-9]*) AS \\(".r
+  private def materializeCtes(sql: String): String =
+    cteHeader.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2) + " AS MATERIALIZED ("))
+
   /** DuckDB oracle SQL, one per `queries` key (column names must match). */
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
-    base ++ Map(
+    (base ++ Map(
       // the bucketed diff is a zero-Exchange physical re-plan of the SAME
       // query — identical oracle, identical hash
       "sync_diff_bucketed" -> base("sync_diff"),
@@ -381,7 +411,7 @@ object SparkEntry {
           |SELECT event_id, user_id, value, cust_spend
           |FROM events JOIN dim USING (user_id)
           |ORDER BY event_id""".stripMargin
-    )
+    )).map { case (k, v) => k -> materializeCtes(v) }
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -146,21 +146,26 @@ object VectorIndexStore {
     graft.functions.GraftFunctions.register(spark)
     val idx = loadIvfPq(spark, basePath)
     val e = normed(newEmb).materializeOnce(eager = true) // lists + codes
+    // dup prevention keys on PHYSICAL rows (tombstoned or not) — the
+    // live view from loadIvfPq hides tombstoned ids, and appending one
+    // of those again would insert a duplicate physical row per replay
     val lists = Similarity.ivfMultiIndex(e, idx.centroids, assign = 2)
-      .join(idx.lists.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .join(physicalTable(spark, basePath, "lists", "cid")
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
       .materializeOnce(eager = true)
     val codes = Similarity.pqEncode(e, idx.books)
-      .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(physicalTable(spark, basePath, "codes", "vec_id")
+        .select("vec_id"), Seq("vec_id"), "left_anti")
       .materializeOnce(eager = true)
     Sinks.appendBucketed(lists, tableName(basePath, "lists"), "cid", Buckets)
     Sinks.appendBucketed(codes, tableName(basePath, "codes"), "vec_id", Buckets)
-    // metadata n = a RECOUNT of the just-appended codes table (a direct
-    // narrow count of the catalog table, not a full index load) —
-    // adding the batch size to the cached value would silently drift
-    // after a retried partial failure (the stale meta under-sizes the
-    // ADC re-rank depth forever)
+    // metadata n = a RECOUNT of LIVE codes (physical minus tombstones —
+    // n sizes the ADC re-rank depth, which must track the live corpus).
+    // Recount rather than add-the-batch-size: a retried partial failure
+    // would otherwise drift the cached value forever.
     writeMeta(spark, basePath,
-      spark.table(tableName(basePath, "codes")).count())
+      live(spark.table(tableName(basePath, "codes")),
+        tombstones(spark, basePath)).count())
     loadIvfPq(spark, basePath)
   }
 

@@ -254,6 +254,71 @@ class SimilaritySpec extends SparkSpec {
     assert(VectorIndexStore.loadIvfPq(spark, base).n == n)
   }
 
+  test("deleteIvfPq tombstones: delete==rebuild-without, deleted ids resist re-append, compact resurrects") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = emb.count()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-del").toString + "/idx"
+    VectorIndexStore.buildIvfPq(emb, base)
+    val delIds = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select("vec_id")
+    val nDel = delIds.count()
+    val deleted = VectorIndexStore.deleteIvfPq(delIds, base)
+    // meta n tracks the LIVE corpus after a delete
+    assert(deleted.n == n - nDel)
+    // delete-then-query == frozen-quantizer rebuild over the survivors
+    val queries = emb.filter(col("vec_id") < 20)
+    val survivors = emb.filter(col("vec_id") < 100 || col("vec_id") >= 150)
+      .withColumn("norm", Vectors.norm64("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val fromDeleted = rows(Similarity.ivfPqSearch(survivors,
+      deleted.centroids, deleted.lists, deleted.books, deleted.codes,
+      queries, excludeSelf = true, corpusN = deleted.n))
+    val fromRebuilt = rows(Similarity.ivfPqSearch(survivors,
+      deleted.centroids,
+      Similarity.ivfMultiIndex(survivors, deleted.centroids, assign = 2),
+      deleted.books,
+      Similarity.pqEncode(survivors, deleted.books),
+      queries, excludeSelf = true, corpusN = deleted.n))
+    assert(fromDeleted.nonEmpty)
+    assert(fromDeleted == fromRebuilt)
+    // no deleted id appears in any answer
+    assert(!Similarity.ivfPqSearch(survivors, deleted.centroids,
+      deleted.lists, deleted.books, deleted.codes, queries,
+      excludeSelf = true, corpusN = deleted.n)
+      .collect().map(_.getAs[Long]("n_id"))
+      .exists(id => id >= 100 && id < 150))
+    // delete is idempotent
+    assert(VectorIndexStore.deleteIvfPq(delIds, base).n == n - nDel)
+    // re-appending a DELETED id is a no-op: its physical rows still
+    // exist, so append's physical-keyed anti-join skips it — no dup
+    // physical rows, and the live view still hides it
+    val codesTable = "graft_idx_" +
+      graft.core.IndexScratch.md5hex(base).take(10) + "_codes"
+    val physCodesBefore = spark.table(codesTable).count()
+    val reAppended = VectorIndexStore.appendIvfPq(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), base)
+    assert(reAppended.n == n - nDel, "append-after-delete inflated live n")
+    assert(reAppended.codes.count() == n - nDel)
+    val physCodesAfter = spark.table(codesTable).count()
+    assert(physCodesAfter == physCodesBefore,
+      "append-after-delete inserted duplicate physical rows")
+    // compact folds tombstones into storage: query results unchanged
+    val compacted = VectorIndexStore.compactIvfPq(spark, base)
+    assert(compacted.n == n - nDel)
+    val fromCompacted = rows(Similarity.ivfPqSearch(survivors,
+      compacted.centroids, compacted.lists, compacted.books, compacted.codes,
+      queries, excludeSelf = true, corpusN = compacted.n))
+    assert(fromCompacted == fromDeleted)
+    // after compaction the ids are physically absent → append resurrects
+    val resurrected = VectorIndexStore.appendIvfPq(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), base)
+    assert(resurrected.n == n)
+    assert(resurrected.codes.count() == n)
+  }
+
   test("indexStats reports list sizes, shares, and balance over the persisted index") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
