@@ -66,6 +66,9 @@ object SparkEntry {
     "lang_id"    -> (TextOps.langId _),
     "token_freq" -> (TextOps.tokenFreq _),
     "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
+    // k=32 so the 500-doc test corpora exercise REAL truncation (every
+    // lang stratum outnumbers the sample); production default is 256
+    "quantile_sketch" -> ((s: SparkSession, d: String) => TextOps.quantileSketch(s, d, k = 32)),
     "quality_percentiles" -> (TextOps.qualityPercentiles _),
     "lang_confusion" -> (TextOps.langConfusion _),
     "token_bpe"      -> (TextOps.tokenBpe _),
@@ -105,6 +108,7 @@ object SparkEntry {
     "decon_combined"    -> (Curate.deconCombined _),
     "sample_stratified" -> ((s: SparkSession, d: String) => Curate.sampleStratified(s, d)),
     "shard_pack"        -> (Curate.shardPack _),
+    "shard_pack_bpe" -> ((s: SparkSession, d: String) => Curate.shardPackBpe(s, d)),
     "domain_mix"        -> (Curate.domainMix _),
     "domain_mix_temperature" -> (Curate.domainMixTemperature _),
     "epoch_plan" -> ((s: SparkSession, d: String) => Curate.epochPlan(s, d)),
@@ -263,6 +267,61 @@ object SparkEntry {
        |""".stripMargin + plan.substring(idx)
   }
 
+  /** The quantile-sketch oracle reuses the quality_percentiles chain
+    * (one source of truth for the score definition) and re-derives the
+    * deterministic bottom-k sample with the same md5-prefix hash; both
+    * the sample estimates and the exact rail ride the
+    * `percentile == quantile_cont` round-6 contract.
+    */
+  private def quantileSketchOracle(base: Map[String, String], k: Int): String = {
+    val qp = base("quality_percentiles")
+    val anchor = "l AS (SELECT doc_id, lang FROM documents)"
+    val idx = qp.indexOf(anchor)
+    require(idx >= 0,
+      "quality_percentiles oracle anchor not found — update quantileSketchOracle")
+    qp.substring(0, idx + anchor.length) + s""",
+       |sc AS (SELECT l.lang, qsc.doc_id,
+       |         ('0x' || substr(md5(CAST(qsc.doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+       |         qsc.score
+       |       FROM qsc JOIN l USING (doc_id)),
+       |st AS (SELECT * FROM (
+       |         SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |         FROM sc) WHERE rk <= $k),
+       |est AS (SELECT lang, COUNT(*) AS n_sample,
+       |          round(quantile_cont(score, 0.1), 6) AS p10_est,
+       |          round(quantile_cont(score, 0.5), 6) AS p50_est,
+       |          round(quantile_cont(score, 0.9), 6) AS p90_est
+       |        FROM st GROUP BY lang),
+       |ex AS (SELECT lang, COUNT(*) AS n_docs,
+       |          round(quantile_cont(score, 0.1), 6) AS p10_exact,
+       |          round(quantile_cont(score, 0.5), 6) AS p50_exact,
+       |          round(quantile_cont(score, 0.9), 6) AS p90_exact
+       |        FROM sc GROUP BY lang)
+       |SELECT lang, n_docs, n_sample, p10_est, p50_est, p90_est,
+       |  p10_exact, p50_exact, p90_exact
+       |FROM ex JOIN est USING (lang) ORDER BY lang""".stripMargin
+  }
+
+  /** The shard_pack oracle with its whitespace-count `d` CTE swapped
+    * for the bpe_apply chain's true token counts — the same CTE surgery
+    * as [[epochPlanBpeOracle]], so the prefix-sum/shard arithmetic
+    * stays ONE oracle text and only the token accounting differs.
+    */
+  private def shardPackBpeOracle(base: Map[String, String]): String = {
+    val pack = base("shard_pack")
+    val anchor = "c AS (SELECT doc_id, n_tokens,"
+    val idx = pack.indexOf(anchor)
+    require(idx >= 0,
+      "shard_pack oracle anchor not found — update shardPackBpeOracle")
+    s"""WITH ${bpeRoundsCte(10)},
+       |tl AS (SELECT w, len(syms) AS n_sym FROM w10),
+       |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |jj AS (SELECT doc_id, SUM(n_sym) AS n_bpe FROM tokd JOIN tl USING (w) GROUP BY 1),
+       |d AS (SELECT ds.doc_id, CAST(COALESCE(jj.n_bpe, 0) AS BIGINT) AS n_tokens
+       |      FROM (SELECT doc_id FROM documents) ds LEFT JOIN jj USING (doc_id)),
+       |""".stripMargin + pack.substring(idx)
+  }
+
   /** The curation_report oracle with its final SELECT wrapped as a
     * `rep` CTE, ready for derived views (gate_funnel,
     * source_reputation) to aggregate over — the gate definitions live
@@ -316,6 +375,14 @@ object SparkEntry {
       // oracle with its whitespace-count CTE swapped for the bpe_apply
       // chain's true token counts
       "epoch_plan_bpe" -> epochPlanBpeOracle(base),
+      // shard packing with tokenizer-exact (BPE) counts: the shard_pack
+      // oracle with its whitespace-count CTE swapped for the bpe_apply
+      // chain's true token counts
+      "shard_pack_bpe" -> shardPackBpeOracle(base),
+      // deterministic bottom-k quantile sketch: sample re-derived from
+      // the portable md5-prefix hash, estimates + exact rail on the
+      // percentile==quantile_cont round-6 contract
+      "quantile_sketch" -> quantileSketchOracle(base, 32),
       // the funnel and the per-source scorecard reuse the ENTIRE report
       // chain: the report's final SELECT becomes a `rep` CTE and each
       // derived view aggregates over it — one source of truth for the

@@ -41,16 +41,41 @@ object Curate {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // repartition: the gram-set construction is CPU-bound per row and the
-    // small single-file scan would otherwise run it in one task
-    val g = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    decontaminateFrom(docs, evalGrams(docs))
+  }
+
+  /** The per-doc hashed word-8-gram sets [[decontaminate]] is built
+    * from. repartition: the gram-set construction is CPU-bound per row
+    * and a small single-file scan would otherwise run it in one task.
+    */
+  private def gramSets(docs: DataFrame): DataFrame =
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         call_function("ngram_hash_set", split(col("text"), " "), lit(ContamN))
           .as("grams"))
-    val ev = g.filter(col("doc_id") % EvalMod === 0)
+
+  /** The FROZEN eval-suite gram set behind [[decontaminate]]: the
+    * distinct hashed 8-grams of the held-out docs (doc_id % 97 == 0) —
+    * fixed-size regardless of corpus scale, the persistable artifact an
+    * incremental batch is gated against (see `Relevance.rarityModel`
+    * for the frozen-model contract). Requires
+    * `GraftFunctions.register` on the session.
+    */
+  def evalGrams(docs: DataFrame): DataFrame =
+    gramSets(docs).filter(col("doc_id") % EvalMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
-    val tr = g.filter(col("doc_id") % EvalMod =!= 0)
+
+  /** [[decontaminate]] over an arbitrary `(doc_id, text)` frame against
+    * a FROZEN eval gram set. Candidacy keeps the id-split convention:
+    * docs with doc_id % 97 == 0 are benchmark material, not corpus
+    * candidates, and stay OUT of the output — for an incremental batch
+    * that means new eval-slice docs are excluded from decisions (their
+    * grams join the eval set at the next full rebuild).
+    */
+  def decontaminateFrom(docs: DataFrame, ev: DataFrame): DataFrame = {
+    val tr = gramSets(docs).filter(col("doc_id") % EvalMod =!= 0)
     // grams within a doc are distinct and ev is distinct, so the join
     // row count per doc IS the intersection size
     val shared = tr.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -268,6 +293,26 @@ object Curate {
   def shardPack(spark: SparkSession, dir: String): DataFrame =
     shardPackDocs(Tables.documents(spark, dir))
 
+  /** TOKENIZER-EXACT shard packing: [[shardPack]]'s prefix-sum shard
+    * assignment with `TextOps.bpeApply`'s true per-doc token counts in
+    * place of the whitespace proxy — the 20k-token shard budget then
+    * bills exactly what the training loader will (the same swap
+    * [[epochPlanBpe]] makes for the epoch budget; together they pin the
+    * tokenizer-exact packing path end-to-end).
+    *
+    * Scale shape: `bpeApply` is a vocab-broadcast join (corpus text
+    * never shuffles) and its count frame is a total doc spine, so the
+    * packing input is the same (doc_id, n_tokens) shape as
+    * [[shardPack]]'s — the recursive distributed prefix sum is
+    * count-agnostic and unchanged.
+    */
+  def shardPackBpe(spark: SparkSession, dir: String,
+      merges: Int = 10): DataFrame =
+    shardPackDocs(
+      graft.text.TextOps.bpeApply(spark, dir, merges)
+        .select(col("doc_id"), col("n_bpe_tokens")),
+      nTokens = col("n_bpe_tokens"))
+
   /** Exclusive prefix sum of `vtot` over `key` order for a `(key, vtot)`
     * frame → `(key, off)`. Recursive two-level scheme (see `shardPack`);
     * each level adds one window shuffle + one partial-agg + one join.
@@ -428,8 +473,16 @@ object Curate {
     * the per-(doc, gram) count shuffles narrow rows with map-side
     * partial aggregation; everything after is per-doc arithmetic.
     */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsDocs(Tables.documents(spark, dir))
+
+  /** [[repetitionStats]] over an arbitrary `(doc_id, text)` frame —
+    * per-doc and stateless, so batch scoring (the decision store's
+    * incremental append) reuses it verbatim. Sub-2-token docs stay
+    * absent (consumers left-join and coalesce flagged to 0).
+    */
+  def repetitionStatsDocs(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 2)
     val g = d.select(col("doc_id"),

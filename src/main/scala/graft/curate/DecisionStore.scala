@@ -57,6 +57,136 @@ object DecisionStore {
       .join(g.score, "doc_id")
     Sinks.writeBucketed(wide, tableName(basePath), "doc_id",
       Buckets, Some(s"$basePath/decisions"))
+    // FROZEN gate models, persisted next to the decisions so an
+    // incremental batch (appendDecisions) can be scored without
+    // re-scanning the corpus that defined the scales: the vocab-sized
+    // rarity idf table, the Zipf-bounded bigram LM tables, the
+    // eval-suite gram set, and the full-corpus minhash band index (the
+    // quality and repetition gates are per-doc and stateless). Model
+    // size is vocabulary/eval-suite-shaped, NOT corpus-shaped — at
+    // 100 TB these are the same few-GB artifacts a CCNet-style pipeline
+    // ships with its trained filters.
+    val docs = Tables.documents(spark, dir)
+    graft.text.Relevance.rarityModel(docs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$basePath/models/rarity_idf")
+    val (lmPairs, lmCtx) = graft.text.Relevance.lmModel(docs)
+    lmPairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$basePath/models/lm_pairs")
+    lmCtx.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$basePath/models/lm_ctx")
+    Curate.evalGrams(docs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$basePath/models/decon_grams")
+    graft.dedup.MinhashIndexStore.build(
+      docs.select("doc_id", "text"), s"$basePath/mh")
+  }
+
+  /** Score a NEW document batch `(doc_id, text, source)` against the
+    * FROZEN gate models and append its decision rows to the persisted
+    * table — the crawl-increment move: N-1 crawls' gates are never
+    * recomputed, only the batch is scanned (against vocabulary-sized
+    * frozen models), the `appendIvfPq` contract one level up the stack.
+    *
+    * Gate semantics for the batch, and where they diverge from a full
+    * rebuild (the divergences are the frozen-model trade, reconciled by
+    * the next fingerprint-triggered rebuild — the same contract as the
+    * vector store's frozen quantizers):
+    *  - quality / repetition: per-doc, identical to a rebuild.
+    *  - rarity / LM: scored against the build-time idf / bigram tables;
+    *    tokens and bigrams the frozen models don't know drop from the
+    *    means. A rebuild would re-estimate the scales over the union.
+    *  - decontamination: gated against the build-time eval gram set;
+    *    batch docs on the eval split (doc_id % 97 == 0) are benchmark
+    *    material, excluded from decisions entirely.
+    *  - dedup: a batch doc survives iff it near-dups NOTHING in the
+    *    indexed corpus (`MinhashIndexStore.dedupIncrementalAgainstIndex`
+    *    over the store's own full-corpus band index, which each append
+    *    EXTENDS with its batch — so later increments see earlier ones)
+    *    AND it is its within-batch cluster's min-id survivor. Existing
+    *    verdicts are IMMUTABLE: a batch doc that bridges two old
+    *    clusters does not merge them (deferred to rebuild), and
+    *    survivorship across increments is FIRST-INDEXED-WINS (the
+    *    reference's storage.rs convention; equals min-id when crawls
+    *    arrive id-ordered).
+    *
+    * Append is IDEMPOTENT by doc_id: batch ids already present in the
+    * physical table are skipped (one narrow anti-join, pinned before
+    * the write), so replays repair rather than duplicate, and for
+    * id-ordered increments batch-splitting is invariant — appending a
+    * crawl in K ordered chunks yields the same table as one chunk
+    * (spec-pinned).
+    *
+    * @return the post-append decision table
+    */
+  def appendDecisions(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    import graft.core.Materialize.MatOps
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureDecisions(spark, dir)
+    Sinks.restoreBucketed(spark, tableName(base),
+      s"$base/decisions", "doc_id", Buckets)
+    val existing = spark.table(tableName(base))
+    val newDocs = batch.select("doc_id", "text", "source")
+      .join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true)
+    val q = graft.text.TextOps.qualityScoreDocs(newDocs)
+      .select(col("doc_id"), col("keep").as("q_keep"), col("score"))
+    val rep = Curate.repetitionStatsDocs(newDocs)
+      .select(col("doc_id"), col("flagged").as("rep_flagged"))
+    val rare = graft.text.Relevance.rarityScoreFrom(newDocs,
+        spark.read.parquet(s"$base/models/rarity_idf"))
+      .select(col("doc_id"), col("flagged").as("rare_flagged"))
+    val lm = graft.text.Relevance.lmScoreFrom(newDocs,
+        spark.read.parquet(s"$base/models/lm_pairs"),
+        spark.read.parquet(s"$base/models/lm_ctx"))
+      .select(col("doc_id"), col("flagged").as("lm_flagged"))
+    val dc = Curate.decontaminateFrom(newDocs,
+        spark.read.parquet(s"$base/models/decon_grams"))
+      .select(col("doc_id"), col("contaminated"))
+    val inc = graft.dedup.MinhashIndexStore
+      .dedupIncrementalAgainstIndex(newDocs, s"$base/mh")
+      .select(col("doc_id"), col("is_dup"))
+    // within-batch near-dup survivor: min-id per batch cluster (the
+    // dedup_cluster convention restricted to the batch)
+    val sets = newDocs.select(col("doc_id"),
+      expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("s"))
+    val labels = graft.dedup.Components.minLabels(
+      graft.dedup.Dedup.minhashVerifiedPairs(sets)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val surv = newDocs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("batch_keep"))
+    val dd = inc.join(surv, "doc_id")
+      .select(col("doc_id"),
+        ((col("is_dup") === 0) && (col("batch_keep") === 1))
+          .cast("int").as("dedup_keep"))
+    // assemble the report row exactly as Pipeline.curationReportFrom
+    // does (dc inner-join base = candidates only; rep left + coalesce)
+    val wide = dc.join(q, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .join(rare, "doc_id").join(lm, "doc_id").join(dd, "doc_id")
+      .withColumn("rep_flagged", coalesce(col("rep_flagged"), lit(0)))
+      .withColumn("keep",
+        (col("q_keep") === 1 && col("rep_flagged") === 0 &&
+          col("rare_flagged") === 0 && col("lm_flagged") === 0 &&
+          col("dedup_keep") === 1 && col("contaminated") === 0).cast("int"))
+      .join(newDocs.select("doc_id", "source"), "doc_id")
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+      .materializeOnce(eager = true) // pin before mutating what it read
+    Sinks.appendBucketed(wide, tableName(base), "doc_id", Buckets)
+    // extend the band index with the batch AFTER its verdicts are
+    // pinned and its rows landed, so the next increment sees this one
+    // as indexed corpus. Passed the FULL batch, not the guarded
+    // newDocs: appendToIndex carries its own id guard, so a replay
+    // whose decision rows already landed (newDocs empty) still repairs
+    // a crashed index half instead of leaving it missing forever.
+    graft.dedup.MinhashIndexStore.appendToIndex(
+      batch.select("doc_id", "text"), s"$base/mh")
+    spark.table(tableName(base))
   }
 
   /** Ensure the decision table exists and is fresh; returns its base

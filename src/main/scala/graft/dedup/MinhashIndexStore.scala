@@ -170,6 +170,37 @@ object MinhashIndexStore {
     * `dedup_incremental` — the loaded-index path must be value-identical
     * to the per-call path.
     */
+  /** Append a new `(doc_id, text)` batch to a PERSISTED band index
+    * without re-banding the corpus — the between-crawls maintenance
+    * move (`VectorIndexStore.appendIvfPq`'s dedup twin): the batch's
+    * signatures and band buckets append into the bucketed tables, so a
+    * later `dedupIncrementalAgainstIndex` sees earlier batches as
+    * indexed corpus. Banding is per-doc (no frozen model can drift),
+    * so an appended index equals one rebuilt over the union.
+    *
+    * Append is IDEMPOTENT by doc_id: each table takes only ids it
+    * doesn't already hold (narrow anti-join, pinned before the write),
+    * so replays repair a partial failure instead of duplicating rows.
+    */
+  def appendToIndex(newDocs: DataFrame, basePath: String): Unit = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
+      s"$basePath/sets", "doc_id", Buckets)
+    Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
+      s"$basePath/banded", "bucket", Buckets)
+    val sets = signatures(newDocs)
+      .join(spark.table(tableName(basePath, "sets")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true) // pin both before the first write
+    val bands = banded(sets)
+      .join(spark.table(tableName(basePath, "banded"))
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true)
+    Sinks.appendBucketed(sets, tableName(basePath, "sets"), "doc_id", Buckets)
+    Sinks.appendBucketed(bands, tableName(basePath, "banded"), "bucket", Buckets)
+  }
+
   /** Ensure the corpus band index exists and is fresh at the
     * deterministic scratch location (the `dedup_incremental` split:
     * `doc_id % 5 != 0` plays the indexed corpus); returns its base

@@ -157,16 +157,43 @@ object Relevance {
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
+    rarityScoreFrom(docs, rarityModel(docs))
+  }
+
+  /** The FROZEN corpus model behind [[rarityScore]]: the vocab-sized
+    * `(token, idf_ppm)` table. Persisting this next to a decision table
+    * is what lets an incremental batch be scored without re-scanning
+    * the corpus that defined the rarity scale (the decision store's
+    * frozen-model append contract — the dedup/vector stores' frozen
+    * quantizers, one gate up).
+    */
+  def rarityModel(docs: DataFrame): DataFrame = {
+    val df = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(totals))
+      .select(col("token"),
+        expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm"))
+  }
+
+  /** [[rarityScore]] over an arbitrary `(doc_id, text)` frame against a
+    * FROZEN `(token, idf_ppm)` model. Tokens outside the model's
+    * vocabulary are excluded from the mean (the frozen scale cannot
+    * rate them); a doc with NO known tokens surfaces with n_tokens = 0,
+    * NULL rarity and flagged = 0 — cannot-assess means keep, the
+    * `lmScore` convention. With the model derived from the same docs
+    * (the [[rarityScore]] path) every token is known and the spine
+    * changes nothing, so the per-dir output is value-identical.
+    */
+  def rarityScoreFrom(docs: DataFrame, idf: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val totals = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = df.crossJoin(broadcast(totals))
-      .select(col("token"),
-        expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm"))
-    tf.join(idf, "token")
+    val scored = tf.join(idf, "token")
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_tokens"),
@@ -174,6 +201,12 @@ object Relevance {
       .select(col("doc_id"), col("n_tokens"),
         expr("CAST(rarity_mass DIV n_tokens AS BIGINT)").as("rarity_ppm"),
         expr(s"CAST(rarity_mass DIV n_tokens >= $RarityFlagPpm AS INT)").as("flagged"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("rarity_ppm"),
+        coalesce(col("flagged"), lit(0)).as("flagged"))
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
   }
 
@@ -204,7 +237,14 @@ object Relevance {
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val big = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val (pairCounts, ctxCounts) = lmModel(docs)
+    lmScoreFrom(docs, pairCounts, ctxCounts)
+  }
+
+  /** The per-doc bigram stream [[lmScore]] and [[lmModel]] share. */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -212,9 +252,27 @@ object Relevance {
           |  i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val pairCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val ctxCounts = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val scored = big
+
+  /** The FROZEN corpus model behind [[lmScore]]: the Zipf-bounded
+    * bigram-count `(w1, w2, c12)` and context-count `(w1, c1)` tables —
+    * the persistable artifacts an incremental batch is scored against
+    * (see [[rarityModel]] for the frozen-model contract).
+    */
+  def lmModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val big = bigrams(docs)
+    (big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      big.groupBy("w1").agg(count(lit(1)).as("c1")))
+  }
+
+  /** [[lmScore]] over an arbitrary `(doc_id, text)` frame against a
+    * FROZEN bigram model. Bigrams outside the model drop from the mean
+    * (inner join — the frozen LM cannot rate them); with the model
+    * derived from the same docs every bigram is known, so the per-dir
+    * output is value-identical.
+    */
+  def lmScoreFrom(docs: DataFrame, pairCounts: DataFrame,
+      ctxCounts: DataFrame): DataFrame = {
+    val scored = bigrams(docs)
       .join(pairCounts, Seq("w1", "w2"))
       .join(ctxCounts, Seq("w1"))
       .withColumn("cond_ppm", expr("CAST((1000000 * c12) DIV c1 AS BIGINT)"))
@@ -223,11 +281,11 @@ object Relevance {
       .select(col("doc_id"), col("n_bigrams"),
         expr("CAST(mass DIV n_bigrams AS BIGINT)").as("lm_ppm"),
         expr(s"CAST(mass DIV n_bigrams < $LmFlagPpm AS INT)").as("flagged"))
-    // TOTAL over the corpus: documents with fewer than 2 tokens have no
-    // bigrams to judge — they surface with a NULL score and flagged = 0
-    // (cannot-assess means keep), so pipeline gates that inner-join on
-    // doc_id never silently drop them
-    Tables.documents(spark, dir).select("doc_id")
+    // TOTAL over the input: documents with fewer than 2 tokens (or none
+    // the frozen model knows) have no bigrams to judge — they surface
+    // with a NULL score and flagged = 0 (cannot-assess means keep), so
+    // pipeline gates that inner-join on doc_id never silently drop them
+    docs.select("doc_id")
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -167,9 +167,16 @@ object TextOps {
     * stopword-ratio band, type-token ratio, alphabetic-token ratio —
     * the keep/drop gate of a corpus-curation pass. One projection.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreDocs(Tables.documents(spark, dir))
+
+  /** [[qualityScore]] over an arbitrary `(doc_id, text)` frame — the
+    * gate is per-doc and stateless, so batch scoring (the decision
+    * store's incremental append) reuses it verbatim.
+    */
+  def qualityScoreDocs(docs: DataFrame): DataFrame = {
     val stopArrSql = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
@@ -469,4 +476,98 @@ object TextOps {
           expr(s"CAST(FLOOR((${k - 1}) * CAST(4294967296 AS DOUBLE) / kth_hash) AS BIGINT)"),
           col("n_kept")))
       .select("lang", "kth_hash", "est_distinct")
+
+  /** Per-doc quality scores keyed by the portable md5-prefix 32-bit
+    * doc-id hash — the quantile sketch's sample universe. The hash is
+    * a uniform, engine-reproducible sampling key over DOCS (doc_id is
+    * unique), so the bottom-k of it is a deterministic uniform sample.
+    */
+  def scoreHashes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    qualityScoreDocs(docs).select(col("doc_id"), col("score"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        col("score"))
+  }
+
+  /** Deterministic bottom-k SAMPLE state per language for the quantile
+    * sketch: the k docs with the smallest md5-prefix id hashes (ties —
+    * 32-bit collisions — broken by doc_id, so the state is a pure
+    * function of the doc SET, independent of partitioning and merge
+    * order; that order-independence is what a KLL compactor's coin
+    * flips cost, and why this passes a cross-engine hash gate).
+    * Same two-level exact top-k as [[bottomK]]: level 1 ranks within
+    * (lang, h % 256) so no window partition ever holds a language's
+    * whole corpus, level 2 ranks the ≤ 256·k survivors.
+    */
+  def quantileBottomK(scored: DataFrame, k: Int): DataFrame = {
+    val lvl1 = Window.partitionBy(col("lang"), pmod(col("h"), lit(256)))
+      .orderBy(col("h"), col("doc_id"))
+    val lvl2 = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    scored
+      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
+      .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= k)
+      .select("lang", "doc_id", "h", "score")
+  }
+
+  /** MERGE two quantile-sketch states: the union's bottom-k IS the
+    * merged state (exact by construction — the KMV merge law, applied
+    * to the sample keys). Sketch per shard/crawl/micro-batch, merge
+    * cheaply: state frames are langs·k rows.
+    */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    quantileBottomK(a.unionByName(b).distinct(), k)
+
+  /** Quantile estimates off a sketch STATE alone (no corpus access):
+    * p10/p50/p90 of the sampled scores per language, on the
+    * `percentile == quantile_cont` cross-engine contract with the
+    * round-6 edge (`percentile_stats` pinned it).
+    */
+  def quantileSketchEstimate(state: DataFrame): DataFrame =
+    state.groupBy("lang")
+      .agg(count(lit(1)).as("n_sample"),
+        expr("percentile(score, array(0.1D, 0.5D, 0.9D))").as("ps"))
+      .select(col("lang"), col("n_sample"),
+        round(element_at(col("ps"), 1), 6).as("p10_est"),
+        round(element_at(col("ps"), 2), 6).as("p50_est"),
+        round(element_at(col("ps"), 3), 6).as("p90_est"))
+
+  /** MERGEABLE QUANTILE SKETCH per language — the percentile fallback
+    * for a corpus too large for an exact per-group `percentile` pass
+    * (exact percentile state is the group's whole value multiset;
+    * past ~1e8 distinct rows per group the agg buffer is the
+    * bottleneck). A deterministic bottom-k hash sample plays the role
+    * a KLL sketch plays in a randomized pipeline, with one crucial
+    * swap: item survival is decided by the portable md5-prefix hash of
+    * the doc id instead of compactor coin flips, so the state — and
+    * therefore the estimate — is a pure function of the input set,
+    * identical on any engine and any partitioning. That determinism is
+    * what lets an approximate sketch sit under the exact DuckDB hash
+    * gate (the `distinct_sketch` move, applied to quantiles); merge is
+    * union-bottom-k (exact), so shard/crawl/micro-batch states fold
+    * associatively. Sample error is the bottom-k sampling bound
+    * (k = 256 → quantile rank error ~±3% at 95%); the `*_exact` /
+    * `err` columns are the validation rail a production caller drops.
+    */
+  def quantileSketch(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"quantileSketch needs k >= 2, got $k")
+    val scored = scoreHashes(spark, dir)
+      .materializeOnce() // one scored pass feeds the sketch AND the rail
+    val est = quantileSketchEstimate(quantileBottomK(scored, k))
+    val exact = scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(score, array(0.1D, 0.5D, 0.9D))").as("ps"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("ps"), 1), 6).as("p10_exact"),
+        round(element_at(col("ps"), 2), 6).as("p50_exact"),
+        round(element_at(col("ps"), 3), 6).as("p90_exact"))
+    exact.join(est, "lang")
+      .select(col("lang"), col("n_docs"), col("n_sample"),
+        col("p10_est"), col("p50_est"), col("p90_est"),
+        col("p10_exact"), col("p50_exact"), col("p90_exact"))
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
 }

@@ -121,6 +121,31 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("shard_pack_bpe packs by the bpe_apply token counts, prefix-sum-exact") {
+    // the packing must bill exactly the counts bpe_apply reports —
+    // driver-recompute the prefix sum from that frame
+    val counts = graft.text.TextOps.bpeApply(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens"))
+      .toMap
+    val rows = Curate.shardPackBpe(spark, sf).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.length == counts.size, "packing input must be the total doc spine")
+    var running = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") == counts(id))
+      assert(r.getAs[Long]("start") == running)
+      assert(r.getAs[Long]("shard_id") == running / 20000L)
+      running += counts(id)
+    }
+    // BPE counts differ from the whitespace proxy somewhere, so the
+    // entry is not accidentally the same table as shard_pack
+    val ws = Curate.shardPack(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.exists(r =>
+      ws(r.getAs[Long]("doc_id")) != r.getAs[Long]("n_tokens")))
+  }
+
   test("repetition_stats matches a local 2-gram recount on a doc sample") {
     val texts = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -211,4 +211,42 @@ class TextOpsSpec extends SparkSpec {
         s"${r.getAs[String]("lang")} sketch error ${r.getAs[Long]("err_ppm")} ppm")
     }
   }
+
+  test("quantile_sketch: deterministic bottom-k sample, real truncation, exact merge law") {
+    import org.apache.spark.sql.functions._
+    val k = 32
+    val scored = TextOps.scoreHashes(spark, sf)
+    val full = scored.collect().map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("h"), r.getAs[Int]("score")))
+    val byLang = full.groupBy(_._1)
+    val out = TextOps.quantileSketch(spark, sf, k).collect()
+    assert(out.length == byLang.size)
+    out.foreach { r =>
+      val n = byLang(r.getAs[String]("lang")).length.toLong
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_sample") == math.min(k.toLong, n))
+      // estimates live inside the exact score range (sanity on the rail)
+      assert(r.getAs[Double]("p10_est") <= r.getAs[Double]("p90_est"))
+    }
+    assert(out.exists(r => r.getAs[Long]("n_sample") < r.getAs[Long]("n_docs")),
+      "no truncation — k too large for the test corpus to exercise sampling")
+    // the state is exactly the k smallest (h, doc_id) per lang — a pure
+    // function of the doc set (driver recompute)
+    val state = TextOps.quantileBottomK(scored, k).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    val expected = byLang.toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(t => (t._3, t._2)).take(k).map(t => (lang, t._2)).toSeq
+    }.toSet
+    assert(state == expected)
+    // merge law: id-sliced sub-sketches fold to the full state
+    // bit-for-bit, in any association (union's bottom-k IS the merge)
+    val parts = (0 until 3).map(i =>
+      TextOps.quantileBottomK(scored.filter(col("doc_id") % 3 === i), k))
+    val merged = parts.reduce((a, b) => TextOps.quantileSketchMerge(a, b, k))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(merged) == rows(TextOps.quantileBottomK(scored, k)))
+    assert(rows(TextOps.quantileSketchEstimate(merged)) ==
+      rows(TextOps.quantileSketchEstimate(TextOps.quantileBottomK(scored, k))))
+  }
 }
