@@ -215,6 +215,40 @@ object Streams {
       }
       .start()
 
+  /** Streaming QUANTILE-sketch gauge — `distinctSketchGauge`'s twin
+    * for the deterministic bottom-k quantile sample: each micro-batch
+    * of newly-crawled docs contributes its scored sample state
+    * (`TextOps.quantileBottomK` over the batch's quality scores), which
+    * merges into the persisted state by the same union-bottom-k law, so
+    * per-language score percentiles (`TextOps.quantileSketchEstimate`)
+    * stay current without re-scoring the corpus. State is langs·k rows
+    * at any corpus size; replays are idempotent (set union); the swap
+    * goes through `Sinks.swapRewrite` so readers never see a
+    * half-written state.
+    */
+  def quantileSketchGauge(newDocs: DataFrame, statePath: String,
+      k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchState = graft.text.TextOps.quantileBottomK(
+            graft.text.TextOps.scoreHashesDocs(batch.toDF()), k)
+          if (graft.core.IndexScratch.pathExists(spark, statePath)) {
+            val merged = graft.text.TextOps.quantileSketchMerge(
+              spark.read.parquet(statePath), batchState, k)
+            graft.sinks.Sinks.swapRewrite(spark, merged, statePath)
+          } else {
+            batchState.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(statePath)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** One open session per user held in the state store by
     * `eventSessionsCustom`: bounds in epoch-nanos (full source
     * precision), the running count, and the value sum in exact cents.

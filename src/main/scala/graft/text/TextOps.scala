@@ -482,15 +482,19 @@ object TextOps {
     * a uniform, engine-reproducible sampling key over DOCS (doc_id is
     * unique), so the bottom-k of it is a deterministic uniform sample.
     */
-  def scoreHashes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def scoreHashes(spark: SparkSession, dir: String): DataFrame =
+    scoreHashesDocs(Tables.documents(spark, dir))
+
+  /** [[scoreHashes]] over an arbitrary `(doc_id, text, lang)` frame —
+    * the streaming gauge scores micro-batches through the same path.
+    */
+  def scoreHashesDocs(docs: DataFrame): DataFrame =
     qualityScoreDocs(docs).select(col("doc_id"), col("score"))
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("doc_id"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long").as("h"),
         col("score"))
-  }
 
   /** Deterministic bottom-k SAMPLE state per language for the quantile
     * sketch: the k docs with the smallest md5-prefix id hashes (ties —

@@ -260,6 +260,41 @@ class StreamsSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("quantileSketchGauge merges micro-batch samples to the batch sketch exactly") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang")
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val statePath = java.nio.file.Files.createTempDirectory("qsketchstate")
+      .resolve("state").toString
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val query = Streams.quantileSketchGauge(
+      stream.toDS().toDF("doc_id", "text", "lang"), statePath, k = 32)
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      // replayed batch: merging the same sample rows again is a set no-op
+      stream.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val batchState = graft.text.TextOps.quantileBottomK(
+      graft.text.TextOps.scoreHashesDocs(docs), 32)
+    assert(canon(spark.read.parquet(statePath)
+      .select("lang", "doc_id", "h", "score")) == canon(batchState))
+    // and the percentile estimates off the streamed state equal the
+    // batch sketch's
+    assert(canon(graft.text.TextOps.quantileSketchEstimate(
+        spark.read.parquet(statePath))) ==
+      canon(graft.text.TextOps.quantileSketchEstimate(batchState)))
+  }
+
   test("streaming sessionize agrees with the batch sessionize session count") {
     val batchSessions = graft.analytics.Analytics.sessionize(spark, sf).count()
     val streamed = spark.table("sessions_sink")
