@@ -186,7 +186,9 @@ object DecisionStore {
     // a crashed index half instead of leaving it missing forever.
     graft.dedup.MinhashIndexStore.appendToIndex(
       batch.select("doc_id", "text"), s"$base/mh")
-    spark.table(tableName(base))
+    // return the LIVE view (not the raw catalog table): a tombstoned id
+    // whose physical row survives must stay invisible to readers
+    decisionTable(spark, dir)
   }
 
   /** Ensure the decision table exists and is fresh; returns its base
@@ -199,15 +201,91 @@ object DecisionStore {
     base
   }
 
+  private def tombstonesPath(basePath: String): String =
+    s"$basePath/tombstones"
+
+  private def tombstones(spark: SparkSession,
+      basePath: String): Option[DataFrame] =
+    if (graft.core.IndexScratch.pathExists(spark, tombstonesPath(basePath)))
+      Some(spark.read.parquet(tombstonesPath(basePath)))
+    else None
+
   /** The persisted decision table for a corpus, built if missing or
     * stale (corpus-fingerprint marker). Wide schema: the report's
-    * columns + `source` + `score`.
+    * columns + `source` + `score`. Tombstoned rows (see
+    * [[deleteDecisions]]) are filtered here, so every reader —
+    * the report, the funnel, the scorecard — tracks the live corpus.
     */
   def decisionTable(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureDecisions(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base),
       s"$base/decisions", "doc_id", Buckets)
-    spark.table(tableName(base))
+    val t = spark.table(tableName(base))
+    tombstones(spark, base)
+      .map(tomb => t.join(
+        org.apache.spark.sql.functions.broadcast(tomb.select("doc_id")),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(t)
+  }
+
+  /** Remove docs from the decision table by TOMBSTONE — the
+    * crawl-to-crawl removal move ([[appendDecisions]]'s inverse; the
+    * reference's diff classifies vanished articles as `deleted`):
+    * writes only the merged id set (O(deleted), never O(table)), every
+    * reader filters it away, and the store's band index tombstones the
+    * same ids (`MinhashIndexStore.deleteFromIndex`) so a deleted doc
+    * stops acting as a duplicate SOURCE for future increments. Note
+    * what deliberately does NOT change: surviving rows keep their
+    * verdicts — a doc whose only near-dup was deleted stays
+    * `dedup_keep = 0` until the next fingerprint-triggered rebuild
+    * (frozen-verdict contract, same trade as append's bridge caveat).
+    *
+    * Idempotent (id-set union); unknown ids are no-ops. A deleted id
+    * stays deleted even if re-appended ([[appendDecisions]]'s guard
+    * keys on physical rows); compact first to resurrect.
+    *
+    * @return the post-delete (live) decision table
+    */
+  def deleteDecisions(delIds: DataFrame, dir: String): DataFrame = {
+    import graft.core.Materialize.MatOps
+    val spark = delIds.sparkSession
+    val base = ensureDecisions(spark, dir)
+    val del = delIds.select("doc_id").distinct()
+    val merged = tombstones(spark, base)
+      .map(_.select("doc_id").unionByName(del).distinct())
+      .getOrElse(del)
+      .materializeOnce(eager = true) // pin before overwriting what it read
+    merged.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tombstonesPath(base))
+    graft.dedup.MinhashIndexStore.deleteFromIndex(del, s"$base/mh")
+    decisionTable(spark, dir)
+  }
+
+  /** Fold tombstones into the physical decisions table and the band
+    * index (one bucketed overwrite — the separate maintenance pass),
+    * then drop the set; afterwards deleted ids can re-append.
+    */
+  def compactDecisions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Materialize.MatOps
+    val base = ensureDecisions(spark, dir)
+    tombstones(spark, base).foreach { tomb =>
+      val t = tomb.materializeOnce(eager = true)
+      Sinks.restoreBucketed(spark, tableName(base),
+        s"$base/decisions", "doc_id", Buckets)
+      val liveRows = spark.table(tableName(base))
+        .join(org.apache.spark.sql.functions.broadcast(t.select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .materializeOnce(eager = true) // pin before the overwrite
+      Sinks.writeBucketed(liveRows, tableName(base), "doc_id",
+        Buckets, Some(s"$base/decisions"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tombstonesPath(base)),
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(base)), true)
+    }
+    graft.dedup.MinhashIndexStore.compactIndex(spark, s"$base/mh")
+    decisionTable(spark, dir)
   }
 
   /** `Pipeline.curationReport` served from the persisted decision

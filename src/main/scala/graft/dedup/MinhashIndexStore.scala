@@ -105,8 +105,10 @@ object MinhashIndexStore {
       s"$basePath/sets", "doc_id", Buckets)
     Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
       s"$basePath/banded", "bucket", Buckets)
-    val oldSets = spark.table(tableName(basePath, "sets"))
-    val oldBanded = spark.table(tableName(basePath, "banded"))
+    // tombstoned docs are not dup sources: gate against the LIVE view
+    val tomb = tombstones(spark, basePath)
+    val oldSets = live(spark.table(tableName(basePath, "sets")), tomb)
+    val oldBanded = live(spark.table(tableName(basePath, "banded")), tomb)
 
     val newSets = signatures(newDocs).materializeOnce()
     val nNew = newSets.count()
@@ -199,6 +201,105 @@ object MinhashIndexStore {
       .materializeOnce(eager = true)
     Sinks.appendBucketed(sets, tableName(basePath, "sets"), "doc_id", Buckets)
     Sinks.appendBucketed(bands, tableName(basePath, "banded"), "bucket", Buckets)
+  }
+
+  // --- tombstone deletes (the vector store's protocol, dedup side) ----
+
+  private def tombstonesPath(basePath: String): String =
+    s"$basePath/tombstones"
+
+  /** The tombstoned doc_ids, if any delete ever ran on this index. */
+  private def tombstones(spark: SparkSession,
+      basePath: String): Option[DataFrame] =
+    if (graft.core.IndexScratch.pathExists(spark, tombstonesPath(basePath)))
+      Some(spark.read.parquet(tombstonesPath(basePath)))
+    else None
+
+  /** Hide tombstoned rows from an index frame. The tombstone set is
+    * delete-batch-sized, so the anti-join broadcasts and the streamed
+    * (bucketed) side keeps its exchange-free partitioning.
+    */
+  private def live(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.map(t => df.join(broadcast(t.select("doc_id")),
+      Seq("doc_id"), "left_anti")).getOrElse(df)
+
+  /** Delete docs from a persisted dedup index by TOMBSTONE — the
+    * between-crawls removal move (`VectorIndexStore.deleteIvfPq`'s
+    * twin): writes only the merged doc_id set (O(deleted so far),
+    * never O(index)), and every load anti-joins it away. Signature and
+    * band rows are PER-DOC (no cross-doc state in the band index), so
+    * delete-then-gate equals gating against an index rebuilt over the
+    * survivors exactly (spec-pinned). For the LABEL index the same
+    * tombstone hides members and the load derivation re-selects the
+    * survivor as the min LIVE id per cluster; cluster MEMBERSHIP stays
+    * frozen — removing a bridge doc does not split its cluster (that
+    * reconciliation is the next fingerprint-triggered rebuild's job,
+    * the `DecisionStore.appendDecisions` contract in reverse).
+    *
+    * Deletes are idempotent (id-set union) and unknown ids are no-ops.
+    * A deleted id stays deleted even if re-appended (`appendToIndex`
+    * keys on physical rows); compact first to resurrect.
+    */
+  def deleteFromIndex(delIds: DataFrame, basePath: String): Unit = {
+    val spark = delIds.sparkSession
+    val del = delIds.select("doc_id").distinct()
+    // pin before overwriting the path the merge just read
+    val merged = tombstones(spark, basePath)
+      .map(_.select("doc_id").unionByName(del).distinct())
+      .getOrElse(del)
+      .materializeOnce(eager = true)
+    merged.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tombstonesPath(basePath))
+  }
+
+  /** Fold tombstones into the BAND index's physical tables (one
+    * bucketed overwrite each — linear in the index, a separate
+    * maintenance pass like `VectorIndexStore.compactIvfPq`), then drop
+    * the tombstone set; afterwards deleted ids are physically absent
+    * and can re-append.
+    */
+  def compactIndex(spark: SparkSession, basePath: String): Unit = {
+    tombstones(spark, basePath).foreach { tomb =>
+      val t = tomb.materializeOnce(eager = true)
+      Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
+        s"$basePath/sets", "doc_id", Buckets)
+      Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
+        s"$basePath/banded", "bucket", Buckets)
+      // pin the survivors before overwriting the tables they read
+      val sets = live(spark.table(tableName(basePath, "sets")), Some(t))
+        .materializeOnce(eager = true)
+      val bands = live(spark.table(tableName(basePath, "banded")), Some(t))
+        .materializeOnce(eager = true)
+      Sinks.writeBucketed(sets, tableName(basePath, "sets"), "doc_id",
+        Buckets, Some(s"$basePath/sets"))
+      Sinks.writeBucketed(bands, tableName(basePath, "banded"), "bucket",
+        Buckets, Some(s"$basePath/banded"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tombstonesPath(basePath)),
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(basePath)), true)
+    }
+  }
+
+  /** [[compactIndex]]'s twin for the LABEL index: rewrite labels minus
+    * tombstoned members, drop the set. Survivor/size derivation happens
+    * at load, so query results are unchanged by compaction.
+    */
+  def compactLabels(spark: SparkSession, basePath: String): Unit = {
+    tombstones(spark, basePath).foreach { tomb =>
+      val t = tomb.materializeOnce(eager = true)
+      Sinks.restoreBucketed(spark, tableName(basePath, "labels"),
+        s"$basePath/labels", "cluster", Buckets)
+      val labels = live(spark.table(tableName(basePath, "labels")), Some(t))
+        .materializeOnce(eager = true)
+      Sinks.writeBucketed(labels, tableName(basePath, "labels"), "cluster",
+        Buckets, Some(s"$basePath/labels"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tombstonesPath(basePath)),
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(basePath)), true)
+    }
   }
 
   /** Ensure the corpus band index exists and is fresh at the
@@ -294,16 +395,27 @@ object MinhashIndexStore {
     base
   }
 
-  def dedupClusterIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureClusterLabels(spark, dir)
-    Sinks.restoreBucketed(spark, tableName(base, "labels"),
-      s"$base/labels", "cluster", Buckets)
-    val labels = spark.table(tableName(base, "labels"))
-    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+  def dedupClusterIndexed(spark: SparkSession, dir: String): DataFrame =
+    clusterFromLabels(spark, ensureClusterLabels(spark, dir))
+
+  /** The label-index LOAD + derivation, path-shaped: sizes count LIVE
+    * members and the survivor is the min LIVE id per cluster
+    * (tombstone-aware — see [[deleteFromIndex]]). With no tombstones
+    * the label IS the min member id, so surv == cluster and the output
+    * is bit-identical to the original doc_id == cluster derivation
+    * (the oracle-gated path never has tombstones).
+    */
+  def clusterFromLabels(spark: SparkSession, basePath: String): DataFrame = {
+    Sinks.restoreBucketed(spark, tableName(basePath, "labels"),
+      s"$basePath/labels", "cluster", Buckets)
+    val labels = live(spark.table(tableName(basePath, "labels")),
+      tombstones(spark, basePath))
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("surv"))
     labels
       .join(sizes, "cluster")
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
-        (col("doc_id") === col("cluster")).cast("int").as("keep"))
+        (col("doc_id") === col("surv")).cast("int").as("keep"))
   }
 
   /** Near-dup CLUSTER-size histogram + duplicate mass — the "dedup
@@ -321,7 +433,8 @@ object MinhashIndexStore {
     val base = ensureClusterLabels(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base, "labels"),
       s"$base/labels", "cluster", Buckets)
-    val hist = spark.table(tableName(base, "labels"))
+    val hist = live(spark.table(tableName(base, "labels")),
+        tombstones(spark, base))
       .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),

@@ -112,6 +112,42 @@ class DecisionStoreSpec extends SparkSpec {
     }
   }
 
+  test("deleteDecisions tombstones rows + dup sources, replay-safe; compact resurrects append") {
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-decdel").toString
+    all.filter(col("doc_id") % 5 =!= 0)
+      .write.parquet(s"$tmp/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val before = rows(DecisionStore.decisionTable(spark, tmp))
+    val delCond = col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0
+    val delIds = all.filter(delCond).select("doc_id")
+    val deletedSet = delIds.collect().map(_.getLong(0)).toSet
+    val after = DecisionStore.deleteDecisions(delIds, tmp)
+    // deleted ids gone; every other row unchanged
+    assert(!after.collect().map(_.getAs[Long]("doc_id"))
+      .exists(deletedSet.contains))
+    assert(rows(after) ==
+      before.filterNot(s => deletedSet.exists(id => s.startsWith(s"[$id,"))))
+    // the funnel tracks the LIVE corpus
+    val n0 = DecisionStore.gateFunnelIndexed(spark, tmp)
+      .filter(col("stage_idx") === 1).head().getAs[Long]("n_in")
+    assert(n0 == after.count())
+    // idempotent; unknown ids are no-ops
+    assert(rows(DecisionStore.deleteDecisions(delIds, tmp)) == rows(after))
+    // re-appending deleted docs is a no-op (physical rows remain)
+    assert(rows(DecisionStore.appendDecisions(spark, tmp,
+      all.filter(delCond))) == rows(after))
+    // compact, then append: the ids re-enter (scored under frozen models)
+    DecisionStore.compactDecisions(spark, tmp)
+    val resurrected = DecisionStore.appendDecisions(spark, tmp,
+      all.filter(delCond))
+    val backIds = resurrected.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(deletedSet.filter(_ % 97 != 0).subsetOf(backIds))
+  }
+
   test("frozen-model gate forms equal the per-dir gates on the same corpus") {
     // the decision build keeps using the dir-shaped gates; the append
     // path uses the From-forms with persisted models — pin that a

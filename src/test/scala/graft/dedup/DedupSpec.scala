@@ -106,6 +106,83 @@ class DedupSpec extends SparkSpec {
     assert(!smallPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("deleteFromIndex tombstones: gate == rebuilt-without, re-append resists, compact resurrects") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mh-del").toString + "/idx"
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    MinhashIndexStore.build(existing, base)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dups"),
+          if (r.isNullAt(r.fieldIndex("first_dup"))) -1L else r.getAs[Long]("first_dup"),
+          r.getAs[Int]("is_dup")))
+    }.toMap
+    // delete a third of the indexed corpus
+    val delCond = col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0
+    MinhashIndexStore.deleteFromIndex(docs.filter(delCond).select("doc_id"), base)
+    val viaDeleted = asMap(
+      MinhashIndexStore.dedupIncrementalAgainstIndex(batch, base).collect())
+    // band rows are per-doc, so delete-then-gate equals gating against
+    // the in-memory bipartite operator on the surviving corpus exactly
+    val survivors = existing.filter(col("doc_id") % 3 =!= 0)
+    val direct = asMap(Dedup.dedupIncrementalDocs(batch, survivors).collect())
+    assert(viaDeleted == direct)
+    // the delete changed something (some dup verdicts relied on deleted docs)
+    val before = asMap(Dedup.dedupIncrementalDocs(batch, existing).collect())
+    assert(viaDeleted != before, "delete slice removed no dup sources — widen it")
+    // idempotent
+    MinhashIndexStore.deleteFromIndex(docs.filter(delCond).select("doc_id"), base)
+    assert(asMap(MinhashIndexStore.dedupIncrementalAgainstIndex(batch, base)
+      .collect()) == viaDeleted)
+    // re-appending deleted docs is a no-op: physical rows still exist
+    MinhashIndexStore.appendToIndex(docs.filter(delCond), base)
+    assert(asMap(MinhashIndexStore.dedupIncrementalAgainstIndex(batch, base)
+      .collect()) == viaDeleted)
+    // compact: physical removal, gate unchanged; then re-append resurrects
+    MinhashIndexStore.compactIndex(spark, base)
+    assert(asMap(MinhashIndexStore.dedupIncrementalAgainstIndex(batch, base)
+      .collect()) == viaDeleted)
+    MinhashIndexStore.appendToIndex(docs.filter(delCond), base)
+    assert(asMap(MinhashIndexStore.dedupIncrementalAgainstIndex(batch, base)
+      .collect()) == before)
+  }
+
+  test("cluster-label tombstones re-select the min live survivor per cluster") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-lbl-del").toString + "/idx"
+    MinhashIndexStore.buildClusterLabels(spark, sf, base)
+    val full = MinhashIndexStore.clusterFromLabels(spark, base).collect()
+    // delete every current SURVIVOR of a multi-doc cluster — the
+    // hardest case: the next-smallest live member must take over
+    val delIds = full.filter(r => r.getAs[Int]("keep") == 1 &&
+      r.getAs[Long]("cluster_size") > 1).map(_.getAs[Long]("doc_id"))
+    assert(delIds.nonEmpty, "corpus has no multi-doc clusters")
+    val sqlc = spark.sqlContext
+    import sqlc.implicits._
+    MinhashIndexStore.deleteFromIndex(delIds.toSeq.toDF("doc_id"), base)
+    val after = MinhashIndexStore.clusterFromLabels(spark, base).collect()
+    val deleted = delIds.toSet
+    assert(after.forall(r => !deleted.contains(r.getAs[Long]("doc_id"))))
+    // driver recompute over live members: min id survives, sizes live
+    val liveByCluster = full
+      .filter(r => !deleted.contains(r.getAs[Long]("doc_id")))
+      .groupBy(_.getAs[Long]("cluster"))
+    after.foreach { r =>
+      val members = liveByCluster(r.getAs[Long]("cluster")).map(_.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("cluster_size") == members.length.toLong)
+      assert((r.getAs[Int]("keep") == 1) == (r.getAs[Long]("doc_id") == members.min))
+    }
+    // every surviving multi-doc cluster re-selected exactly one survivor
+    assert(after.groupBy(_.getAs[Long]("cluster"))
+      .forall { case (_, rs) => rs.count(_.getAs[Int]("keep") == 1) == 1 })
+    // compaction folds the tombstones in; derivation output unchanged
+    MinhashIndexStore.compactLabels(spark, base)
+    assert(MinhashIndexStore.clusterFromLabels(spark, base).collect()
+      .map(_.toString).sorted.sameElements(after.map(_.toString).sorted))
+  }
+
   test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
     val fp = Dedup.simhashFp(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
