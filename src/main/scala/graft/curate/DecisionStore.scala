@@ -127,6 +127,9 @@ object DecisionStore {
     val base = ensureDecisions(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base),
       s"$base/decisions", "doc_id", Buckets)
+    // fresh listing for the insert-only guard: a stale relation cache
+    // (appends from another session) would let a replay double-insert
+    spark.catalog.refreshTable(tableName(base))
     val existing = spark.table(tableName(base))
     val newDocs = batch.select("doc_id", "text", "source")
       .join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -220,6 +223,12 @@ object DecisionStore {
     val base = ensureDecisions(spark, dir)
     Sinks.restoreBucketed(spark, tableName(base),
       s"$base/decisions", "doc_id", Buckets)
+    // drop any cached file listing for the table: appends can arrive
+    // from ANOTHER session (the streaming gate's foreachBatch clone),
+    // and a stale relation cache would silently serve the pre-append
+    // file set. One directory re-list per read — the price a shared
+    // metastore pays anyway.
+    spark.catalog.refreshTable(tableName(base))
     val t = spark.table(tableName(base))
     tombstones(spark, base)
       .map(tomb => t.join(
@@ -286,6 +295,52 @@ object DecisionStore {
     }
     graft.dedup.MinhashIndexStore.compactIndex(spark, s"$base/mh")
     decisionTable(spark, dir)
+  }
+
+  /** One CRAWL-SYNC cycle for the decision table — the curation level
+    * of the reference's diff loop (sync_service.rs classifies upstream
+    * ids as new / changed / deleted and applies each class): given the
+    * FULL `(doc_id, text, source)` frame of the current crawl,
+    *  - ids present upstream but absent from the table are NEW → scored
+    *    against the frozen models and appended ([[appendDecisions]]);
+    *  - ids present in the table but absent upstream are DELETED →
+    *    tombstoned, and removed as dup sources ([[deleteDecisions]]).
+    * Changed-in-place docs are out of scope here by design: the store's
+    * corpus fingerprint already rebuilds on in-place regeneration, and
+    * id↔content immutability is the append contract (to change a doc,
+    * delete its id and crawl it under a new one).
+    *
+    * Deletes run FIRST so a same-cycle replacement (old id out, new id
+    * in) never has both visible; both halves are idempotent, so a
+    * replayed cycle is a no-op. Plan shape: two narrow id anti-joins
+    * (table side bucket-scanned) decide the classes; the batch-sized
+    * gate scans and O(deleted) tombstone writes do the rest — the
+    * upstream corpus text is scanned once, by the gates, for new docs
+    * only.
+    *
+    * @return (n_new appended candidates, n_deleted tombstoned rows)
+    */
+  def crawlSync(spark: SparkSession, dir: String,
+      upstream: DataFrame): (Long, Long) = {
+    import graft.core.Materialize.MatOps
+    import org.apache.spark.sql.functions.col
+    val table = decisionTable(spark, dir)
+    val upIds = upstream.select("doc_id").materializeOnce()
+    val deleted = table.select("doc_id")
+      .join(upIds, Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true) // pin before the table is mutated
+    val newIds = upIds
+      .join(table.select("doc_id"), Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true)
+    val nDeleted = deleted.count()
+    if (nDeleted > 0) deleteDecisions(deleted, dir)
+    val added = upstream.join(newIds, "doc_id")
+    val nNew =
+      if (newIds.count() > 0) {
+        val beforeN = decisionTable(spark, dir).count()
+        appendDecisions(spark, dir, added).count() - beforeN
+      } else 0L
+    (nNew, nDeleted)
   }
 
   /** `Pipeline.curationReport` served from the persisted decision

@@ -105,7 +105,10 @@ object MinhashIndexStore {
       s"$basePath/sets", "doc_id", Buckets)
     Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
       s"$basePath/banded", "bucket", Buckets)
+    // fresh listings (appends can arrive from another session), then
     // tombstoned docs are not dup sources: gate against the LIVE view
+    spark.catalog.refreshTable(tableName(basePath, "sets"))
+    spark.catalog.refreshTable(tableName(basePath, "banded"))
     val tomb = tombstones(spark, basePath)
     val oldSets = live(spark.table(tableName(basePath, "sets")), tomb)
     val oldBanded = live(spark.table(tableName(basePath, "banded")), tomb)
@@ -191,6 +194,10 @@ object MinhashIndexStore {
       s"$basePath/sets", "doc_id", Buckets)
     Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
       s"$basePath/banded", "bucket", Buckets)
+    // fresh listings for the insert-only guards: a stale relation cache
+    // (appends from another session) would let a replay double-insert
+    spark.catalog.refreshTable(tableName(basePath, "sets"))
+    spark.catalog.refreshTable(tableName(basePath, "banded"))
     val sets = signatures(newDocs)
       .join(spark.table(tableName(basePath, "sets")).select("doc_id"),
         Seq("doc_id"), "left_anti")
@@ -408,6 +415,7 @@ object MinhashIndexStore {
   def clusterFromLabels(spark: SparkSession, basePath: String): DataFrame = {
     Sinks.restoreBucketed(spark, tableName(basePath, "labels"),
       s"$basePath/labels", "cluster", Buckets)
+    spark.catalog.refreshTable(tableName(basePath, "labels"))
     val labels = live(spark.table(tableName(basePath, "labels")),
       tombstones(spark, basePath))
     val sizes = labels.groupBy("cluster")

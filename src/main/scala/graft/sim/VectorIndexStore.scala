@@ -196,6 +196,10 @@ object VectorIndexStore {
       part: String, keyCol: String): DataFrame = {
     Sinks.restoreBucketed(spark, tableName(basePath, part),
       s"$basePath/$part", keyCol, Buckets)
+    // fresh listing: appends can arrive from another session (the
+    // streaming gate's foreachBatch clone) and a stale relation cache
+    // would hide them from the dup guard and the query paths
+    spark.catalog.refreshTable(tableName(basePath, part))
     spark.table(tableName(basePath, part))
   }
 

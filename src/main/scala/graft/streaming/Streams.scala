@@ -215,6 +215,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming DECISION-TABLE maintenance — the curation level of the
+    * reference's sync loop (`VectorIndexAppend`'s decision twin): each
+    * micro-batch of newly-crawled `(doc_id, text, source)` docs is
+    * scored against the store's FROZEN gate models and appended to the
+    * persisted decision table (`DecisionStore.appendDecisions` — which
+    * also extends the band index, so later batches see earlier ones as
+    * indexed corpus). Replays are idempotent through the store's own
+    * insert-only id guard, so at-least-once delivery is safe; ordered
+    * batches land the same table as one batch (the append contract's
+    * split-invariance).
+    */
+  def decisionAppendGate(newDocs: DataFrame,
+      dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.curate.DecisionStore.appendDecisions(
+            batch.sparkSession, dir, batch.toDF())
+        }
+        ()
+      }
+      .start()
+
   /** Streaming QUANTILE-sketch gauge — `distinctSketchGauge`'s twin
     * for the deterministic bottom-k quantile sample: each micro-batch
     * of newly-crawled docs contributes its scored sample state

@@ -148,6 +148,38 @@ class DecisionStoreSpec extends SparkSpec {
     assert(deletedSet.filter(_ % 97 != 0).subsetOf(backIds))
   }
 
+  test("crawlSync classifies the upstream diff into appends and tombstones, replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-crawlsync").toString
+    // crawl 1: the %5 != 0 slice
+    all.filter(col("doc_id") % 5 =!= 0)
+      .write.parquet(s"$tmp/documents.parquet")
+    val before = DecisionStore.decisionTable(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // crawl 2: the %3 != 0 slice — some crawl-1 ids vanish (deleted),
+    // some ids appear for the first time (new)
+    val upstream = all.filter(col("doc_id") % 3 =!= 0)
+    val upstreamIds = upstream.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val (nNew, nDeleted) = DecisionStore.crawlSync(spark, tmp, upstream)
+    val expectedDeleted = before.filterNot(upstreamIds.contains)
+    // new candidates: upstream ids the table lacked, minus the eval slice
+    val expectedNew = upstreamIds
+      .filterNot(before.contains).filter(_ % 97 != 0)
+    assert(nDeleted == expectedDeleted.size.toLong)
+    assert(nNew == expectedNew.size.toLong)
+    assert(nDeleted > 0 && nNew > 0, "diff slices chose a trivial cycle")
+    val after = DecisionStore.decisionTable(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == (before -- expectedDeleted) ++ expectedNew)
+    // replayed cycle: both halves idempotent → (0, 0) and no row churn
+    assert(DecisionStore.crawlSync(spark, tmp, upstream) == ((0L, 0L)))
+    assert(DecisionStore.decisionTable(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == after)
+  }
+
   test("frozen-model gate forms equal the per-dir gates on the same corpus") {
     // the decision build keeps using the dir-shaped gates; the append
     // path uses the From-forms with persisted models — pin that a

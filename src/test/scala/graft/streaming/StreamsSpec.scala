@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
+import graft.curate.DecisionStore
 
 case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
               value: Double)
@@ -258,6 +259,46 @@ class StreamsSpec extends SparkSpec {
       graft.text.TextOps.bottomK(graft.text.TextOps.shingleHashes(docs), 64), 64)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
     assert(se == be)
+  }
+
+  test("decisionAppendGate streams crawl batches into the decision store, replay-safe") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = graft.core.Tables.documents(spark, sf)
+    def mkCorpus(): String = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-decstream").toString
+      all.filter(col("doc_id") % 5 =!= 0)
+        .write.parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    val batchRows = all.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    // streamed: two ordered micro-batches + an at-least-once replay
+    val dirA = mkCorpus()
+    DecisionStore.decisionTable(spark, dirA).count() // build the store
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val query = Streams.decisionAppendGate(
+      stream.toDS().toDF("doc_id", "text", "source"), dirA)
+    try {
+      val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      stream.addData(b1) // replay
+      query.processAllAvailable()
+    } finally query.stop()
+    // reference: the one-shot batch append on a twin corpus
+    val dirB = mkCorpus()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val oneShot = rows(DecisionStore.appendDecisions(spark, dirB,
+      all.filter(col("doc_id") % 5 === 0)))
+    assert(rows(DecisionStore.decisionTable(spark, dirA)) == oneShot)
   }
 
   test("quantileSketchGauge merges micro-batch samples to the batch sketch exactly") {
