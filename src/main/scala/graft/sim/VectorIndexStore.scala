@@ -289,6 +289,46 @@ object VectorIndexStore {
     loadIvfPq(spark, basePath)
   }
 
+  /** One CRAWL-SYNC cycle for a persisted IVF-PQ index — the vector
+    * twin of `DecisionStore.crawlSync` (the reference's diff loop,
+    * sync_service.rs new/changed/deleted classes): given the FULL
+    * `(vec_id, embedding)` frame of the current crawl,
+    *  - ids live in the index but absent upstream are DELETED →
+    *    tombstoned ([[deleteIvfPq]]);
+    *  - upstream ids the index lacks are NEW → assigned/encoded under
+    *    the frozen quantizers and appended ([[appendIvfPq]]).
+    * Changed-in-place vectors are out of scope by design — id↔vector
+    * immutability is the append contract (delete the id, re-crawl under
+    * a new one), and the fingerprint protocol rebuilds on source
+    * regeneration.
+    *
+    * Deletes run FIRST (same-cycle replacement never shows both);
+    * both halves are idempotent, so a replayed cycle is a no-op.
+    * Plan shape: two narrow id anti-joins (index side bucket-scanned)
+    * classify the crawl; only the new batch is assigned/encoded and
+    * only O(deleted) tombstones are written.
+    *
+    * @return (n new vectors appended, n live vectors tombstoned)
+    */
+  def crawlSyncVectors(spark: SparkSession, basePath: String,
+      upstream: DataFrame): (Long, Long) = {
+    import graft.core.Materialize.MatOps
+    val liveIds = loadIvfPq(spark, basePath).codes.select("vec_id")
+    val upIds = upstream.select("vec_id").materializeOnce()
+    val deleted = liveIds.join(upIds, Seq("vec_id"), "left_anti")
+      .materializeOnce(eager = true) // pin before the index is mutated
+    val newIds = upIds.join(liveIds, Seq("vec_id"), "left_anti")
+      .materializeOnce(eager = true)
+    val nDeleted = deleted.count()
+    if (nDeleted > 0) deleteIvfPq(deleted, basePath)
+    val nNew =
+      if (newIds.count() > 0) {
+        val before = loadIvfPq(spark, basePath).n
+        appendIvfPq(upstream.join(newIds, "vec_id"), basePath).n - before
+      } else 0L
+    (nNew, nDeleted)
+  }
+
   /** `Similarity.annIvfPqFrom` semantics over a PERSISTED index: loads
     * centroids/books/lists/codes instead of retraining; `emb` supplies
     * raw vectors for the exact re-rank only.

@@ -319,6 +319,38 @@ class SimilaritySpec extends SparkSpec {
     assert(resurrected.codes.count() == n)
   }
 
+  test("crawlSyncVectors applies the upstream diff: vanished delete, new append, replay no-op") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-sync").toString + "/idx"
+    // crawl 1: ids [0, 400); crawl 2: ids [100, 500) — 100 vanish, 100 new
+    VectorIndexStore.buildIvfPq(emb.filter(col("vec_id") < 400), base)
+    val upstream = emb.filter(col("vec_id") >= 100)
+    val (nNew, nDeleted) =
+      VectorIndexStore.crawlSyncVectors(spark, base, upstream)
+    assert(nNew == 100 && nDeleted == 100)
+    val idx = VectorIndexStore.loadIvfPq(spark, base)
+    assert(idx.n == 400)
+    // synced index answers EXACTLY like the frozen-quantizer reference
+    // over the upstream corpus
+    val up = upstream.withColumn("norm", Vectors.norm64("embedding"))
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val fromSynced = rows(Similarity.ivfPqSearch(up, idx.centroids,
+      idx.lists, idx.books, idx.codes, queries,
+      excludeSelf = true, corpusN = idx.n))
+    val fromReference = rows(Similarity.ivfPqSearch(up, idx.centroids,
+      Similarity.ivfMultiIndex(up, idx.centroids, assign = 2),
+      idx.books, Similarity.pqEncode(up, idx.books), queries,
+      excludeSelf = true, corpusN = idx.n))
+    assert(fromSynced.nonEmpty && fromSynced == fromReference)
+    // replayed cycle is a no-op
+    assert(VectorIndexStore.crawlSyncVectors(spark, base, upstream) == ((0L, 0L)))
+    assert(VectorIndexStore.loadIvfPq(spark, base).n == 400)
+  }
+
   test("indexStats reports list sizes, shares, and balance over the persisted index") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
