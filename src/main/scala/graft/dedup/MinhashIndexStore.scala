@@ -101,6 +101,27 @@ object MinhashIndexStore {
       basePath: String): DataFrame = {
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
+    val newSets = signatures(newDocs).materializeOnce()
+    val verified = incrementalVerifiedPairs(newSets, basePath)
+    val matches = verified.groupBy("new_id")
+      .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
+    newSets.select(col("doc_id"))
+      .join(matches, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("first_dup"),
+        col("n_dups").isNotNull.cast("int").as("is_dup"))
+    // no global ORDER BY — batch-sized output; the driver compare is order-insensitive
+  }
+
+  /** The verified Jaccard ≥ 0.5 NEW×OLD pair set behind
+    * [[dedupIncrementalAgainstIndex]], exposed so the label append can
+    * reuse the identical candidate machinery (strategy switch, merge
+    * walk, live view) and take the matched old ids, not just counts.
+    */
+  private def incrementalVerifiedPairs(newSets: DataFrame,
+      basePath: String): DataFrame = {
+    val spark = newSets.sparkSession
     Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
       s"$basePath/sets", "doc_id", Buckets)
     Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
@@ -113,7 +134,6 @@ object MinhashIndexStore {
     val oldSets = live(spark.table(tableName(basePath, "sets")), tomb)
     val oldBanded = live(spark.table(tableName(basePath, "banded")), tomb)
 
-    val newSets = signatures(newDocs).materializeOnce()
     val nNew = newSets.count()
     val nOld = oldSets.count()
     Decisions.record("dedup.indexedGate",
@@ -157,15 +177,7 @@ object MinhashIndexStore {
             when(col("is_new_a"), col("doc_id_a")).otherwise(col("doc_id_b")).as("new_id"),
             when(col("is_new_a"), col("doc_id_b")).otherwise(col("doc_id_a")).as("old_id"))
       }
-    val matches = verified.groupBy("new_id")
-      .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
-    newSets.select(col("doc_id"))
-      .join(matches, col("doc_id") === col("new_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        col("first_dup"),
-        col("n_dups").isNotNull.cast("int").as("is_dup"))
-    // no global ORDER BY — batch-sized output; the driver compare is order-insensitive
+    verified
   }
 
   /** Query-entry form (same split as `Dedup.dedupIncremental`: doc_id %
@@ -307,6 +319,70 @@ object MinhashIndexStore {
         spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(basePath)), true)
     }
+  }
+
+  /** Incrementally assign a NEW document batch to clusters and append
+    * the `(doc_id, cluster)` rows to a persisted LABEL index — the
+    * between-crawls move that keeps `clusterFromLabels` (and every
+    * decision-table consumer of the dedup gate) current WITHOUT
+    * re-running the corpus-wide minhash→CC chain. `bandBase` is a band
+    * index over the same corpus the labels were built from
+    * (the candidate machinery — strategy switch, merge walk, live
+    * view — is shared with the incremental gate).
+    *
+    * Assignment is incremental connected components over the bipartite
+    * batch↔corpus pair graph plus the within-batch pair graph: each
+    * batch component's label is the MIN over its member ids and the
+    * cluster labels of every matched existing doc. Since an existing
+    * cluster's label IS its min member id, this reproduces the
+    * first-seen-min convention exactly UNDER MONOTONE CRAWL IDS (every
+    * batch id above every indexed id — the crawl-sequence contract
+    * `appendDecisions` documents; a smaller out-of-order id would
+    * found a new label instead of joining the matched cluster and
+    * steal survivorship at load). The deliberate divergence from a
+    * full re-cluster is the bridge case — a batch doc matching TWO
+    * existing clusters joins the smaller label but does NOT merge them
+    * (deferred to the fingerprint-triggered rebuild, the same contract
+    * as `DecisionStore.appendDecisions`).
+    *
+    * Idempotent by doc_id (insert-only guard on the physical labels
+    * table). Scale shape: candidate generation is the incremental
+    * gate's (batch bands broadcast against the bucketed index — the
+    * corpus is never exchanged); the CC runs on the batch-sized pair
+    * graph only.
+    */
+  def appendLabels(newDocs: DataFrame, labelBase: String,
+      bandBase: String): Unit = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    Sinks.restoreBucketed(spark, tableName(labelBase, "labels"),
+      s"$labelBase/labels", "cluster", Buckets)
+    spark.catalog.refreshTable(tableName(labelBase, "labels"))
+    // insert-only guard keys on PHYSICAL rows (the append contract)
+    val batch = newDocs.select("doc_id", "text")
+      .join(spark.table(tableName(labelBase, "labels")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true)
+    val newSets = signatures(batch).materializeOnce()
+    // batch ↔ existing-cluster edges: matched old ids resolve to their
+    // cluster labels (labels table read LIVE so tombstoned members
+    // cannot pull a batch doc into a dead cluster)
+    val oldLabels = live(spark.table(tableName(labelBase, "labels")),
+      tombstones(spark, labelBase))
+    val toClusters = incrementalVerifiedPairs(newSets, bandBase)
+      .join(oldLabels.withColumnRenamed("doc_id", "old_id"), "old_id")
+      .select(col("new_id").as("src"), col("cluster").as("dst"))
+    // within-batch edges (new×new near-dups)
+    val nn = Dedup.minhashVerifiedPairs(newSets)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = Components.minLabels(toClusters.unionByName(nn))
+    val assigned = batch.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .materializeOnce(eager = true) // pin before writing the table read above
+    Sinks.appendBucketed(assigned, tableName(labelBase, "labels"),
+      "cluster", Buckets)
   }
 
   /** Ensure the corpus band index exists and is fresh at the

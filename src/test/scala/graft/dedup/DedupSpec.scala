@@ -183,6 +183,65 @@ class DedupSpec extends SparkSpec {
       .map(_.toString).sorted.sameElements(after.map(_.toString).sorted))
   }
 
+  test("appendLabels assigns a monotone-id batch incrementally, matching a driver union-find") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf)
+    val tmpCorpus = java.nio.file.Files
+      .createTempDirectory("graft-lblappend-corpus").toString
+    // crawl 1: ids < 400 (monotone-id contract: the batch is all-above)
+    docs.filter(col("doc_id") < 400).write
+      .parquet(s"$tmpCorpus/documents.parquet")
+    val lblBase = java.nio.file.Files
+      .createTempDirectory("graft-lblappend").toString + "/lbl"
+    val bandBase = java.nio.file.Files
+      .createTempDirectory("graft-bandappend").toString + "/band"
+    MinhashIndexStore.buildClusterLabels(spark, tmpCorpus, lblBase)
+    MinhashIndexStore.build(docs.filter(col("doc_id") < 400), bandBase)
+    val before = MinhashIndexStore.clusterFromLabels(spark, lblBase).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val batchIds = (400L until 500L).toSet
+    MinhashIndexStore.appendLabels(
+      docs.filter(col("doc_id") >= 400), lblBase, bandBase)
+    val got = MinhashIndexStore.clusterFromLabels(spark, lblBase).collect()
+    assert(got.length == 500)
+    val gotMap = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    // old labels byte-identical
+    before.foreach { case (id, c) => assert(gotMap(id) == c) }
+    // driver recompute: exact-Jaccard union-find over batch∪matched-clusters
+    // (banding finds every >= 0.5 pair at this corpus scale — pinned by
+    // the LSH-equals-exact spec above)
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet).toMap
+    def near(a: Long, b: Long): Boolean = {
+      val (x, y) = (toks(a), toks(b))
+      val i = (x intersect y).size
+      2 * i >= x.size + y.size - i
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (n <- batchIds; o <- before.keys if near(n, o)) union(n, before(o))
+    for (a <- batchIds; b <- batchIds if a < b && near(a, b)) union(a, b)
+    batchIds.foreach { id => assert(gotMap(id) == find(id),
+      s"doc $id: got ${gotMap(id)}, expected ${find(id)}") }
+    // survivors: min live id per cluster — old survivors keep theirs
+    got.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rs) =>
+      val min = rs.map(_.getAs[Long]("doc_id")).min
+      rs.foreach(r => assert((r.getAs[Int]("keep") == 1) ==
+        (r.getAs[Long]("doc_id") == min)))
+    }
+    // idempotent replay: physical guard skips every id
+    MinhashIndexStore.appendLabels(
+      docs.filter(col("doc_id") >= 400), lblBase, bandBase)
+    assert(MinhashIndexStore.clusterFromLabels(spark, lblBase).count() == 500)
+  }
+
   test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
     val fp = Dedup.simhashFp(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
