@@ -137,7 +137,10 @@ object Bench {
           () => graft.curate.DecisionStore.ensureDecisions(spark, sfDir)),
         ("ivfpq",
           wanted("ann_ivf_pq_indexed", "vindex_stats"),
-          () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir))
+          () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir)),
+        ("lblinc",
+          wanted("dedup_cluster_incremental"),
+          () => graft.dedup.MinhashIndexStore.ensureIncrementalLabels(spark, sfDir))
       ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()
         try f() catch {

@@ -90,6 +90,8 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_incremental_indexed" ->
       (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
+    "dedup_cluster_incremental" ->
+      (graft.dedup.MinhashIndexStore.dedupClusterIncremental _),
     "mhindex_stats" ->
       (graft.dedup.MinhashIndexStore.mhindexStats _),
     "dedup_cluster_stats" ->
@@ -1202,6 +1204,59 @@ object SparkEntry {
         |  CAST(COALESCE(sc.mass // sc.n_bigrams < 32000, FALSE) AS INT) AS flagged
         |FROM documents docs LEFT JOIN sc ON docs.doc_id = sc.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the INCREMENTAL clustering path under the exact gate: the oracle
+    // recomputes the crawl-1 full CC AND the crawl-2 incremental
+    // min-propagation over the batch↔cluster pair graph independently
+    // (exact Jaccard — banding finds every qualifying pair at this
+    // scale, the dedup_minhash contract)
+    "dedup_cluster_incremental" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |old AS (SELECT * FROM d WHERE doc_id < 400),
+        |neu AS (SELECT * FROM d WHERE doc_id >= 400),
+        |pairs AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM old a JOIN old b ON a.doc_id <> b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM old
+        |  UNION
+        |  SELECT p.y, reach.lbl FROM reach JOIN pairs p ON p.x = reach.node
+        |  WHERE reach.lbl < p.y),
+        |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+        |e1 AS (
+        |  SELECT DISTINCT n.doc_id AS src, cc.cluster AS dst
+        |  FROM neu n JOIN old o
+        |    ON 2 * len(list_intersect(n.t, o.t)) >=
+        |       len(n.t) + len(o.t) - len(list_intersect(n.t, o.t))
+        |  JOIN cc ON cc.doc_id = o.doc_id),
+        |e2 AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM neu a JOIN neu b ON a.doc_id <> b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+        |          UNION SELECT src, dst FROM e2),
+        |seeds AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |reach2(node, lbl) AS (
+        |  SELECT node, node FROM seeds
+        |  UNION
+        |  SELECT e.dst, reach2.lbl FROM reach2 JOIN edges e ON e.src = reach2.node
+        |  WHERE reach2.lbl < e.dst),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach2 GROUP BY node),
+        |labels AS (
+        |  SELECT doc_id, cluster FROM cc
+        |  UNION ALL
+        |  SELECT n.doc_id, COALESCE(comp.cluster, n.doc_id) AS cluster
+        |  FROM neu n LEFT JOIN comp ON comp.doc_id = n.doc_id),
+        |sizes AS (SELECT cluster, COUNT(*) AS cluster_size, MIN(doc_id) AS surv
+        |          FROM labels GROUP BY cluster)
+        |SELECT l.doc_id AS doc_id, l.cluster AS cluster,
+        |  CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(l.doc_id = sizes.surv AS INT) AS keep
+        |FROM labels l JOIN sizes ON l.cluster = sizes.cluster
+        |ORDER BY l.doc_id""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),

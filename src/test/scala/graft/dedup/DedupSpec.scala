@@ -242,6 +242,26 @@ class DedupSpec extends SparkSpec {
     assert(MinhashIndexStore.clusterFromLabels(spark, lblBase).count() == 500)
   }
 
+  test("dedup_cluster_incremental serves the appended label store; reloads are value-identical") {
+    val first = MinhashIndexStore.dedupClusterIncremental(spark, sf).collect()
+    assert(first.length == 500)
+    // the crawl split is live in the output: batch docs joined existing
+    // clusters (some cluster labels < 400 carry members >= 400)
+    assert(first.exists(r => r.getAs[Long]("doc_id") >= 400 &&
+      r.getAs[Long]("cluster") < 400), "no batch doc joined an old cluster")
+    assert(first.exists(r => r.getAs[Long]("doc_id") >= 400 &&
+      r.getAs[Long]("cluster") >= 400), "no batch-only cluster")
+    // exactly one survivor per cluster, the min id
+    first.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rs) =>
+      val min = rs.map(_.getAs[Long]("doc_id")).min
+      rs.foreach(r => assert((r.getAs[Int]("keep") == 1) ==
+        (r.getAs[Long]("doc_id") == min)))
+    }
+    // second call LOADS the persisted store — value-identical
+    val second = MinhashIndexStore.dedupClusterIncremental(spark, sf).collect()
+    assert(second.map(_.toString).sorted.sameElements(first.map(_.toString).sorted))
+  }
+
   test("simhash_near block join finds exactly the all-pairs hd<=3 set") {
     val fp = Dedup.simhashFp(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
