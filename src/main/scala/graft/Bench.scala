@@ -140,7 +140,13 @@ object Bench {
           () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir)),
         ("lblinc",
           wanted("dedup_cluster_incremental"),
-          () => graft.dedup.MinhashIndexStore.ensureIncrementalLabels(spark, sfDir))
+          () => graft.dedup.MinhashIndexStore.ensureIncrementalLabels(spark, sfDir)),
+        ("searchidx",
+          wanted("inverted_index_indexed", "bm25_rank_indexed"),
+          () => graft.index.SearchIndexStore.ensureSearchIndex(spark, sfDir)),
+        ("searchsync",
+          wanted("search_index_sync"),
+          () => graft.index.SearchIndexStore.ensureSyncedIndex(spark, sfDir))
       ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()
         try f() catch {

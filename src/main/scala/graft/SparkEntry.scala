@@ -57,6 +57,12 @@ object SparkEntry {
     "doc_fingerprint"    -> (JsonOps.docFingerprint _),
     "search_doc"        -> (Indexing.searchDoc _),
     "inverted_index"    -> (Indexing.invertedIndex _),
+    "inverted_index_indexed" ->
+      (graft.index.SearchIndexStore.invertedIndexIndexed _),
+    "bm25_rank_indexed" ->
+      (graft.index.SearchIndexStore.bm25RankIndexed _),
+    "search_index_sync" ->
+      (graft.index.SearchIndexStore.searchIndexSync _),
     "facet_count"       -> (Indexing.facetCount _),
     "pagerank_ppm"      -> (graft.graph.Graph.pagerankPpm _),
     "dim_enrich"        -> (Indexing.dimEnrich _),
@@ -373,6 +379,18 @@ object SparkEntry {
       // survivor selection over LOADED cluster labels — identical oracle,
       // identical hash to the per-call minhash→CC→argmax chain
       "dedup_cluster_best_indexed" -> base("dedup_cluster_best"),
+      // the persisted-postings rollup is a load-not-recompute swap of
+      // the per-call tokenize path — identical oracle, identical hash
+      "inverted_index_indexed" -> base("inverted_index"),
+      // BM25 served from the postings store: every score factor (tf,
+      // df, dl, N, total tokens) is integer-valued and the scoring
+      // expression is shared, so the doubles are byte-identical to the
+      // corpus-scan path — identical oracle, identical hash
+      "bm25_rank_indexed" -> base("bm25_rank"),
+      // one crawl-sync cycle (new + changed + deleted) must converge
+      // the stale store to the true corpus — the synced index's rollup
+      // hash-checks against the full-corpus inverted_index oracle
+      "search_index_sync" -> base("inverted_index"),
       // epoch planning with tokenizer-exact (BPE) counts: the epoch_plan
       // oracle with its whitespace-count CTE swapped for the bpe_apply
       // chain's true token counts

@@ -150,6 +150,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming SEARCH-index maintenance — the postings-side twin of
+    * [[vectorIndexAppend]], and the streaming form of the reference's
+    * core loop (an article changes upstream; minutes later its search
+    * document is current): each micro-batch of crawled `(doc_id,
+    * text)` rows runs through `SearchIndexStore.upsertDocs`, which
+    * skips unchanged content by `text_hash` (the revision compare),
+    * supersedes changed docs at the next generation, and appends new
+    * ones — so re-crawls, revisions, and first-sightings all flow
+    * through ONE gate. At-least-once replays are safe because the
+    * upsert is idempotent end-to-end: identical content is a no-op,
+    * and partial failures are repaired by the per-(doc_id, gen)
+    * physical guards inside the store.
+    */
+  def searchIndexUpsert(newDocs: DataFrame,
+      basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.index.SearchIndexStore.upsertDocs(batch.toDF(), basePath)
+        ()
+      }
+      .start()
+
   /** Streaming semantic-decontamination gate — the embedding twin of
     * [[incrementalDedupGate]]: every micro-batch of newly-embedded
     * vectors is scored against the FIXED eval-suite frame

@@ -108,14 +108,7 @@ object Relevance {
         terms.map(t =>
           sum(array_contains(col("l"), t).cast("long")).as(s"df_$t"))
     val stats = docs.agg(statCols.head, statCols.tail: _*)
-    // fixed-order score expression, identical string shape to the oracle
-    val tfc = terms.map { t =>
-      s"""(tf_$t * (1.2 + 1) / (tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl
-         | / (CAST(total_tokens AS DOUBLE) / n_docs))))""".stripMargin
-    }
-    val idf = terms.map(t => s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))")
-    val scoreSql = idf.zip(tfc).map { case (i, c) => s"$i * $c" }.mkString(" + ")
-    val perDoc = docs
+    val withTf = docs
       .crossJoin(broadcast(stats))
       .withColumn("dl", size(col("l")).cast("double"))
       .select(
@@ -123,6 +116,28 @@ object Relevance {
           terms.map(t => col(s"df_$t")) ++:
           terms.map(t =>
             size(expr(s"filter(l, x -> x = '$t')")).cast("double").as(s"tf_$t"))): _*)
+    bm25ScoreTail(withTf, terms, topK)
+  }
+
+  /** The scoring tail every BM25 serving path shares: score a frame of
+    * `(doc_id, dl DOUBLE, total_tokens, n_docs, df_<t> LONG,
+    * tf_<t> DOUBLE)` rows with the fixed-order k1=1.2 / b=0.75
+    * expression and take the ranked top-k. Factored out so the
+    * per-call scan path above and the persisted-postings path
+    * (`SearchIndexStore.bm25RankIndexed`) compute byte-identical
+    * doubles — every input factor is integer-valued, so equal inputs
+    * give equal IEEE results regardless of which path produced them.
+    */
+  private[graft] def bm25ScoreTail(withTf: DataFrame, terms: Seq[String],
+      topK: Int): DataFrame = {
+    // fixed-order score expression, identical string shape to the oracle
+    val tfc = terms.map { t =>
+      s"""(tf_$t * (1.2 + 1) / (tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl
+         | / (CAST(total_tokens AS DOUBLE) / n_docs))))""".stripMargin
+    }
+    val idf = terms.map(t => s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))")
+    val scoreSql = idf.zip(tfc).map { case (i, c) => s"$i * $c" }.mkString(" + ")
+    val perDoc = withTf
       .withColumn("score6", round(expr(scoreSql), 6))
       .select(col("doc_id"), col("dl").cast("long").as("n_tokens"), col("score6"))
       .orderBy(col("score6").desc, col("doc_id"))
