@@ -146,7 +146,10 @@ object Bench {
           () => graft.index.SearchIndexStore.ensureSearchIndex(spark, sfDir)),
         ("searchsync",
           wanted("search_index_sync"),
-          () => graft.index.SearchIndexStore.ensureSyncedIndex(spark, sfDir))
+          () => graft.index.SearchIndexStore.ensureSyncedIndex(spark, sfDir)),
+        ("rollup",
+          wanted("window_hourly_incremental"),
+          () => graft.analytics.RollupStore.ensureRollup(spark, sfDir))
       ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()
         try f() catch {

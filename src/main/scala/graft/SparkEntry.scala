@@ -29,6 +29,8 @@ object SparkEntry {
     "asof_join"     -> (Analytics.asofJoin _),
     "sessionize"    -> (Analytics.sessionize _),
     "window_hourly" -> (Analytics.windowHourly _),
+    "window_hourly_incremental" ->
+      (graft.analytics.RollupStore.windowHourlyIncremental _),
     "window_sliding" -> (Analytics.windowSliding _),
     "funnel_steps"   -> (Analytics.funnelSteps _),
     "cohort_retention" -> (Analytics.cohortRetention _),
@@ -391,6 +393,9 @@ object SparkEntry {
       // the stale store to the true corpus — the synced index's rollup
       // hash-checks against the full-corpus inverted_index oracle
       "search_index_sync" -> base("inverted_index"),
+      // the rollup merged from slice-ingested partial aggregates must
+      // equal the full-history scan — identical oracle, identical hash
+      "window_hourly_incremental" -> base("window_hourly"),
       // epoch planning with tokenizer-exact (BPE) counts: the epoch_plan
       // oracle with its whitespace-count CTE swapped for the bpe_apply
       // chain's true token counts
