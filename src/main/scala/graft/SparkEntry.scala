@@ -32,6 +32,8 @@ object SparkEntry {
     "window_hourly_incremental" ->
       (graft.analytics.RollupStore.windowHourlyIncremental _),
     "window_sliding" -> (Analytics.windowSliding _),
+    "window_sliding_incremental" ->
+      (graft.analytics.RollupStore.windowSlidingIncremental _),
     "funnel_steps"   -> (Analytics.funnelSteps _),
     "cohort_retention" -> (Analytics.cohortRetention _),
     "percentile_stats" -> (Analytics.percentileStats _),
@@ -393,9 +395,11 @@ object SparkEntry {
       // the stale store to the true corpus — the synced index's rollup
       // hash-checks against the full-corpus inverted_index oracle
       "search_index_sync" -> base("inverted_index"),
-      // the rollup merged from slice-ingested partial aggregates must
-      // equal the full-history scan — identical oracle, identical hash
+      // the rollups merged from slice-ingested partial aggregates must
+      // equal the full-history scans — identical oracles, identical
+      // hashes; BOTH readers serve from the one pane-grain state table
       "window_hourly_incremental" -> base("window_hourly"),
+      "window_sliding_incremental" -> base("window_sliding"),
       // epoch planning with tokenizer-exact (BPE) counts: the epoch_plan
       // oracle with its whitespace-count CTE swapped for the bpe_apply
       // chain's true token counts

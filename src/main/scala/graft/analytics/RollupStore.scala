@@ -12,17 +12,25 @@ import graft.core.{IndexScratch, Tables}
   *
   * The row stores (`DecisionStore`) and indexes (`MinhashIndexStore`,
   * `VectorIndexStore`, `SearchIndexStore`) persist per-item state;
-  * this store persists PARTIAL AGGREGATES and serves the rollup as a
+  * this store persists PARTIAL AGGREGATES and serves rollups as a
   * merge — the classic algebraic-aggregate contract: `count`/`sum`
   * merge by addition, but `count(DISTINCT user_id)` has no mergeable
-  * scalar partial, so the state is kept one grain FINER than the
-  * serving rollup — per `(hour_ns, event_type, user_id)` — where all
-  * three measures collapse to sums and the distinct-user count becomes
-  * a row count the final merge re-distincts exactly. State size is
-  * bounded by hours × types × active-users-per-hour (the value
-  * dimension collapses on ingest), typically ~0.1% of raw events.
+  * scalar partial, so the state is kept FINER than any serving rollup
+  * on two axes at once:
   *
-  * `total_value` is summed as DECIMAL end-to-end: decimal addition is
+  *  - TIME is bucketed to 15-minute PANES — the slide grain of the
+  *    sliding rollup and an exact divisor of the hourly one — so the
+  *    same state table serves both: tumbling hours merge 4 aligned
+  *    panes, 1 h/15 min sliding windows merge 4 overlapping ones
+  *    (pane-based window slicing: each raw event is aggregated ONCE
+  *    into its pane instead of 4× into each window it joins).
+  *  - USER is kept as a grouping key, so the distinct-user count
+  *    becomes a row count the final merge re-distincts exactly.
+  *
+  * State size is bounded by panes × types × active-users-per-pane
+  * (the value dimension collapses on ingest), typically ~0.1% of raw.
+  *
+  * `value_sum` is summed as DECIMAL end-to-end: decimal addition is
   * exact and associative, so slice-partial sums merged in any order
   * equal the full-scan sum bit-for-bit (a double sum would be
   * shuffle-order-dependent and break the shared-oracle hash).
@@ -34,17 +42,26 @@ import graft.core.{IndexScratch, Tables}
   */
 object RollupStore {
 
+  /** Pane width: the sliding rollup's slide (15 min) — every serving
+    * grain (1 h tumbling, 1 h/15 min sliding) is a whole number of
+    * panes, and `div` truncation composes exactly:
+    * `(ts div pane) div 4 == ts div hour`.
+    */
+  val PaneNs: Long = 900000000000L
+
+  private val HourNs: Long = 4L * PaneNs
+
   /** Partial-aggregate rows for one ingest slice of events. */
   private def partialsOf(events: DataFrame): DataFrame =
     events.groupBy(
-        expr("(ts div 3600000000000) * 3600000000000").as("hour_ns"),
+        expr(s"(ts div $PaneNs) * $PaneNs").as("pane_ns"),
         col("event_type"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("value_sum"))
 
   /** Ingest ONE slice of events into the partial-state table: the
-    * slice aggregates down to its (hour, type, user) partials — the
+    * slice aggregates down to its (pane, type, user) partials — the
     * only scan of the raw slice — and overwrites its own `slice_id`
     * partition. Replays rewrite identical partials; no other slice's
     * files are touched.
@@ -58,14 +75,16 @@ object RollupStore {
       .partitionBy("slice_id")
       .parquet(s"$basePath/partials")
 
-  /** The serving merge: re-aggregate the partial table to the rollup
-    * grain. `n_users` re-distincts `user_id` (the same user may appear
-    * under several slices for one hour), `n_events`/`value_sum` merge
-    * by addition — value identical to the full-history scan, row for
-    * row, because every measure is algebraic at the stored grain.
+  /** Tumbling-hour serve: 4 aligned panes per hour merge by addition
+    * (`n_events`, decimal `value_sum`) and by re-distinct (`user_id`
+    * may recur across panes AND slices within one hour) — value
+    * identical to the full-history scan, row for row, because every
+    * measure is algebraic at the stored grain.
     */
   def windowHourlyFrom(partials: DataFrame): DataFrame =
-    partials.groupBy(col("hour_ns"), col("event_type"))
+    partials.groupBy(
+        expr(s"(pane_ns div $HourNs) * $HourNs").as("hour_ns"),
+        col("event_type"))
       .agg(
         sum(col("n_events")).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
@@ -73,10 +92,30 @@ object RollupStore {
       .select("hour_ns", "event_type", "n_events", "n_users", "total_value")
       .orderBy(col("hour_ns"), col("event_type"))
 
+  /** Sliding 1 h/15 min serve: each PANE belongs to exactly 4
+    * overlapping windows, so the explode fans out pane-grain rows
+    * (~0.1% of raw), never raw events — the pane-slicing win over
+    * `Analytics.windowSlidingOf`, whose explode multiplies the corpus
+    * scan itself. Same arithmetic (`div` truncation on the pane
+    * index), so the window keys agree bit-for-bit with the full scan.
+    */
+  def windowSlidingFrom(partials: DataFrame): DataFrame =
+    partials
+      .select(col("pane_ns"), col("user_id"), col("n_events"),
+        col("value_sum"), explode(expr("sequence(0, 3L)")).as("k"))
+      .select(expr(s"((pane_ns div $PaneNs) - k) * $PaneNs").as("win_ns"),
+        col("user_id"), col("n_events"), col("value_sum"))
+      .groupBy("win_ns")
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_sum")).cast("double").as("total_value"))
+      .orderBy("win_ns")
+
   def loadPartials(spark: SparkSession, basePath: String): DataFrame =
     spark.read.parquet(s"$basePath/partials")
 
-  /** The demonstration split for [[windowHourlyIncremental]]: four
+  /** The demonstration split for the `*_incremental` entries: four
     * ingest sources feeding the same hours (`user_id mod 4` — the
     * adversarial case for the merge: every rollup row must combine
     * partials from ALL slices, so a broken distinct-merge or a
@@ -89,18 +128,30 @@ object RollupStore {
     * (each scanned once, each idempotent) and the rollup is ONE merge
     * pass over the partials — hash-checked against the SAME oracle as
     * the full-scan `window_hourly`, so the partial-aggregate algebra
-    * (finer-grain state, decimal merge, re-distinct) sits under the
+    * (pane-grain state, decimal merge, re-distinct) sits under the
     * exact cross-engine gate.
     */
   def windowHourlyIncremental(spark: SparkSession, dir: String): DataFrame =
     windowHourlyFrom(loadPartials(spark, ensureRollup(spark, dir)))
 
+  /** `window_sliding` served from the SAME partial-state table as the
+    * hourly rollup — one persisted pane store, two oracle-gated
+    * readers. Hash-checked against the full-scan `window_sliding`
+    * oracle.
+    */
+  def windowSlidingIncremental(spark: SparkSession, dir: String): DataFrame =
+    windowSlidingFrom(loadPartials(spark, ensureRollup(spark, dir)))
+
   /** Build-if-missing-or-stale for the partial-state table (shared by
-    * the query entry and the bench pre-build); returns the base path.
+    * the query entries and the bench pre-build); returns the base path.
     */
   def ensureRollup(spark: SparkSession, dir: String): String = {
     val base = IndexScratch.scratchBase(dir, "rollup")
-    val fp = IndexScratch.sourceFingerprint(spark, s"$dir/events.parquet")
+    // layout-versioned fingerprint: the STATE schema (pane grain) is
+    // part of what "fresh" means — a store built under an older layout
+    // must rebuild even when the source corpus is unchanged
+    val fp = "pane-v2:" +
+      IndexScratch.sourceFingerprint(spark, s"$dir/events.parquet")
     IndexScratch.ensureBuilt(base, fp) {
       val ev = Tables.events(spark, dir)
       (0L until Slices).foreach { s =>

@@ -175,6 +175,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming rollup maintenance — the AGGREGATE-state twin of
+    * [[vectorIndexAppend]]/[[searchIndexUpsert]]: each micro-batch of
+    * events collapses to its pane-grain partial aggregates and lands
+    * in the persisted `RollupStore` as the slice keyed by `batchId`
+    * (`appendSlice` — the only scan is the batch itself), so the
+    * hourly and sliding dashboards serve current numbers from a merge
+    * over ~0.1%-of-raw state, never a history re-scan. Idempotence is
+    * the canonical foreachBatch recipe: Structured Streaming re-delivers
+    * a failed micro-batch under the SAME batchId, and the slice's
+    * dynamic-partition overwrite rewrites exactly that partition —
+    * unlike the id-guarded stores, the GUARANTEE lives in the
+    * batchId↔partition binding, not in row identity.
+    */
+  def rollupAppend(events: DataFrame,
+      basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.analytics.RollupStore.appendSlice(batch.toDF(), basePath, batchId)
+        ()
+      }
+      .start()
+
   /** Streaming semantic-decontamination gate — the embedding twin of
     * [[incrementalDedupGate]]: every micro-batch of newly-embedded
     * vectors is scored against the FIXED eval-suite frame

@@ -405,4 +405,44 @@ class StreamsSpec extends SparkSpec {
       assert(c <= p && c >= p - 3600000L)
     }
   }
+
+  test("rollupAppend maintains the pane store; both rollups equal the batch scans") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val events = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-rollup-stream").toString + "/roll"
+    val stream = MemoryStream[Ev](spark)
+    val query = Streams.rollupAppend(stream.toDF(), base)
+    try {
+      // three uneven micro-batches — each lands as its own batchId slice
+      val (b1, rest) = events.splitAt(events.length / 5)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val partials = graft.analytics.RollupStore.loadPartials(spark, base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(graft.analytics.RollupStore.windowHourlyFrom(partials)) ==
+      rows(graft.analytics.Analytics.windowHourly(spark, sf)))
+    assert(rows(graft.analytics.RollupStore.windowSlidingFrom(partials)) ==
+      rows(graft.analytics.Analytics.windowSliding(spark, sf)))
+    // a crash-redelivered micro-batch carries the SAME batchId —
+    // appendSlice rewrites that one partition, counts unchanged
+    graft.analytics.RollupStore.appendSlice(
+      spark.createDataset(b3OfRollup(events)).toDF(), base, 2L)
+    assert(rows(graft.analytics.RollupStore.windowHourlyFrom(
+      graft.analytics.RollupStore.loadPartials(spark, base))) ==
+      rows(graft.analytics.Analytics.windowHourly(spark, sf)))
+  }
+
+  /** batch 3 of the rollupAppend split, reproduced for the replay leg */
+  private def b3OfRollup(events: Seq[Ev]): Seq[Ev] = {
+    val (_, rest) = events.splitAt(events.length / 5)
+    rest.splitAt(rest.length / 2)._2
+  }
 }
