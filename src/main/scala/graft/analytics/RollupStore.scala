@@ -115,6 +115,64 @@ object RollupStore {
   def loadPartials(spark: SparkSession, basePath: String): DataFrame =
     spark.read.parquet(s"$basePath/partials")
 
+  /** Fold every accumulated slice into ONE — the rollup store's
+    * compaction, completing the append/serve/compact lifecycle the
+    * index stores follow. A long-running ingest accumulates a slice
+    * partition per micro-batch with the same (pane, type, user) key
+    * recurring across slices; compaction re-aggregates to one row per
+    * key, so the serving merge reads state bounded by key cardinality,
+    * not by ingest history. The folded rows land under the RESERVED
+    * slice `-1`: micro-batch ids are nonnegative, so a future append
+    * can never dynamic-overwrite the compacted history (the mistake a
+    * `slice 0` convention would invite), and re-compaction folds the
+    * previous `-1` in with everything since. Returns surviving rows.
+    */
+  def compactPartials(spark: SparkSession, basePath: String): Long =
+    rewritePartials(spark, basePath)(identity)
+
+  /** Retention on AGGREGATE state (the rollup-store analogue of the
+    * raw-event `retention_prune`): drop every pane strictly before the
+    * cutoff and compact what survives. `cutoffNs` should be
+    * pane-aligned; after the prune both readers equal the full scans
+    * over `events WHERE ts >= cutoff` exactly (a pane either survives
+    * whole or is dropped whole — the same events both sides lose).
+    * Returns surviving rows.
+    */
+  def pruneBefore(spark: SparkSession, basePath: String,
+      cutoffNs: Long): Long =
+    rewritePartials(spark, basePath)(_.filter(col("pane_ns") >= cutoffNs))
+
+  /** Staged rewrite of the partial table: materialize the folded frame
+    * FULLY into `.staging` (it reads from the live table, so the write
+    * must complete before anything moves), then rename-swap — the
+    * `Sinks.swapRewrite` protocol, done here with `partitionBy`
+    * preserved so the slice layout survives the rewrite. `value_sum`
+    * is pinned back to the ingest schema's decimal(28,2): re-summing
+    * widens the type, and a per-slice schema drift would poison later
+    * parquet reads.
+    */
+  private def rewritePartials(spark: SparkSession, basePath: String)(
+      f: DataFrame => DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(s"$basePath/partials")
+    val staging = new Path(s"$basePath/partials.staging")
+    val trash = new Path(s"$basePath/partials.trash")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f(loadPartials(spark, basePath))
+      .groupBy("pane_ns", "event_type", "user_id")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_sum")).cast("decimal(28,2)").as("value_sum"))
+      .withColumn("slice_id", lit(-1L))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("slice_id")
+      .parquet(staging.toString)
+    if (fs.exists(trash)) fs.delete(trash, true)
+    require(fs.rename(target, trash), s"could not stage out $target")
+    require(fs.rename(staging, target), s"could not swap in $staging")
+    fs.delete(trash, true)
+    loadPartials(spark, basePath).count()
+  }
+
   /** The demonstration split for the `*_incremental` entries: four
     * ingest sources feeding the same hours (`user_id mod 4` — the
     * adversarial case for the merge: every rollup row must combine

@@ -45,6 +45,64 @@ class RollupStoreSpec extends SparkSpec {
       RollupStore.loadPartials(spark, late))) == fullSliding)
   }
 
+  test("compaction folds slices without moving either rollup; retention prunes panes exactly") {
+    val ev = Tables.events(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-rollup-compact").toString + "/roll"
+    // slice by EVENT id (not user): the same (pane, type, user) key then
+    // recurs across slices, so compaction has real folding to do
+    (0L until 4L).foreach(s =>
+      RollupStore.appendSlice(ev.filter(pmod(col("event_id"), lit(4L)) === s),
+        base, s))
+    val hourly = rows(RollupStore.windowHourlyFrom(
+      RollupStore.loadPartials(spark, base)))
+    val sliding = rows(RollupStore.windowSlidingFrom(
+      RollupStore.loadPartials(spark, base)))
+    val before = RollupStore.loadPartials(spark, base).count()
+    // compact: one slice (-1), fewer-or-equal rows, BOTH rollups unmoved
+    val after = RollupStore.compactPartials(spark, base)
+    assert(after < before)
+    val partials = RollupStore.loadPartials(spark, base)
+    // partition-dir inference may narrow slice_id to int on read-back
+    assert(partials.select("slice_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq == Seq(-1L))
+    assert(rows(RollupStore.windowHourlyFrom(partials)) == hourly)
+    assert(rows(RollupStore.windowSlidingFrom(partials)) == sliding)
+    // append-after-compact: a held-back slice still merges in (schema
+    // of the compacted files must match fresh appends)
+    val extraBase = java.nio.file.Files
+      .createTempDirectory("graft-rollup-compact2").toString + "/roll"
+    (0L until 3L).foreach(s =>
+      RollupStore.appendSlice(ev.filter(pmod(col("event_id"), lit(4L)) === s),
+        extraBase, s))
+    RollupStore.compactPartials(spark, extraBase)
+    RollupStore.appendSlice(ev.filter(pmod(col("event_id"), lit(4L)) === 3L),
+      extraBase, 3L)
+    assert(rows(RollupStore.windowHourlyFrom(
+      RollupStore.loadPartials(spark, extraBase))) == hourly)
+    // retention: prune panes before a pane-aligned cutoff == full scans
+    // over the events that survive the same cutoff
+    val cutoff = (ev.agg(expr(s"min(ts) div ${RollupStore.PaneNs}"))
+      .head().getLong(0) + 6L) * RollupStore.PaneNs
+    RollupStore.pruneBefore(spark, base, cutoff)
+    val kept = ev.filter(col("ts") >= cutoff)
+    val pruned = RollupStore.loadPartials(spark, base)
+    assert(rows(RollupStore.windowHourlyFrom(pruned)) ==
+      rows(windowHourlyOf(kept)))
+    assert(rows(RollupStore.windowSlidingFrom(pruned)) ==
+      rows(Analytics.windowSlidingOf(kept)))
+    assert(rows(RollupStore.windowHourlyFrom(pruned)) != hourly)
+  }
+
+  private def windowHourlyOf(events: DataFrame): DataFrame =
+    events.groupBy(
+        expr("(ts div 3600000000000) * 3600000000000").as("hour_ns"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour_ns"), col("event_type"))
+
   test("incremental entries serve the persisted partials") {
     assert(rows(RollupStore.windowHourlyIncremental(spark, sf)) ==
       rows(Analytics.windowHourly(spark, sf)))
