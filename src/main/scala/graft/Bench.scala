@@ -148,7 +148,8 @@ object Bench {
           wanted("search_index_sync"),
           () => graft.index.SearchIndexStore.ensureSyncedIndex(spark, sfDir)),
         ("rollup",
-          wanted("window_hourly_incremental"),
+          wanted("window_hourly_incremental", "window_sliding_incremental",
+            "cohort_retention_incremental"),
           () => graft.analytics.RollupStore.ensureRollup(spark, sfDir))
       ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()

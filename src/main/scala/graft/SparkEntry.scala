@@ -36,6 +36,8 @@ object SparkEntry {
       (graft.analytics.RollupStore.windowSlidingIncremental _),
     "funnel_steps"   -> (Analytics.funnelSteps _),
     "cohort_retention" -> (Analytics.cohortRetention _),
+    "cohort_retention_incremental" ->
+      (graft.analytics.RollupStore.cohortRetentionIncremental _),
     "percentile_stats" -> (Analytics.percentileStats _),
     "min_cost_supplier" -> (Analytics.minCostSupplier _),
     "sync_diff"      -> (Sync.syncDiff _),
@@ -400,6 +402,7 @@ object SparkEntry {
       // hashes; BOTH readers serve from the one pane-grain state table
       "window_hourly_incremental" -> base("window_hourly"),
       "window_sliding_incremental" -> base("window_sliding"),
+      "cohort_retention_incremental" -> base("cohort_retention"),
       // epoch planning with tokenizer-exact (BPE) counts: the epoch_plan
       // oracle with its whitespace-count CTE swapped for the bpe_apply
       // chain's true token counts

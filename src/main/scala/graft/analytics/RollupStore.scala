@@ -200,6 +200,24 @@ object RollupStore {
   def windowSlidingIncremental(spark: SparkSession, dir: String): DataFrame =
     windowSlidingFrom(loadPartials(spark, ensureRollup(spark, dir)))
 
+  /** `cohort_retention` served from the SAME pane store — the third
+    * reader, and the one that shows the state grain was chosen right:
+    * a user's cohort week is `min(week)` over their activity, weeks
+    * are whole numbers of panes (604800e9 = 672 × 900e9, and `div`
+    * truncation composes: `ts div week == pane_ns div week`), and the
+    * per-(cohort, offset) measure is a distinct-user count — all three
+    * algebraic at (pane, user). The pane rows feed the UNCHANGED
+    * full-scan pipeline (`Analytics.cohortRetentionOf`) with `pane_ns`
+    * standing in for `ts`, so the week bucketing, first-seen min, and
+    * re-distinct are shared code — hash-checked against the SAME
+    * oracle as `cohort_retention`.
+    */
+  def cohortRetentionIncremental(spark: SparkSession,
+      dir: String): DataFrame =
+    Analytics.cohortRetentionOf(
+      loadPartials(spark, ensureRollup(spark, dir))
+        .select(col("user_id"), col("pane_ns").as("ts")))
+
   /** Build-if-missing-or-stale for the partial-state table (shared by
     * the query entries and the bench pre-build); returns the base path.
     */

@@ -108,5 +108,7 @@ class RollupStoreSpec extends SparkSpec {
       rows(Analytics.windowHourly(spark, sf)))
     assert(rows(RollupStore.windowSlidingIncremental(spark, sf)) ==
       rows(Analytics.windowSliding(spark, sf)))
+    assert(rows(RollupStore.cohortRetentionIncremental(spark, sf)) ==
+      rows(Analytics.cohortRetention(spark, sf)))
   }
 }
