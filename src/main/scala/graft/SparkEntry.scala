@@ -81,6 +81,7 @@ object SparkEntry {
     // k=32 so the 500-doc test corpora exercise REAL truncation (every
     // lang stratum outnumbers the sample); production default is 256
     "quantile_sketch" -> ((s: SparkSession, d: String) => TextOps.quantileSketch(s, d, k = 32)),
+    "heavy_hitters"  -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
     "quality_percentiles" -> (TextOps.qualityPercentiles _),
     "lang_confusion" -> (TextOps.langConfusion _),
     "token_bpe"      -> (TextOps.tokenBpe _),
@@ -1030,6 +1031,37 @@ object SparkEntry {
         |  CAST(est_distinct AS BIGINT) AS est_distinct,
         |  CAST(1000000 * ABS(est_distinct - n_exact) // n_exact AS BIGINT) AS err_ppm
         |FROM est ORDER BY lang""".stripMargin,
+    // Count-Min is a pure function of the occurrence multiset (counters
+    // are sums over row-salted md5 buckets), so the sketch ESTIMATE
+    // itself hash-matches — the same move as distinct_sketch, applied
+    // to frequencies
+    "heavy_hitters" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS l FROM documents),
+        |occ AS (SELECT lang, unnest(CASE WHEN len(l) >= 3
+        |    THEN list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM d),
+        |ex AS (SELECT lang, g, COUNT(*) AS n_exact FROM occ GROUP BY 1, 2),
+        |top AS (SELECT lang, g, n_exact,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_exact DESC, g) AS rk
+        |  FROM ex),
+        |tp AS (SELECT * FROM top WHERE rk <= 8),
+        |cms AS (SELECT lang, r,
+        |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || g), 1, 8))::BIGINT % 1024 AS b,
+        |    COUNT(*) AS c
+        |  FROM occ, (SELECT unnest([0, 1, 2, 3]) AS r) rows
+        |  GROUP BY 1, 2, 3),
+        |probe AS (SELECT t.lang, t.g, t.n_exact, t.rk, MIN(c.c) AS est_count
+        |  FROM (SELECT lang, g, n_exact, rk, unnest([0, 1, 2, 3]) AS r FROM tp) t
+        |  JOIN cms c ON c.lang = t.lang AND c.r = t.r
+        |    AND c.b = ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || t.g), 1, 8))::BIGINT % 1024
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, g AS shingle,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(est_count AS BIGINT) AS est_count,
+        |  CAST((1000000 * (est_count - n_exact)) // n_exact AS BIGINT) AS over_ppm
+        |FROM probe ORDER BY lang, rk""".stripMargin,
     "token_freq" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)

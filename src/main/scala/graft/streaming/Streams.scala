@@ -265,6 +265,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming HEAVY-HITTER (Count-Min) gauge — the frequency member
+    * of the sketch-gauge family. Counters merge by ADDITION, which is
+    * not idempotent, so unlike the set-union gauges this one cannot
+    * blind-merge into its state: each micro-batch's CMS lands in its
+    * own `batch_id` partition (dynamic overwrite — a crash-redelivered
+    * batch carries the same batchId and rewrites, never double-counts;
+    * the rollupAppend contract), and `TextOps.cmsLoad` folds the
+    * partitions into the live sketch at read time. State is
+    * batches·langs·d·w counters; a maintenance pass can fold history
+    * the way `RollupStore.compactPartials` does.
+    */
+  def heavyHitterGauge(newDocs: DataFrame,
+      statePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.TextOps.cmsState(
+              graft.text.TextOps.shingleOccurrences(batch.toDF()))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statePath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming DECISION-TABLE maintenance — the curation level of the
     * reference's sync loop (`VectorIndexAppend`'s decision twin): each
     * micro-batch of newly-crawled `(doc_id, text, source)` docs is

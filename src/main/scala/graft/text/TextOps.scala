@@ -423,6 +423,16 @@ object TextOps {
     * md5-prefix 32-bit value.
     */
   def shingleHashes(docs: DataFrame): DataFrame =
+    shingleOccurrences(docs)
+      .select(col("lang"),
+        expr("CAST(CONV(SUBSTRING(md5(g), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+
+  /** Word-3-gram shingle OCCURRENCES per language — `(lang, g)` once
+    * per appearance, the multiset the frequency sketches count (the
+    * distinct sketch above takes the same rows set-wise).
+    */
+  def shingleOccurrences(docs: DataFrame): DataFrame =
     docs
       .select(col("lang"), split(col("text"), " ").as("l"))
       .select(col("lang"), explode(expr(
@@ -430,9 +440,6 @@ object TextOps {
           |  THEN transform(sequence(0, size(l) - 3),
           |    i -> concat_ws(' ', slice(l, i + 1, 3)))
           |  ELSE array() END""".stripMargin)).as("g"))
-      .select(col("lang"),
-        expr("CAST(CONV(SUBSTRING(md5(g), 1, 8), 16, 10) AS BIGINT)").as("h"))
-      .distinct()
 
   /** The sketch STATE: the k smallest distinct hashes per lang, as a
     * plain `(lang, h)` frame — langs·k rows regardless of corpus size.
@@ -573,5 +580,121 @@ object TextOps {
         col("p10_est"), col("p50_est"), col("p90_est"),
         col("p10_exact"), col("p50_exact"), col("p90_exact"))
       .orderBy("lang") // language-table-sized output: bounded sort
+  }
+
+  /** Count-Min Sketch geometry: d independent hash rows × w buckets.
+    * Error bound: overestimate ≤ total/w per row with prob 1−(1/2)^d
+    * under the standard analysis; w = 1024 keeps collision noise
+    * below 0.1% of corpus mass, d = 4 rows make a simultaneous
+    * 4-way collision on one key negligible.
+    */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** The CMS hash: row-salted portable md5-prefix, reduced to a
+    * bucket. Identical string arithmetic on both engines
+    * (`md5(r || ':' || g)`), so the counter matrix — and therefore
+    * the estimate — is reproducible in the oracle.
+    */
+  private def cmsBucket(r: Column, g: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), g)), 1, 8),
+      16, 10).cast("long"), lit(w.toLong))
+
+  /** Count-Min Sketch STATE per language over shingle occurrences:
+    * `(lang, r, b) → counter`, ≤ langs·d·w rows regardless of corpus
+    * size. Counters are plain sums — order-free, exactly mergeable by
+    * addition, and deterministic on any engine (the property
+    * Misra-Gries/SpaceSaving summaries give up: their state depends on
+    * processing order, which no cross-engine hash gate can pin). The
+    * d-way explode happens map-side and collapses in the same
+    * partial agg, so the shuffle carries ≤ d·w rows per task, not
+    * d× the corpus.
+    */
+  def cmsState(occurrences: DataFrame, d: Int = CmsD,
+      w: Int = CmsW): DataFrame = {
+    require(d >= 1 && w >= 2, s"cmsState needs d >= 1, w >= 2; got d=$d w=$w")
+    occurrences
+      .select(col("lang"), col("g"),
+        explode(expr(s"sequence(0, ${d - 1}L)")).as("r"))
+      .select(col("lang"), col("r"), cmsBucket(col("r"), col("g"), w).as("b"))
+      .groupBy("lang", "r", "b")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** MERGE two CMS states: counter-wise addition — the linearity that
+    * makes CMS the frequency sketch for shard/crawl/micro-batch
+    * pipelines (state per ingest unit, fold associatively; deletions
+    * would even merge with negative weights).
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "r", "b").agg(sum(col("c")).as("c"))
+
+  /** Fold a PERSISTED per-batch CMS state directory (the streaming
+    * gauge's layout: one `batch_id` partition per micro-batch) into
+    * the single live sketch — [[cmsMerge]] over every partition at
+    * once. Addition is NOT idempotent, so the streaming side must bind
+    * each batch's counters to its batch_id partition (replay =
+    * rewrite); this reader is where the fold happens.
+    */
+  def cmsLoad(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy("lang", "r", "b").agg(sum(col("c")).as("c"))
+
+  /** Point-query the sketch for candidate keys: each candidate probes
+    * its d buckets, the estimate is the row-wise MIN (collisions only
+    * ever inflate a counter, so the min is the tightest of d upper
+    * bounds — est ≥ exact always). Candidates are a bounded frame, so
+    * the probe is a broadcast join against the langs·d·w state.
+    */
+  def cmsEstimate(state: DataFrame, candidates: DataFrame, d: Int = CmsD,
+      w: Int = CmsW): DataFrame =
+    candidates
+      .select(col("lang"), col("g"),
+        explode(expr(s"sequence(0, ${d - 1}L)")).as("r"))
+      .withColumn("b", cmsBucket(col("r"), col("g"), w))
+      .join(state, Seq("lang", "r", "b"))
+      .groupBy("lang", "g")
+      .agg(min(col("c")).as("est_count"))
+
+  /** HEAVY HITTERS per language — the frequency member of the
+    * mergeable-sketch family (`distinct_sketch` = cardinality,
+    * `quantile_sketch` = distribution, this = top keys): the per-lang
+    * top-N shingles with their exact counts and the Count-Min
+    * estimates for the same keys. At 100 TB the exact side is the
+    * validation rail a production caller drops: candidates come from
+    * per-shard local tops and the CMS — langs·d·w counters, built in
+    * one pass, merged by addition across shards — settles their global
+    * counts; here the rail measures the sketch's overestimate instead
+    * of assuming the bound. Ranking ties break lexicographically, and
+    * the top-N selection is the same two-level window as [[bottomK]]
+    * (level 1 inside a 256-way hash split of the key space, level 2
+    * over ≤ 256·N survivors), so no window partition ever holds a
+    * language's whole vocabulary.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+      topN: Int = 8): DataFrame = {
+    require(topN >= 1, s"heavyHitters needs topN >= 1, got $topN")
+    val occ = shingleOccurrences(Tables.documents(spark, dir))
+      .materializeOnce() // one shingle pass feeds the sketch AND the rail
+    val exact = occ.groupBy("lang", "g").agg(count(lit(1)).as("n_exact"))
+    val split = pmod(conv(substring(md5(col("g")), 1, 8), 16, 10)
+      .cast("long"), lit(256L))
+    val byCount = Seq(col("n_exact").desc, col("g").asc)
+    val lvl1 = Window.partitionBy(col("lang"), split).orderBy(byCount: _*)
+    val lvl2 = Window.partitionBy(col("lang")).orderBy(byCount: _*)
+    val top = exact
+      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= topN)
+      .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= topN)
+      .select("lang", "g", "n_exact", "rk")
+    top.join(cmsEstimate(cmsState(occ), top.select("lang", "g")),
+        Seq("lang", "g"))
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("g").as("shingle"),
+        col("n_exact"), col("est_count"),
+        // no ABS: CMS can only overestimate — a negative error here is
+        // a bug the gate should catch, not noise to fold away
+        expr("CAST((1000000 * (est_count - n_exact)) DIV n_exact AS BIGINT)")
+          .as("over_ppm"))
+      .orderBy("lang", "rk") // langs·topN rows: bounded sort
   }
 }

@@ -406,6 +406,37 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitterGauge folds micro-batch CMS states to the one-pass sketch, replay-safe") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).select("lang", "text")
+    val all = docs.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val statePath = java.nio.file.Files
+      .createTempDirectory("cmsstate").resolve("state").toString
+    val stream = MemoryStream[(String, String)](spark)
+    val query = Streams.heavyHitterGauge(
+      stream.toDS().toDF("lang", "text"), statePath)
+    try {
+      val (b1, rest) = all.splitAt(all.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val whole = graft.text.TextOps.cmsState(
+      graft.text.TextOps.shingleOccurrences(docs))
+    assert(rows(graft.text.TextOps.cmsLoad(spark, statePath)) == rows(whole))
+    // crash redelivery = same batchId → partition rewrite, fold unchanged
+    val (b1, _) = all.splitAt(all.length / 3)
+    graft.text.TextOps.cmsState(graft.text.TextOps.shingleOccurrences(
+        spark.createDataset(b1).toDF("lang", "text")))
+      .withColumn("batch_id", lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(statePath)
+    assert(rows(graft.text.TextOps.cmsLoad(spark, statePath)) == rows(whole))
+  }
+
   test("rollupAppend maintains the pane store; both rollups equal the batch scans") {
     val sql = spark.sqlContext
     import sql.implicits._

@@ -249,4 +249,32 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(TextOps.quantileSketchEstimate(merged)) ==
       rows(TextOps.quantileSketchEstimate(TextOps.quantileBottomK(scored, k))))
   }
+
+  test("CMS merge law is exact; heavy-hitter estimates dominate exact counts tightly") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val docs = graft.core.Tables.documents(spark, sf)
+    val occ = TextOps.shingleOccurrences(docs)
+    // merge = addition: per-shard sketches fold to the one-pass sketch
+    // bit-for-bit (3-way split so at least one shard pair shares buckets)
+    val whole = TextOps.cmsState(occ)
+    val parts = (0 until 3).map(i => TextOps.cmsState(
+      TextOps.shingleOccurrences(docs.filter(pmod(col("doc_id"), lit(3)) === i))))
+    assert(rows(parts.reduce(TextOps.cmsMerge(_, _))) == rows(whole))
+    val hh = TextOps.heavyHitters(spark, sf).collect()
+    assert(hh.nonEmpty)
+    hh.foreach { r =>
+      // CMS never underestimates, and w=1024 keeps the slack tiny here
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("over_ppm") >= 0L)
+    }
+    // the rail agrees with an exact driver recompute of the top counts
+    val exactTop = occ.groupBy("lang", "g").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    hh.foreach { r =>
+      assert(r.getAs[Long]("n_exact") ==
+        exactTop((r.getAs[String]("lang"), r.getAs[String]("shingle"))))
+    }
+  }
 }
