@@ -142,7 +142,8 @@ object Bench {
           wanted("dedup_cluster_incremental"),
           () => graft.dedup.MinhashIndexStore.ensureIncrementalLabels(spark, sfDir)),
         ("searchidx",
-          wanted("inverted_index_indexed", "bm25_rank_indexed"),
+          wanted("inverted_index_indexed", "bm25_rank_indexed",
+            "token_freq_indexed", "tfidf_topk_indexed"),
           () => graft.index.SearchIndexStore.ensureSearchIndex(spark, sfDir)),
         ("searchsync",
           wanted("search_index_sync"),

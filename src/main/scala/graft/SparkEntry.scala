@@ -67,6 +67,10 @@ object SparkEntry {
       (graft.index.SearchIndexStore.invertedIndexIndexed _),
     "bm25_rank_indexed" ->
       (graft.index.SearchIndexStore.bm25RankIndexed _),
+    "token_freq_indexed" ->
+      (graft.index.SearchIndexStore.tokenFreqIndexed _),
+    "tfidf_topk_indexed" ->
+      (graft.index.SearchIndexStore.tfidfTopkIndexed _),
     "search_index_sync" ->
       (graft.index.SearchIndexStore.searchIndexSync _),
     "facet_count"       -> (Indexing.facetCount _),
@@ -394,6 +398,11 @@ object SparkEntry {
       // expression is shared, so the doubles are byte-identical to the
       // corpus-scan path — identical oracle, identical hash
       "bm25_rank_indexed" -> base("bm25_rank"),
+      // token counts and tf-idf served from the same postings store —
+      // the postings ARE the (doc, token, tf) frame, the scoring tails
+      // are shared code, so both hash against the corpus-path oracles
+      "token_freq_indexed" -> base("token_freq"),
+      "tfidf_topk_indexed" -> base("tfidf_topk"),
       // one crawl-sync cycle (new + changed + deleted) must converge
       // the stale store to the true corpus — the synced index's rollup
       // hash-checks against the full-corpus inverted_index oracle

@@ -341,6 +341,32 @@ object SearchIndexStore {
   def invertedIndexIndexed(spark: SparkSession, dir: String): DataFrame =
     invertedIndexFrom(loadPostings(spark, ensureSearchIndex(spark, dir)))
 
+  /** `token_freq` served from the persisted postings store: the corpus
+    * occurrence count of a token is `sum(tf)` over its posting rows —
+    * one partial-agg pass over the token-bucketed postings, zero
+    * corpus tokenization — then the shared top-100 rank tail, so the
+    * output hash-checks against the SAME oracle as `token_freq`.
+    */
+  def tokenFreqIndexed(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.tokenFreqTail(
+      loadPostings(spark, ensureSearchIndex(spark, dir))
+        .groupBy("token").agg(sum(col("tf")).as("cnt")))
+
+  /** `tfidf_topk` served from the persisted postings store: the
+    * postings ARE the `(doc_id, token, tf)` frame the corpus path
+    * tokenizes to build, and `n_docs` is a count of the doc-stats
+    * spine (one row per live doc, no text) — so the whole entry runs
+    * without touching corpus text. Scoring goes through the shared
+    * `Relevance.tfidfTail`, integer arithmetic identical, SAME oracle
+    * as `tfidf_topk`.
+    */
+  def tfidfTopkIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureSearchIndex(spark, dir)
+    graft.text.Relevance.tfidfTail(
+      loadPostings(spark, base).select("doc_id", "token", "tf"),
+      loadDocStats(spark, base).agg(count(lit(1)).as("n_docs")))
+  }
+
   /** BM25 over the persisted index for an arbitrary term query — the
     * actual serving path of a search engine: the postings scan prunes
     * to the query terms' buckets (token-bucketed layout + IN filter),

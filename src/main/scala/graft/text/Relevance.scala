@@ -43,10 +43,20 @@ object Relevance {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
+    tfidfTail(tf, docs.agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** The TF-IDF scoring tail over an arbitrary `(doc_id, token, tf)`
+    * frame and a 1-row `n_docs` totals frame — shared by the corpus
+    * tokenize path above and the persisted-postings serving path
+    * (`SearchIndexStore.tfidfTopkIndexed`), so the integer idf/score
+    * arithmetic is one piece of code and the two entries hash against
+    * the same oracle.
+    */
+  private[graft] def tfidfTail(tf: DataFrame, totals: DataFrame): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // corpus size as a 1-row frame; the SingleRowCrossToEquiJoin rule
     // plans the crossJoin as a BroadcastHashJoin (see graft.plans)
-    val totals = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(df.crossJoin(broadcast(totals))
         .select(col("token"), col("df"),

@@ -111,19 +111,24 @@ object TextOps {
     * partition key keeps WindowExec from flagging it as an unpartitioned
     * global window).
     */
-  def tokenFreq(spark: SparkSession, dir: String): DataFrame = {
-    val counted = Tables.documents(spark, dir)
+  def tokenFreq(spark: SparkSession, dir: String): DataFrame =
+    tokenFreqTail(Tables.documents(spark, dir)
       .select(explode(toks).as("token"))
       .groupBy("token")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
-      .limit(100)
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The top-100 rank tail over an arbitrary `(token, cnt)` frame —
+    * shared by the corpus tokenize path above and the persisted-
+    * postings serving path (`SearchIndexStore.tokenFreqIndexed`).
+    */
+  private[graft] def tokenFreqTail(counted: DataFrame): DataFrame = {
+    val top = counted.orderBy(col("cnt").desc, col("token")).limit(100)
     // the window ranks the 100-row post-limit result; partition on a
     // data-derived constant (a foldable literal is optimized out of the
     // spec, leaving the plan with an "unpartitioned window" warning)
     val w = Window.partitionBy(pmod(col("cnt"), lit(1)))
       .orderBy(col("cnt").desc, col("token"))
-    counted.withColumn("rk", row_number().over(w).cast("long"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
       .orderBy("rk")
   }
 

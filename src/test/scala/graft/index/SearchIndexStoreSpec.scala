@@ -24,6 +24,17 @@ class SearchIndexStoreSpec extends SparkSpec {
     assert(SearchIndexStore.bm25RankIndexed(spark, sf)
       .collect().map(_.toString).toSeq ==
       Relevance.bm25Rank(spark, sf).collect().map(_.toString).toSeq)
+    assert(rows(SearchIndexStore.tokenFreqIndexed(spark, sf)) ==
+      rows(graft.text.TextOps.tokenFreq(spark, sf)))
+    assert(rows(SearchIndexStore.tfidfTopkIndexed(spark, sf)) ==
+      rows(Relevance.tfidfTopK(spark, sf)))
+    // serving from the store means corpus TEXT is never read: the only
+    // allowed full scans are the postings and the no-text doc spine
+    Seq(SearchIndexStore.tokenFreqIndexed(spark, sf),
+        SearchIndexStore.tfidfTopkIndexed(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"), "indexed path scanned corpus text")
+    }
   }
 
   test("upsert lifecycle: unchanged no-op, change supersedes, replay repairs nothing twice") {
