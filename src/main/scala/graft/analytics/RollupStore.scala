@@ -28,7 +28,12 @@ import graft.core.{IndexScratch, Tables}
   *    becomes a row count the final merge re-distincts exactly.
   *
   * State size is bounded by panes × types × active-users-per-pane
-  * (the value dimension collapses on ingest), typically ~0.1% of raw.
+  * (the value dimension collapses on ingest). How much that is below
+  * raw is corpus-dependent: heavy per-user activity inside a pane
+  * (real clickstreams) collapses hard; the near-uniform synthetic
+  * corpus barely collapses (~1:1 at sf1). The win that does NOT
+  * depend on collapse: raw events are scanned exactly once, at
+  * ingest — serving and re-serving never re-read history.
   *
   * `value_sum` is summed as DECIMAL end-to-end: decimal addition is
   * exact and associative, so slice-partial sums merged in any order
