@@ -234,11 +234,27 @@ object RollupStore {
     val fp = "pane-v2:" +
       IndexScratch.sourceFingerprint(spark, s"$dir/events.parquet")
     IndexScratch.ensureBuilt(base, fp) {
-      val ev = Tables.events(spark, dir)
-      (0L until Slices).foreach { s =>
-        appendSlice(ev.filter(pmod(col("user_id"), lit(Slices)) === s),
-          base, s)
-      }
+      // ONE events scan for all slices: tagging each row with its
+      // slice before the partial agg writes the same per-slice
+      // partials as [[Slices]] separate appendSlice passes would
+      // (the agg key gains slice_id, which the demo split derives
+      // from user_id, so the grouped rows are identical) — at 100 TB
+      // the difference between 1 and 4 history scans is the build
+      Tables.events(spark, dir)
+        .withColumn("slice_id", pmod(col("user_id"), lit(Slices)))
+        .groupBy(
+          col("slice_id"),
+          expr(s"(ts div $PaneNs) * $PaneNs").as("pane_ns"),
+          col("event_type"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+        .select("pane_ns", "event_type", "user_id", "n_events",
+          "value_sum", "slice_id")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(s"$base/partials")
     }
     base
   }
