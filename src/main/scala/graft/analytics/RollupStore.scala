@@ -147,36 +147,22 @@ object RollupStore {
       cutoffNs: Long): Long =
     rewritePartials(spark, basePath)(_.filter(col("pane_ns") >= cutoffNs))
 
-  /** Staged rewrite of the partial table: materialize the folded frame
-    * FULLY into `.staging` (it reads from the live table, so the write
-    * must complete before anything moves), then rename-swap — the
-    * `Sinks.swapRewrite` protocol, done here with `partitionBy`
-    * preserved so the slice layout survives the rewrite. `value_sum`
-    * is pinned back to the ingest schema's decimal(28,2): re-summing
-    * widens the type, and a per-slice schema drift would poison later
-    * parquet reads.
+  /** Staged rewrite of the partial table through `Sinks.swapRewrite`
+    * (materialize-to-staging before any rename, so the fold can read
+    * the live table it replaces), with the slice partitioning
+    * preserved. `value_sum` is pinned back to the ingest schema's
+    * decimal(28,2): re-summing widens the type, and a per-slice schema
+    * drift would poison later parquet reads.
     */
   private def rewritePartials(spark: SparkSession, basePath: String)(
-      f: DataFrame => DataFrame): Long = {
-    import org.apache.hadoop.fs.Path
-    val target = new Path(s"$basePath/partials")
-    val staging = new Path(s"$basePath/partials.staging")
-    val trash = new Path(s"$basePath/partials.trash")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f(loadPartials(spark, basePath))
-      .groupBy("pane_ns", "event_type", "user_id")
-      .agg(sum(col("n_events")).as("n_events"),
-        sum(col("value_sum")).cast("decimal(28,2)").as("value_sum"))
-      .withColumn("slice_id", lit(-1L))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("slice_id")
-      .parquet(staging.toString)
-    if (fs.exists(trash)) fs.delete(trash, true)
-    require(fs.rename(target, trash), s"could not stage out $target")
-    require(fs.rename(staging, target), s"could not swap in $staging")
-    fs.delete(trash, true)
-    loadPartials(spark, basePath).count()
-  }
+      f: DataFrame => DataFrame): Long =
+    graft.sinks.Sinks.swapRewrite(spark,
+      f(loadPartials(spark, basePath))
+        .groupBy("pane_ns", "event_type", "user_id")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("value_sum")).cast("decimal(28,2)").as("value_sum"))
+        .withColumn("slice_id", lit(-1L)),
+      s"$basePath/partials", partitionCols = Seq("slice_id"))
 
   /** The demonstration split for the `*_incremental` entries: four
     * ingest sources feeding the same hours (`user_id mod 4` — the

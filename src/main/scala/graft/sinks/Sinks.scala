@@ -150,13 +150,15 @@ object Sinks {
     * re-running is always safe. Returns the rewritten row count.
     */
   def swapRewrite(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-                  path: String, format: String = "parquet"): Long = {
+                  path: String, format: String = "parquet",
+                  partitionCols: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     val staging = new Path(path + ".staging")
     val trash = new Path(path + ".trash")
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy(partitionCols: _*).save(staging.toString)
     if (fs.exists(trash)) fs.delete(trash, true) // leftover from a crashed run
     require(fs.exists(target), s"swapRewrite target $path does not exist")
     require(fs.rename(target, trash), s"swapRewrite could not stage out $path")

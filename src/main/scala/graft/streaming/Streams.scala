@@ -273,8 +273,8 @@ object Streams {
     * batch carries the same batchId and rewrites, never double-counts;
     * the rollupAppend contract), and `TextOps.cmsLoad` folds the
     * partitions into the live sketch at read time. State is
-    * batches·langs·d·w counters; a maintenance pass can fold history
-    * the way `RollupStore.compactPartials` does.
+    * batches·langs·d·w counters until `TextOps.cmsCompact` folds the
+    * history into the reserved batch `-1`.
     */
   def heavyHitterGauge(newDocs: DataFrame,
       statePath: String): org.apache.spark.sql.streaming.StreamingQuery =

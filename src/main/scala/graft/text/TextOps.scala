@@ -645,6 +645,20 @@ object TextOps {
     spark.read.parquet(statePath)
       .groupBy("lang", "r", "b").agg(sum(col("c")).as("c"))
 
+  /** Fold the gauge's accumulated per-batch partitions into ONE — the
+    * CMS state's compaction (the `RollupStore.compactPartials` move):
+    * the folded counters land under the RESERVED batch `-1` (micro-
+    * batch ids are nonnegative, so a future batch can never dynamic-
+    * overwrite the compacted history), through the staged rename-swap
+    * so a concurrent [[cmsLoad]] never sees a mix. Counter addition is
+    * associative, so fold-then-read equals read — exactly. Returns
+    * surviving rows (≤ langs·d·w).
+    */
+  def cmsCompact(spark: SparkSession, statePath: String): Long =
+    graft.sinks.Sinks.swapRewrite(spark,
+      cmsLoad(spark, statePath).withColumn("batch_id", lit(-1L)),
+      statePath, partitionCols = Seq("batch_id"))
+
   /** Point-query the sketch for candidate keys: each candidate probes
     * its d buckets, the estimate is the row-wise MIN (collisions only
     * ever inflate a counter, so the min is the tightest of d upper

@@ -435,6 +435,13 @@ class StreamsSpec extends SparkSpec {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(statePath)
     assert(rows(graft.text.TextOps.cmsLoad(spark, statePath)) == rows(whole))
+    // compaction folds the batch history into one partition; the live
+    // sketch is unchanged and later batches still merge in
+    val survivors = graft.text.TextOps.cmsCompact(spark, statePath)
+    assert(survivors <= whole.count())
+    assert(rows(graft.text.TextOps.cmsLoad(spark, statePath)) == rows(whole))
+    assert(spark.read.parquet(statePath).select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq == Seq(-1L))
   }
 
   test("rollupAppend maintains the pane store; both rollups equal the batch scans") {
