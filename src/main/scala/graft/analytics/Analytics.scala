@@ -206,11 +206,16 @@ object Analytics {
     * graft.streaming.HourlyCounts). ts is epoch-nanos; hour bucket is
     * integer division, so it matches DuckDB's date_trunc exactly.
     */
-  def windowHourly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def windowHourly(spark: SparkSession, dir: String): DataFrame =
+    windowHourlyOf(Tables.events(spark, dir))
+
+  /** `windowHourly` over an arbitrary events frame (the `*Of` variant
+    * the sliding/cohort rollups already have).
+    */
+  def windowHourlyOf(events: DataFrame): DataFrame =
     // Integer division: epoch-ns (~1.7e18) exceeds double's exact range,
     // so a float divide + floor would corrupt the bucket boundary.
-    ev.groupBy(
+    events.groupBy(
         expr("(ts div 3600000000000) * 3600000000000").as("hour_ns"),
         col("event_type")
       )
@@ -220,7 +225,6 @@ object Analytics {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
       )
       .orderBy(col("hour_ns"), col("event_type"))
-  }
 
   /** Exact distributed percentiles (p50/p90/p99 of the event value per
     * type) plus a decimal-summed total — the latency/size distribution

@@ -56,11 +56,17 @@ object RollupStore {
 
   private val HourNs: Long = 4L * PaneNs
 
-  /** Partial-aggregate rows for one ingest slice of events. */
-  private def partialsOf(events: DataFrame): DataFrame =
-    events.groupBy(
+  /** Partial-aggregate rows for an events frame — THE one definition
+    * of the state grain and the measure contracts (pane expression,
+    * count, decimal sum), shared by per-slice appends and the
+    * all-slices-at-once build so the two paths cannot drift.
+    * `extraKeys` prepends grouping keys (the build adds `slice_id`).
+    */
+  private def partialsOf(events: DataFrame,
+      extraKeys: org.apache.spark.sql.Column*): DataFrame =
+    events.groupBy(extraKeys ++ Seq(
         expr(s"(ts div $PaneNs) * $PaneNs").as("pane_ns"),
-        col("event_type"), col("user_id"))
+        col("event_type"), col("user_id")): _*)
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("value_sum"))
@@ -120,20 +126,32 @@ object RollupStore {
   def loadPartials(spark: SparkSession, basePath: String): DataFrame =
     spark.read.parquet(s"$basePath/partials")
 
-  /** Fold every accumulated slice into ONE — the rollup store's
-    * compaction, completing the append/serve/compact lifecycle the
-    * index stores follow. A long-running ingest accumulates a slice
-    * partition per micro-batch with the same (pane, type, user) key
-    * recurring across slices; compaction re-aggregates to one row per
-    * key, so the serving merge reads state bounded by key cardinality,
-    * not by ingest history. The folded rows land under the RESERVED
-    * slice `-1`: micro-batch ids are nonnegative, so a future append
-    * can never dynamic-overwrite the compacted history (the mistake a
+  /** Fold accumulated slices into ONE — the rollup store's compaction,
+    * completing the append/serve/compact lifecycle the index stores
+    * follow. A long-running ingest accumulates a slice partition per
+    * micro-batch with the same (pane, type, user) key recurring across
+    * slices; compaction re-aggregates to one row per key, so the
+    * serving merge reads state bounded by key cardinality, not by
+    * ingest history. The folded rows land under the RESERVED slice
+    * `-1`: micro-batch ids are nonnegative, so a future append can
+    * never dynamic-overwrite the compacted history (the mistake a
     * `slice 0` convention would invite), and re-compaction folds the
-    * previous `-1` in with everything since. Returns surviving rows.
+    * previous `-1` in with everything since.
+    *
+    * `beforeSlice` is the REPLAY FENCE for a live ingest: folding a
+    * micro-batch whose sink write landed but whose stream checkpoint
+    * did not yet commit would double-count when the stream redelivers
+    * it (the redelivered batch recreates its partition while its rows
+    * also live inside `-1`). Pass the stream's committed-batch floor
+    * to fold only slices strictly below it; the default folds
+    * everything and is for quiesced/batch-built stores. Returns
+    * surviving rows.
     */
-  def compactPartials(spark: SparkSession, basePath: String): Long =
-    rewritePartials(spark, basePath)(identity)
+  def compactPartials(spark: SparkSession, basePath: String,
+      beforeSlice: Long = Long.MaxValue): Long =
+    rewritePartials(spark, basePath)(identity,
+      when(col("slice_id") < beforeSlice, lit(-1L))
+        .otherwise(col("slice_id")))
 
   /** Retention on AGGREGATE state (the rollup-store analogue of the
     * raw-event `retention_prune`): drop every pane strictly before the
@@ -141,27 +159,37 @@ object RollupStore {
     * pane-aligned; after the prune both readers equal the full scans
     * over `events WHERE ts >= cutoff` exactly (a pane either survives
     * whole or is dropped whole — the same events both sides lose).
-    * Returns surviving rows.
+    * Run against a quiesced store: a micro-batch redelivered AFTER the
+    * prune would resurrect its pre-cutoff panes. Pruning the whole
+    * store away is refused (`swapRewrite` will not swap in an empty
+    * partitioned staging) — retention that empties the store is a
+    * store delete, not a rewrite. Returns surviving rows.
     */
   def pruneBefore(spark: SparkSession, basePath: String,
       cutoffNs: Long): Long =
-    rewritePartials(spark, basePath)(_.filter(col("pane_ns") >= cutoffNs))
+    rewritePartials(spark, basePath)(
+      _.filter(col("pane_ns") >= cutoffNs), lit(-1L))
 
   /** Staged rewrite of the partial table through `Sinks.swapRewrite`
     * (materialize-to-staging before any rename, so the fold can read
     * the live table it replaces), with the slice partitioning
-    * preserved. `value_sum` is pinned back to the ingest schema's
+    * preserved; `sliceTarget` decides each row's output partition
+    * (constant `-1` = full fold; the fenced form maps only old slices
+    * to `-1`). `value_sum` is pinned back to the ingest schema's
     * decimal(28,2): re-summing widens the type, and a per-slice schema
     * drift would poison later parquet reads.
     */
   private def rewritePartials(spark: SparkSession, basePath: String)(
-      f: DataFrame => DataFrame): Long =
+      f: DataFrame => DataFrame,
+      sliceTarget: org.apache.spark.sql.Column): Long =
     graft.sinks.Sinks.swapRewrite(spark,
       f(loadPartials(spark, basePath))
-        .groupBy("pane_ns", "event_type", "user_id")
+        .withColumn("slice_id", sliceTarget)
+        .groupBy("slice_id", "pane_ns", "event_type", "user_id")
         .agg(sum(col("n_events")).as("n_events"),
           sum(col("value_sum")).cast("decimal(28,2)").as("value_sum"))
-        .withColumn("slice_id", lit(-1L)),
+        .select("pane_ns", "event_type", "user_id", "n_events",
+          "value_sum", "slice_id"),
       s"$basePath/partials", partitionCols = Seq("slice_id"))
 
   /** The demonstration split for the `*_incremental` entries: four
@@ -223,22 +251,19 @@ object RollupStore {
       // ONE events scan for all slices: tagging each row with its
       // slice before the partial agg writes the same per-slice
       // partials as [[Slices]] separate appendSlice passes would
-      // (the agg key gains slice_id, which the demo split derives
-      // from user_id, so the grouped rows are identical) — at 100 TB
-      // the difference between 1 and 4 history scans is the build
-      Tables.events(spark, dir)
-        .withColumn("slice_id", pmod(col("user_id"), lit(Slices)))
-        .groupBy(
-          col("slice_id"),
-          expr(s"(ts div $PaneNs) * $PaneNs").as("pane_ns"),
-          col("event_type"), col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+      // (partialsOf just gains slice_id as a grouping key) — at
+      // 100 TB the difference between 1 and 4 history scans is the
+      // build. STATIC overwrite, deliberately: a fingerprint-triggered
+      // rebuild must truncate the WHOLE table — a dynamic overwrite
+      // would leave any partition the new build doesn't emit (the
+      // compacted `-1` from a previous corpus) alive to double-count.
+      partialsOf(
+          Tables.events(spark, dir)
+            .withColumn("slice_id", pmod(col("user_id"), lit(Slices))),
+          col("slice_id"))
         .select("pane_ns", "event_type", "user_id", "n_events",
           "value_sum", "slice_id")
         .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
         .parquet(s"$base/partials")
     }

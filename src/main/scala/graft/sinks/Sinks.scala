@@ -159,6 +159,25 @@ object Sinks {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode(SaveMode.Overwrite).format(format)
       .partitionBy(partitionCols: _*).save(staging.toString)
+    // a PARTITIONED write of an empty frame emits no schema-bearing
+    // data file (only _SUCCESS) — swapping that in would destroy the
+    // live table and leave an unreadable path. Refuse BEFORE any
+    // rename: an all-rows-dropped rewrite is a table delete the caller
+    // must do explicitly, not a swap. (Non-partitioned empty writes
+    // keep a schema-bearing empty part file and swap fine.)
+    if (partitionCols.nonEmpty) {
+      val it = fs.listFiles(staging, true)
+      var hasData = false
+      while (!hasData && it.hasNext)
+        hasData = !it.next().getPath.getName.startsWith("_")
+      if (!hasData) {
+        fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"swapRewrite: refusing to swap an EMPTY partitioned rewrite " +
+            s"into $path (it would leave no readable schema); delete the " +
+            s"table explicitly if that is intended")
+      }
+    }
     if (fs.exists(trash)) fs.delete(trash, true) // leftover from a crashed run
     require(fs.exists(target), s"swapRewrite target $path does not exist")
     require(fs.rename(target, trash), s"swapRewrite could not stage out $path")

@@ -651,19 +651,39 @@ object TextOps {
     * batch ids are nonnegative, so a future batch can never dynamic-
     * overwrite the compacted history), through the staged rename-swap
     * so a concurrent [[cmsLoad]] never sees a mix. Counter addition is
-    * associative, so fold-then-read equals read — exactly. Returns
-    * surviving rows (≤ langs·d·w).
+    * associative, so fold-then-read equals read — exactly.
+    *
+    * `beforeBatch` is the REPLAY FENCE against a live stream (the
+    * `RollupStore.compactPartials` contract): a sink-written batch the
+    * checkpoint hasn't committed would double-count if folded and then
+    * redelivered — pass the committed-batch floor to fold only
+    * partitions strictly below it; the default folds everything and is
+    * for quiesced states. Returns surviving rows (≤ langs·d·w + any
+    * unfolded tail batches).
     */
-  def cmsCompact(spark: SparkSession, statePath: String): Long =
+  def cmsCompact(spark: SparkSession, statePath: String,
+      beforeBatch: Long = Long.MaxValue): Long =
     graft.sinks.Sinks.swapRewrite(spark,
-      cmsLoad(spark, statePath).withColumn("batch_id", lit(-1L)),
+      spark.read.parquet(statePath)
+        .withColumn("batch_id",
+          when(col("batch_id") < beforeBatch, lit(-1L))
+            .otherwise(col("batch_id")))
+        .groupBy("batch_id", "lang", "r", "b")
+        .agg(sum(col("c")).as("c"))
+        .select("lang", "r", "b", "c", "batch_id"),
       statePath, partitionCols = Seq("batch_id"))
 
   /** Point-query the sketch for candidate keys: each candidate probes
     * its d buckets, the estimate is the row-wise MIN (collisions only
     * ever inflate a counter, so the min is the tightest of d upper
     * bounds — est ≥ exact always). Candidates are a bounded frame, so
-    * the probe is a broadcast join against the langs·d·w state.
+    * the probe is a broadcast join against the langs·d·w state. The
+    * join is LEFT OUTER with absent buckets counting 0: a candidate
+    * the sketch never saw (per-shard-top candidates probing a gauge
+    * state, the production pattern) must report estimate 0, not
+    * silently vanish — and an empty bucket in ANY row forces the min
+    * to 0, which is the correct CMS answer. `d`/`w` must match the
+    * state's build geometry; a mismatch probes the wrong buckets.
     */
   def cmsEstimate(state: DataFrame, candidates: DataFrame, d: Int = CmsD,
       w: Int = CmsW): DataFrame =
@@ -671,9 +691,9 @@ object TextOps {
       .select(col("lang"), col("g"),
         explode(expr(s"sequence(0, ${d - 1}L)")).as("r"))
       .withColumn("b", cmsBucket(col("r"), col("g"), w))
-      .join(state, Seq("lang", "r", "b"))
+      .join(state, Seq("lang", "r", "b"), "left_outer")
       .groupBy("lang", "g")
-      .agg(min(col("c")).as("est_count"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
 
   /** HEAVY HITTERS per language — the frequency member of the
     * mergeable-sketch family (`distinct_sketch` = cardinality,
@@ -705,6 +725,7 @@ object TextOps {
       .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= topN)
       .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= topN)
       .select("lang", "g", "n_exact", "rk")
+      .materializeOnce() // referenced twice: join left side + candidates
     top.join(cmsEstimate(cmsState(occ), top.select("lang", "g")),
         Seq("lang", "g"))
       .select(col("lang"), col("rk").cast("long").as("rk"),

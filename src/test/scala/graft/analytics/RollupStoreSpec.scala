@@ -88,20 +88,45 @@ class RollupStoreSpec extends SparkSpec {
     val kept = ev.filter(col("ts") >= cutoff)
     val pruned = RollupStore.loadPartials(spark, base)
     assert(rows(RollupStore.windowHourlyFrom(pruned)) ==
-      rows(windowHourlyOf(kept)))
+      rows(Analytics.windowHourlyOf(kept)))
     assert(rows(RollupStore.windowSlidingFrom(pruned)) ==
       rows(Analytics.windowSlidingOf(kept)))
     assert(rows(RollupStore.windowHourlyFrom(pruned)) != hourly)
+    // pruning EVERYTHING is refused before any rename touches the live
+    // table (an empty partitioned swap would destroy it)
+    val maxPane = RollupStore.loadPartials(spark, base)
+      .agg(max(col("pane_ns"))).head().getLong(0)
+    intercept[IllegalArgumentException] {
+      RollupStore.pruneBefore(spark, base, maxPane + RollupStore.PaneNs)
+    }
+    assert(rows(RollupStore.windowHourlyFrom(
+      RollupStore.loadPartials(spark, base))) ==
+      rows(Analytics.windowHourlyOf(kept)))
   }
 
-  private def windowHourlyOf(events: DataFrame): DataFrame =
-    events.groupBy(
-        expr("(ts div 3600000000000) * 3600000000000").as("hour_ns"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .orderBy(col("hour_ns"), col("event_type"))
+  test("fenced compaction folds only slices below the replay floor") {
+    val ev = Tables.events(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-rollup-fence").toString + "/roll"
+    (0L until 4L).foreach(s =>
+      RollupStore.appendSlice(ev.filter(pmod(col("event_id"), lit(4L)) === s),
+        base, s))
+    val hourly = rows(RollupStore.windowHourlyFrom(
+      RollupStore.loadPartials(spark, base)))
+    // floor = 2: slices 0,1 fold into -1; 2,3 stay replayable
+    RollupStore.compactPartials(spark, base, beforeSlice = 2L)
+    val slices = RollupStore.loadPartials(spark, base)
+      .select("slice_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq.sorted
+    assert(slices == Seq(-1L, 2L, 3L))
+    assert(rows(RollupStore.windowHourlyFrom(
+      RollupStore.loadPartials(spark, base))) == hourly)
+    // the uncommitted batch REPLAYS (same sliceId): still no double count
+    RollupStore.appendSlice(ev.filter(pmod(col("event_id"), lit(4L)) === 3L),
+      base, 3L)
+    assert(rows(RollupStore.windowHourlyFrom(
+      RollupStore.loadPartials(spark, base))) == hourly)
+  }
 
   test("incremental entries serve the persisted partials") {
     assert(rows(RollupStore.windowHourlyIncremental(spark, sf)) ==

@@ -442,6 +442,18 @@ class StreamsSpec extends SparkSpec {
     assert(rows(graft.text.TextOps.cmsLoad(spark, statePath)) == rows(whole))
     assert(spark.read.parquet(statePath).select("batch_id").distinct()
       .collect().map(_.getAs[Number](0).longValue).toSeq == Seq(-1L))
+    // fenced compaction: a batch at/above the replay floor stays in its
+    // own partition (redeliverable), the fold below is unchanged
+    graft.text.TextOps.cmsState(graft.text.TextOps.shingleOccurrences(
+        spark.createDataset(b1).toDF("lang", "text")))
+      .withColumn("batch_id", lit(5L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(statePath)
+    graft.text.TextOps.cmsCompact(spark, statePath, beforeBatch = 5L)
+    assert(spark.read.parquet(statePath).select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq.sorted ==
+      Seq(-1L, 5L))
   }
 
   test("rollupAppend maintains the pane store; both rollups equal the batch scans") {

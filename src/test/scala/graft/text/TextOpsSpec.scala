@@ -276,5 +276,19 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_exact") ==
         exactTop((r.getAs[String]("lang"), r.getAs[String]("shingle"))))
     }
+    // a candidate the sketch never saw is REPORTED (left join), and one
+    // whose lang has no state at all estimates exactly 0 (every bucket
+    // absent → min over coalesced zeros; within a live lang an unseen
+    // key may still read >0 — that's the CMS overestimate, not a bug)
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val ghosts = Seq(("zz", "no such language"),
+      (hh.head.getAs[String]("lang"), "never seen shingle xyzzy"))
+      .toDF("lang", "g")
+    val est = TextOps.cmsEstimate(whole, ghosts).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("est_count")).toMap
+    assert(est.size == 2)
+    assert(est("zz") == 0L)
+    assert(est(hh.head.getAs[String]("lang")) >= 0L)
   }
 }
