@@ -184,4 +184,29 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan2.contains("n_chars"), "doc_rolling_fp scan reads unused column n_chars")
   }
+
+  test("round-14 serving entries keep their persisted-state shapes") {
+    // token_freq_indexed: the token-bucketed postings make the
+    // groupBy(token) co-located — the WHOLE plan is exchange-free
+    val tf = SparkEntry.queries("token_freq_indexed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!tf.contains("Exchange"),
+      s"token_freq_indexed lost its zero-exchange bucketed shape:\n$tf")
+    // the rollup readers serve from the pane-grain state table and must
+    // never re-scan raw events
+    Seq("window_hourly_incremental", "window_sliding_incremental",
+      "cohort_retention_incremental").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("events.parquet"),
+        s"$name re-scans raw events instead of the pane store")
+    }
+    // the postings-serving entries never touch corpus text
+    Seq("tfidf_topk_indexed", "inverted_index_indexed").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"$name scans corpus text instead of the postings store")
+    }
+  }
 }
