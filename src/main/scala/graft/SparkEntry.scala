@@ -160,6 +160,7 @@ object SparkEntry {
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
+    "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_meta"         -> (Multimodal.mmMeta _)
   )
@@ -1829,6 +1830,30 @@ object SparkEntry {
         |  CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS chunk_bytes,
         |  md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // chunk-level storage dedup: same chunk geometry as mm_chunk, then
+    // distinct-by-digest per source — the blob-store capacity estimate
+    "mm_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, source, text, strlen(text) AS n_bytes FROM documents),
+        |ch AS (SELECT doc_id, source, text, n_bytes,
+        |         unnest(range(0, CAST((n_bytes + 255) // 256 AS BIGINT))) AS chunk_id
+        |       FROM d),
+        |cc AS (SELECT source,
+        |         CAST(least(256, n_bytes - chunk_id * 256) AS BIGINT) AS chunk_bytes,
+        |         md5(substr(text, CAST(chunk_id * 256 + 1 AS INT), 256)) AS chunk_md5
+        |       FROM ch),
+        |tot AS (SELECT source, COUNT(*) AS n_chunks,
+        |          SUM(chunk_bytes) AS total_bytes
+        |        FROM cc GROUP BY 1),
+        |un AS (SELECT source, COUNT(*) AS n_unique_chunks,
+        |         SUM(chunk_bytes) AS unique_bytes
+        |       FROM (SELECT DISTINCT source, chunk_md5, chunk_bytes FROM cc)
+        |       GROUP BY 1)
+        |SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_unique_chunks AS BIGINT) AS n_unique_chunks,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  CAST(unique_bytes AS BIGINT) AS unique_bytes,
+        |  CAST((1000000 * unique_bytes) // total_bytes AS BIGINT) AS unique_ppm
+        |FROM tot JOIN un USING (source) ORDER BY source""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents),
         |ch AS (SELECT doc_id, text, n_bytes,

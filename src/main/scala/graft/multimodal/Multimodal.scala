@@ -160,6 +160,39 @@ object Multimodal {
         col("chunk_bytes"), col("chunk_md5"))
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive (see Indexing.searchDoc)
 
+  /** Chunk-level STORAGE DEDUP per source — the blob-store estimate a
+    * media ingest computes before committing bytes: payloads chunk at
+    * the fixed [[ChunkBytes]] granularity (same generator as
+    * `mmChunk`, so the geometry cannot desynchronize), identical
+    * chunks — repeated assets, shared headers/trailers, stock frames —
+    * are stored once, and the per-source `unique_ppm` is the ratio a
+    * capacity planner reads. Content-addressed chunking is how real
+    * blob stores dedup media at scale: the digest is the address, so
+    * the dedup is a distinct over (digest, bytes) — one partial-agg
+    * distinct + two source-keyed aggs, no pairwise comparison anywhere.
+    */
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val j = chunked(spark, dir, stride = 1)
+      .select(col("doc_id"), col("chunk_bytes"), col("chunk_md5"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+    val totals = j.groupBy("source").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("chunk_bytes")).as("total_bytes"))
+    // chunk_md5 determines content and therefore chunk_bytes, so the
+    // distinct over (source, md5, bytes) is one row per stored chunk
+    val uniques = j.select("source", "chunk_md5", "chunk_bytes").distinct()
+      .groupBy("source").agg(
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("chunk_bytes")).as("unique_bytes"))
+    totals.join(uniques, "source")
+      .select(col("source"), col("n_chunks"), col("n_unique_chunks"),
+        col("total_bytes"), col("unique_bytes"),
+        expr("CAST((1000000 * unique_bytes) DIV total_bytes AS BIGINT)")
+          .as("unique_ppm"))
+      .orderBy("source") // source-table-sized output: bounded sort
+  }
+
   /** Every k-th chunk is a sampled "frame" for `mmFrameSample`. */
   private val FrameStride = 5
 

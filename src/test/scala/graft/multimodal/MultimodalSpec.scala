@@ -124,4 +124,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("doc_id")).distinct.length ==
       chunks.keys.map(_._1).toSeq.distinct.length)
   }
+
+  test("mm_chunk_dedup accounting reconciles against a driver recompute over the chunks") {
+    val chunks = Multimodal.mmChunk(spark, sf).collect()
+    val srcOf = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = chunks.groupBy(r => srcOf(r.getAs[Long]("doc_id")))
+    val got = Multimodal.mmChunkDedup(spark, sf).collect()
+    assert(got.nonEmpty && got.length == bySrc.size)
+    got.foreach { r =>
+      val cs = bySrc(r.getAs[String]("source"))
+      val uniq = cs.map(c =>
+        (c.getAs[String]("chunk_md5"), c.getAs[Long]("chunk_bytes"))).distinct
+      assert(r.getAs[Long]("n_chunks") == cs.length.toLong)
+      assert(r.getAs[Long]("n_unique_chunks") == uniq.length.toLong)
+      assert(r.getAs[Long]("total_bytes") ==
+        cs.map(_.getAs[Long]("chunk_bytes")).sum)
+      assert(r.getAs[Long]("unique_bytes") == uniq.map(_._2).sum)
+      assert(r.getAs[Long]("unique_ppm") ==
+        1000000L * r.getAs[Long]("unique_bytes") / r.getAs[Long]("total_bytes"))
+      assert(r.getAs[Long]("unique_bytes") <= r.getAs[Long]("total_bytes"))
+    }
+  }
 }
