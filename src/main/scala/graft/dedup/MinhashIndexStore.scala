@@ -210,11 +210,17 @@ object MinhashIndexStore {
     // (appends from another session) would let a replay double-insert
     spark.catalog.refreshTable(tableName(basePath, "sets"))
     spark.catalog.refreshTable(tableName(basePath, "banded"))
-    val sets = signatures(newDocs)
+    val batchSets = signatures(newDocs).materializeOnce(eager = true)
+    val sets = batchSets
       .join(spark.table(tableName(basePath, "sets")).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .materializeOnce(eager = true) // pin both before the first write
-    val bands = banded(sets)
+    // bands derive from the FULL batch, guarded against the banded
+    // table independently — a replay after a crash between the two
+    // appends must repair the banded half even though the sets guard
+    // now filters those ids away (same per-table independence as
+    // SearchIndexStore.upsertDocs / VectorIndexStore.appendIvfPq)
+    val bands = banded(batchSets)
       .join(spark.table(tableName(basePath, "banded"))
         .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       .materializeOnce(eager = true)

@@ -190,10 +190,25 @@ object SearchIndexStore {
     val dead0 = deadMap(spark, basePath)
     val liveB = liveView(physB, dead0)
       .select(col("doc_id"), col("text_hash").as("live_hash"))
-    val maxPhys = physB.groupBy("doc_id").agg(max("gen").as("max_phys"))
-    val planned = b
+    val changed = b
       .join(liveB, Seq("doc_id"), "left")
       .filter(col("live_hash").isNull || col("live_hash") =!= col("text_hash"))
+      .select(col("doc_id"), col("text"), col("live_hash"))
+      .materializeOnce(eager = true)
+    // the new generation must clear the max physical gen of BOTH
+    // tables, not docstats alone: a crashed append can leave postings
+    // one gen ahead (the case deleteDocs already handles), and reusing
+    // that occupied gen for different content would let the (doc_id,
+    // gen) guard drop the new postings while the docstats row lands —
+    // the index would serve the crashed batch's postings forever
+    val physPostPairs = physical(spark, basePath, "postings", "token")
+      .join(broadcast(changed.select("doc_id")), Seq("doc_id"))
+      .select("doc_id", "gen").distinct()
+      .materializeOnce(eager = true)
+    val maxPhys = physB.select("doc_id", "gen")
+      .unionByName(physPostPairs)
+      .groupBy("doc_id").agg(max("gen").as("max_phys"))
+    val planned = changed
       .join(maxPhys, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("max_phys") + 1, lit(0)).as("gen"),
@@ -201,7 +216,14 @@ object SearchIndexStore {
       .materializeOnce(eager = true)
     val nNew = planned.filter(col("live_hash").isNull).count()
     val nChanged = planned.filter(col("live_hash").isNotNull).count()
-    if (nNew + nChanged == 0) return (0L, 0L)
+    if (nNew + nChanged == 0) {
+      // a crash after both appends but before the meta write leaves a
+      // full replay seeing no effective mutation — recount here so the
+      // replay still repairs meta (the BM25 corpus factors); one cheap
+      // aggregate over live docstats
+      writeMetaRecount(spark, basePath)
+      return (0L, 0L)
+    }
     // 1) dead FIRST (see object doc: absent beats duplicated) — every
     //    physical generation below the new one dies
     val newDead = planned.filter(col("gen") > 0)
@@ -215,12 +237,12 @@ object SearchIndexStore {
     // 2) appends, each guarded per (doc_id, gen) against its PHYSICAL
     //    table so a replayed batch repairs a partial failure
     val toProcess = planned.select("doc_id", "text", "gen")
-    val physPostingPairs = physical(spark, basePath, "postings", "token")
-      .join(broadcast(planned.select("doc_id")), Seq("doc_id"))
-      .select("doc_id", "gen").distinct()
+    // physPostPairs (physical postings ∩ batch's changed ids) doubles
+    // as the per-(doc_id, gen) replay guard — planned ids ARE changed
+    // ids, so no second postings scan
     Sinks.appendBucketed(
       postingsOf(toProcess)
-        .join(physPostingPairs, Seq("doc_id", "gen"), "left_anti")
+        .join(physPostPairs, Seq("doc_id", "gen"), "left_anti")
         .materializeOnce(eager = true),
       tableName(basePath, "postings"), "token", Buckets)
     val physStatPairs = physB.select("doc_id", "gen").distinct()
