@@ -128,6 +128,11 @@ object Bench {
         ("minhash",
           wanted("dedup_incremental_indexed", "mhindex_stats"),
           () => graft.dedup.MinhashIndexStore.ensureMinhashIndex(spark, sfDir)),
+        ("mhpairs",
+          wanted("dedup_cluster", "dedup_cluster_best", "curation_report",
+            "dedup_cluster_best_indexed", "dedup_cluster_stats",
+            "curation_report_indexed", "gate_funnel", "source_reputation"),
+          () => graft.dedup.Dedup.ensureVerifiedPairs(spark, sfDir)),
         ("cluster",
           wanted("dedup_cluster_best_indexed", "dedup_cluster_stats",
             "curation_report_indexed", "gate_funnel", "source_reputation"),
@@ -151,7 +156,10 @@ object Bench {
         ("rollup",
           wanted("window_hourly_incremental", "window_sliding_incremental",
             "cohort_retention_incremental"),
-          () => graft.analytics.RollupStore.ensureRollup(spark, sfDir))
+          () => graft.analytics.RollupStore.ensureRollup(spark, sfDir)),
+        ("bpe",
+          wanted("bpe_learn", "bpe_apply", "shard_pack_bpe", "epoch_plan_bpe"),
+          () => graft.text.TextOps.ensureBpeModel(spark, sfDir))
       ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()
         try f() catch {

@@ -155,12 +155,15 @@ object SparkEntry {
     "ann_ivf_pq"  -> (Similarity.annIvfPq _),
     "ann_ivf_pq_indexed" ->
       (graft.sim.VectorIndexStore.annIvfPqIndexed _),
+    "ann_exact_rerank" ->
+      (graft.sim.VectorIndexStore.annExactRerank _),
     "vindex_stats" ->
       (graft.sim.VectorIndexStore.vindexStats _),
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
+    "mm_chunk_cdc"    -> (Multimodal.mmChunkCdc _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_meta"         -> (Multimodal.mmMeta _)
   )
@@ -496,6 +499,37 @@ object SparkEntry {
           |  CAST(COUNT(*) * bucket_size * (bucket_size - 1) // 2 AS BIGINT) AS est_pairs
           |FROM per GROUP BY bucket_size
           |ORDER BY bucket_size""".stripMargin,
+      // the IVF probe path under the exact gate: probe planning and the
+      // candidate union recompute from the SAME persisted artifacts the
+      // Spark path reads; scoring is the cosine_topk rounded-double fold
+      "ann_exact_rerank" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(embedding,
+          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+          |  FROM embeddings),
+          |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+          |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+          |p AS (
+          |  SELECT q.vec_id AS q_id, c.cid,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+          |      (x, y) -> x + y) / (q.norm * c.cnorm), 6) AS ccos6
+          |  FROM e q, c WHERE q.vec_id < 20),
+          |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos6 DESC, cid) AS crk FROM p),
+          |cand AS (
+          |  SELECT DISTINCT pr.q_id, l.vec_id AS n_id
+          |  FROM pr JOIN l ON l.cid = pr.cid
+          |  WHERE pr.crk <= 4 AND l.vec_id <> pr.q_id),
+          |s AS (
+          |  SELECT cand.q_id, cand.n_id,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+          |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+          |  FROM cand JOIN e a ON a.vec_id = cand.q_id JOIN e b ON b.vec_id = cand.n_id),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
+          |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "vindex_stats" ->
         """WITH per AS (
           |  SELECT cid, COUNT(*) AS list_size
@@ -1854,6 +1888,30 @@ object SparkEntry {
         |  CAST(unique_bytes AS BIGINT) AS unique_bytes,
         |  CAST((1000000 * unique_bytes) // total_bytes AS BIGINT) AS unique_ppm
         |FROM tot JOIN un USING (source) ORDER BY source""".stripMargin,
+    // content-defined chunking: the oracle recomputes every boundary
+    // with the same exact mod-1e9+7 window fold (k=16, mask 2^6) the
+    // native cdc_boundaries expression runs, then slices segments
+    "mm_chunk_cdc" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |c AS (SELECT doc_id, text, n,
+        |  list_filter(range(16, n + 1), i ->
+        |    list_reduce(list_transform(range(i - 15, i + 1),
+        |      j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+        |      (a, x) -> (a * 257 + x) % 1000000007) % 64 = 0) AS cuts
+        |  FROM d),
+        |seg AS (SELECT doc_id, text,
+        |  list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+        |  list_append(cuts, CAST(n AS BIGINT)) AS ends
+        |  FROM c),
+        |ex AS (SELECT doc_id, text,
+        |  unnest(list_transform(range(1, len(starts) + 1),
+        |    q -> struct_pack(s := starts[q], e := ends[q]))) AS seg
+        |  FROM seg)
+        |SELECT doc_id, CAST(seg.s AS BIGINT) AS off,
+        |  CAST(seg.e - seg.s AS BIGINT) AS chunk_bytes,
+        |  md5(substr(text, CAST(seg.s + 1 AS INT), CAST(seg.e - seg.s AS INT))) AS chunk_md5
+        |FROM ex WHERE seg.e > seg.s""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents),
         |ch AS (SELECT doc_id, text, n_bytes,

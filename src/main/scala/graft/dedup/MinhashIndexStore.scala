@@ -13,18 +13,32 @@ import graft.sinks.Sinks
   * `Dedup.dedupIncrementalDocs`'s contract has always named ("at 100 TB
   * the existing side is the persisted (doc_id, bucket) index from the
   * last run") and this module finally materializes: the existing
-  * corpus's sorted signature sets and LSH band buckets are written once
+  * corpus's signatures are CANONICALIZED (one row per distinct sorted
+  * set — the `minhashVerifiedPairs` move, persisted) and banded once,
   * and every subsequent batch gate LOADS them, so only the new batch —
   * typically orders of magnitude smaller than the corpus — computes
-  * signatures per run.
+  * signatures per run, and every quadratic stage (candidates, the
+  * merge-walk verify) runs on DISTINCT SETS, never on documents.
   *
   * Layout under `basePath` (sink toolkit):
   *  - `sets/` `(doc_id, s sorted array<int64>)`, bucketed by `doc_id`:
-  *    the verification join shuffles only candidate pairs; the
-  *    corpus-sized signature frame is never exchanged.
-  *  - `banded/` `(doc_id, bucket)`, bucketed by `bucket`: candidate
-  *    generation broadcasts the new batch's bands against it — an
-  *    index-side scan with zero Exchange.
+  *    one row per distinct set in its append batch; `doc_id` here is
+  *    the GROUP KEY (the batch-min member id) — an opaque identifier,
+  *    not necessarily a live document. The verification join shuffles
+  *    only candidate rep pairs; this frame is never exchanged.
+  *  - `banded/` `(doc_id, bucket)` at GROUP grain, bucketed by
+  *    `bucket`: candidate generation broadcasts the new batch's bands
+  *    against it — an index-side scan with zero Exchange.
+  *  - `members/` `(rep, doc_id)` narrow member map, bucketed by `rep`:
+  *    per-group live stats aggregate bucket-aligned (zero Exchange),
+  *    and verified rep pairs expand back to document pairs through it.
+  *
+  * Canonicalization is BATCH-scoped: an append whose set already
+  * exists in the index founds a second group with the same `s` rather
+  * than mutating the existing group's member list (append-only tables;
+  * the two groups share every band bucket, verify at Jaccard 1, and
+  * the expansion covers their cross pairs — output-identical, just
+  * less compression until a fingerprint rebuild re-canonicalizes).
   *
   * The query path is the BIPARTITE production shape (new × existing
   * only — never existing × existing, which the one-shot
@@ -48,19 +62,35 @@ object MinhashIndexStore {
       array_sort(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
         .as("s"))
 
+  /** Canonical distinct-set groups of a doc batch:
+    * `(rep, s, members)` with `rep` the batch-min member id.
+    */
+  private def groupsOf(docs: DataFrame): DataFrame =
+    signatures(docs)
+      .groupBy("s")
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"))
+
   private def banded(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"),
       explode(call_function("minhash_band_buckets", col("s"), lit(64))).as("bucket"))
 
-  /** Index the existing corpus: one signature pass, two bucketed writes. */
+  /** Index the existing corpus: one signature pass, one canonicalize
+    * shuffle, three bucketed writes.
+    */
   def build(docs: DataFrame, basePath: String): Unit = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
-    val sets = signatures(docs).materializeOnce()
+    val groups = groupsOf(docs).materializeOnce(eager = true)
+    val sets = groups.select(col("rep").as("doc_id"), col("s"))
     Sinks.writeBucketed(sets, tableName(basePath, "sets"), "doc_id",
       Buckets, Some(s"$basePath/sets"))
     Sinks.writeBucketed(banded(sets), tableName(basePath, "banded"), "bucket",
       Buckets, Some(s"$basePath/banded"))
+    Sinks.writeBucketed(
+      groups.select(col("rep"), explode(col("members")).as("doc_id")),
+      tableName(basePath, "members"), "rep", Buckets,
+      Some(s"$basePath/members"))
   }
 
   /** A new batch at or under `1/SmallBatchDenom` of the indexed corpus
@@ -101,12 +131,19 @@ object MinhashIndexStore {
       basePath: String): DataFrame = {
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
-    val newSets = signatures(newDocs).materializeOnce()
-    val verified = incrementalVerifiedPairs(newSets, basePath)
-    val matches = verified.groupBy("new_id")
-      .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("first_dup"))
-    newSets.select(col("doc_id"))
-      .join(matches, col("doc_id") === col("new_id"), "left")
+    val bGroups = groupsOf(newDocs).materializeOnce(eager = true)
+    val pairs = incrementalVerifiedRepPairs(bGroups, basePath)
+    // the gate's output is per-new-doc AGGREGATES, so document pairs
+    // never materialize: each matched old group contributes its LIVE
+    // member count and min live id (bucket-aligned aggregate over the
+    // narrow member map — tombstoned docs drop here, and a group whose
+    // members are all dead has no stats row, so the inner join also
+    // drops candidates from dead groups)
+    val matches = pairs.join(liveMemberStats(spark, basePath), "orep")
+      .groupBy("brep")
+      .agg(sum(col("n_old")).as("n_dups"), min(col("min_old")).as("first_dup"))
+    bGroups.select(col("rep").as("brep"), explode(col("members")).as("doc_id"))
+      .join(matches, Seq("brep"), "left")
       .select(col("doc_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("first_dup"),
@@ -114,70 +151,106 @@ object MinhashIndexStore {
     // no global ORDER BY — batch-sized output; the driver compare is order-insensitive
   }
 
-  /** The verified Jaccard ≥ 0.5 NEW×OLD pair set behind
-    * [[dedupIncrementalAgainstIndex]], exposed so the label append can
-    * reuse the identical candidate machinery (strategy switch, merge
-    * walk, live view) and take the matched old ids, not just counts.
+  /** Per-group `(orep, n_old, min_old)` over LIVE members — one
+    * exchange-free aggregate off the rep-bucketed member map.
     */
-  private def incrementalVerifiedPairs(newSets: DataFrame,
+  private def liveMemberStats(spark: SparkSession,
       basePath: String): DataFrame = {
-    val spark = newSets.sparkSession
+    Sinks.restoreBucketed(spark, tableName(basePath, "members"),
+      s"$basePath/members", "rep", Buckets)
+    spark.catalog.refreshTable(tableName(basePath, "members"))
+    live(spark.table(tableName(basePath, "members")),
+        tombstones(spark, basePath))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_old"), min(col("doc_id")).as("min_old"))
+      .withColumnRenamed("rep", "orep")
+  }
+
+  /** LIVE `(rep, doc_id)` member rows. */
+  private def liveMembers(spark: SparkSession,
+      basePath: String): DataFrame = {
+    Sinks.restoreBucketed(spark, tableName(basePath, "members"),
+      s"$basePath/members", "rep", Buckets)
+    spark.catalog.refreshTable(tableName(basePath, "members"))
+    live(spark.table(tableName(basePath, "members")),
+      tombstones(spark, basePath))
+  }
+
+  /** The verified Jaccard ≥ 0.5 batch-group × index-group pair set
+    * `(brep, orep)` behind [[dedupIncrementalAgainstIndex]] — every
+    * quadratic stage (candidates, merge-walk verify) runs at DISTINCT
+    * SET grain on both sides. Dead groups (all members tombstoned) are
+    * not filtered here — rep ids are group keys, not documents — they
+    * drop when the caller joins live member stats.
+    */
+  private def incrementalVerifiedRepPairs(bGroups: DataFrame,
+      basePath: String): DataFrame = {
+    val spark = bGroups.sparkSession
     Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
       s"$basePath/sets", "doc_id", Buckets)
     Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
       s"$basePath/banded", "bucket", Buckets)
-    // fresh listings (appends can arrive from another session), then
-    // tombstoned docs are not dup sources: gate against the LIVE view
+    // fresh listings: appends can arrive from another session
     spark.catalog.refreshTable(tableName(basePath, "sets"))
     spark.catalog.refreshTable(tableName(basePath, "banded"))
-    val tomb = tombstones(spark, basePath)
-    val oldSets = live(spark.table(tableName(basePath, "sets")), tomb)
-    val oldBanded = live(spark.table(tableName(basePath, "banded")), tomb)
+    val oldSets = spark.table(tableName(basePath, "sets"))
+    val oldBanded = spark.table(tableName(basePath, "banded"))
+    // narrow view of the caller's pinned batch groups
+    val newSets = bGroups.select(col("rep").as("doc_id"), col("s"))
 
     val nNew = newSets.count()
     val nOld = oldSets.count()
     Decisions.record("dedup.indexedGate",
       if (nNew * SmallBatchDenom <= nOld) "bipartite" else "adaptive",
       nNew.toDouble, nOld.toDouble / SmallBatchDenom)
-    val verified =
-      if (nNew * SmallBatchDenom <= nOld) {
-        // bipartite candidates: any (new, old) pair sharing any band
-        // bucket, scored once — adaptivePairs' direct path restricted
-        // to mixed pairs, with zero self-side work
-        val cands = broadcast(banded(newSets).withColumnRenamed("doc_id", "new_id"))
-          .join(oldBanded.withColumnRenamed("doc_id", "old_id"), "bucket")
-          .select("new_id", "old_id")
-          .distinct()
-        cands
-          .join(broadcast(newSets.select(col("doc_id").as("new_id"), col("s").as("s_new"))),
-            "new_id")
-          .join(oldSets.select(col("doc_id").as("old_id"), col("s").as("s_old")),
-            "old_id")
-          .withColumn("inter",
-            call_function("sorted_intersect_count", col("s_new"), col("s_old")))
-          .withColumn("uni",
-            (size(col("s_new")) + size(col("s_old"))).cast("long") - col("inter"))
-          .filter(lit(2) * col("inter") >= col("uni"))
-          .select("new_id", "old_id")
-      } else {
-        val sets = newSets.withColumn("is_new", lit(true))
-          .unionByName(oldSets.withColumn("is_new", lit(false)))
-          .materializeOnce()
-        val bandedAll = banded(newSets)
-          .unionByName(oldBanded)
-          .materializeOnce()
-        Dedup.adaptivePairs(sets, bandedAll)
-          .filter(col("is_new_a") =!= col("is_new_b"))
-          .withColumn("inter",
-            call_function("sorted_intersect_count", col("s_a"), col("s_b")))
-          .withColumn("uni",
-            (size(col("s_a")) + size(col("s_b"))).cast("long") - col("inter"))
-          .filter(lit(2) * col("inter") >= col("uni"))
-          .select(
-            when(col("is_new_a"), col("doc_id_a")).otherwise(col("doc_id_b")).as("new_id"),
-            when(col("is_new_a"), col("doc_id_b")).otherwise(col("doc_id_a")).as("old_id"))
-      }
-    verified
+    if (nNew * SmallBatchDenom <= nOld) {
+      // bipartite candidates: any (new, old) GROUP pair sharing any
+      // band bucket, scored once — zero self-side work
+      val cands = broadcast(banded(newSets).withColumnRenamed("doc_id", "brep"))
+        .join(oldBanded.withColumnRenamed("doc_id", "orep"), "bucket")
+        .select("brep", "orep")
+        .distinct()
+      cands
+        .join(broadcast(newSets.select(col("doc_id").as("brep"), col("s").as("s_new"))),
+          "brep")
+        .join(oldSets.select(col("doc_id").as("orep"), col("s").as("s_old")),
+          "orep")
+        .filter(Dedup.sizeCompatible(col("s_new"), col("s_old")))
+        .filter(call_function("sorted_intersect_ge05",
+          col("s_new"), col("s_old")) >= 0)
+        .select("brep", "orep")
+    } else {
+      val sets = newSets.withColumn("is_new", lit(true))
+        .unionByName(oldSets.withColumn("is_new", lit(false)))
+        .materializeOnce()
+      val bandedAll = banded(newSets)
+        .unionByName(oldBanded)
+        .materializeOnce()
+      Dedup.adaptivePairs(sets, bandedAll)
+        .filter(col("is_new_a") =!= col("is_new_b"))
+        .filter(Dedup.sizeCompatible(col("s_a"), col("s_b")))
+        .filter(call_function("sorted_intersect_ge05",
+          col("s_a"), col("s_b")) >= 0)
+        .select(
+          when(col("is_new_a"), col("doc_id_a")).otherwise(col("doc_id_b")).as("brep"),
+          when(col("is_new_a"), col("doc_id_b")).otherwise(col("doc_id_a")).as("orep"))
+    }
+  }
+
+  /** Document-grain `(new_id, old_id)` expansion of
+    * [[incrementalVerifiedRepPairs]] over LIVE old members — what the
+    * label append consumes. Output-sized: no verification happens at
+    * document grain.
+    */
+  private def incrementalVerifiedDocPairs(bGroups: DataFrame,
+      basePath: String): DataFrame = {
+    val spark = bGroups.sparkSession
+    incrementalVerifiedRepPairs(bGroups, basePath)
+      .join(bGroups.select(col("rep").as("brep"),
+        explode(col("members")).as("new_id")), "brep")
+      .join(liveMembers(spark, basePath).select(col("rep").as("orep"),
+        col("doc_id").as("old_id")), "orep")
+      .select("new_id", "old_id")
   }
 
   /** Query-entry form (same split as `Dedup.dedupIncremental`: doc_id %
@@ -202,30 +275,38 @@ object MinhashIndexStore {
   def appendToIndex(newDocs: DataFrame, basePath: String): Unit = {
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
-    Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
-      s"$basePath/sets", "doc_id", Buckets)
-    Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
-      s"$basePath/banded", "bucket", Buckets)
-    // fresh listings for the insert-only guards: a stale relation cache
-    // (appends from another session) would let a replay double-insert
-    spark.catalog.refreshTable(tableName(basePath, "sets"))
-    spark.catalog.refreshTable(tableName(basePath, "banded"))
-    val batchSets = signatures(newDocs).materializeOnce(eager = true)
+    Seq(("sets", "doc_id"), ("banded", "bucket"), ("members", "rep"))
+      .foreach { case (part, key) =>
+        Sinks.restoreBucketed(spark, tableName(basePath, part),
+          s"$basePath/$part", key, Buckets)
+        // fresh listings for the insert-only guards: a stale relation
+        // cache (appends from another session) would double-insert
+        spark.catalog.refreshTable(tableName(basePath, part))
+      }
+    // each table's rows derive from the FULL batch with an INDEPENDENT
+    // guard — a replay after a crash between any two appends repairs
+    // the missing halves even though the landed tables filter theirs
+    // away (the per-table independence of SearchIndexStore.upsertDocs /
+    // VectorIndexStore.appendIvfPq). Group reps are batch-min ids, so
+    // a replay recomputes identical groups.
+    val batchGroups = groupsOf(newDocs).materializeOnce(eager = true)
+    val batchSets = batchGroups.select(col("rep").as("doc_id"), col("s"))
     val sets = batchSets
       .join(spark.table(tableName(basePath, "sets")).select("doc_id"),
         Seq("doc_id"), "left_anti")
-      .materializeOnce(eager = true) // pin both before the first write
-    // bands derive from the FULL batch, guarded against the banded
-    // table independently — a replay after a crash between the two
-    // appends must repair the banded half even though the sets guard
-    // now filters those ids away (same per-table independence as
-    // SearchIndexStore.upsertDocs / VectorIndexStore.appendIvfPq)
+      .materializeOnce(eager = true) // pin all three before the first write
     val bands = banded(batchSets)
       .join(spark.table(tableName(basePath, "banded"))
         .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       .materializeOnce(eager = true)
+    val mems = batchGroups
+      .select(col("rep"), explode(col("members")).as("doc_id"))
+      .join(spark.table(tableName(basePath, "members")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .materializeOnce(eager = true)
     Sinks.appendBucketed(sets, tableName(basePath, "sets"), "doc_id", Buckets)
     Sinks.appendBucketed(bands, tableName(basePath, "banded"), "bucket", Buckets)
+    Sinks.appendBucketed(mems, tableName(basePath, "members"), "rep", Buckets)
   }
 
   // --- tombstone deletes (the vector store's protocol, dedup side) ----
@@ -287,19 +368,32 @@ object MinhashIndexStore {
   def compactIndex(spark: SparkSession, basePath: String): Unit = {
     tombstones(spark, basePath).foreach { tomb =>
       val t = tomb.materializeOnce(eager = true)
-      Sinks.restoreBucketed(spark, tableName(basePath, "sets"),
-        s"$basePath/sets", "doc_id", Buckets)
-      Sinks.restoreBucketed(spark, tableName(basePath, "banded"),
-        s"$basePath/banded", "bucket", Buckets)
-      // pin the survivors before overwriting the tables they read
-      val sets = live(spark.table(tableName(basePath, "sets")), Some(t))
+      Seq(("sets", "doc_id"), ("banded", "bucket"), ("members", "rep"))
+        .foreach { case (part, key) =>
+          Sinks.restoreBucketed(spark, tableName(basePath, part),
+            s"$basePath/$part", key, Buckets)
+          spark.catalog.refreshTable(tableName(basePath, part))
+        }
+      // pin the survivors before overwriting the tables they read:
+      // member rows drop by tombstone, and groups left with ZERO live
+      // members lose their set/band rows too (so their docs can
+      // re-append as fresh groups — rep ids are batch-min ids, which a
+      // post-compact re-append may mint anew for the same set)
+      val mems = live(spark.table(tableName(basePath, "members")), Some(t))
         .materializeOnce(eager = true)
-      val bands = live(spark.table(tableName(basePath, "banded")), Some(t))
+      val liveReps = mems.select(col("rep").as("doc_id")).distinct()
+      val sets = spark.table(tableName(basePath, "sets"))
+        .join(liveReps, Seq("doc_id"), "left_semi")
+        .materializeOnce(eager = true)
+      val bands = spark.table(tableName(basePath, "banded"))
+        .join(liveReps, Seq("doc_id"), "left_semi")
         .materializeOnce(eager = true)
       Sinks.writeBucketed(sets, tableName(basePath, "sets"), "doc_id",
         Buckets, Some(s"$basePath/sets"))
       Sinks.writeBucketed(bands, tableName(basePath, "banded"), "bucket",
         Buckets, Some(s"$basePath/banded"))
+      Sinks.writeBucketed(mems, tableName(basePath, "members"), "rep",
+        Buckets, Some(s"$basePath/members"))
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tombstonesPath(basePath)),
         spark.sparkContext.hadoopConfiguration)
@@ -356,7 +450,8 @@ object MinhashIndexStore {
     */
   def ensureIncrementalLabels(spark: SparkSession, dir: String): String = {
     val base = scratchBase(dir, "lblinc")
-    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    // layout-versioned: the band index under $base/band is the v2 shape
+    val fp = "lblinc-v2:" + sourceFingerprint(spark, s"$dir/documents.parquet")
     ensureBuilt(base, fp) {
       val docs = Tables.documents(spark, dir)
       buildClusterLabelsDocs(docs.filter(col("doc_id") < IncCut), base)
@@ -428,17 +523,18 @@ object MinhashIndexStore {
       .join(spark.table(tableName(labelBase, "labels")).select("doc_id"),
         Seq("doc_id"), "left_anti")
       .materializeOnce(eager = true)
-    val newSets = signatures(batch).materializeOnce()
+    val bGroups = groupsOf(batch).materializeOnce(eager = true)
     // batch ↔ existing-cluster edges: matched old ids resolve to their
     // cluster labels (labels table read LIVE so tombstoned members
     // cannot pull a batch doc into a dead cluster)
     val oldLabels = live(spark.table(tableName(labelBase, "labels")),
       tombstones(spark, labelBase))
-    val toClusters = incrementalVerifiedPairs(newSets, bandBase)
+    val toClusters = incrementalVerifiedDocPairs(bGroups, bandBase)
       .join(oldLabels.withColumnRenamed("doc_id", "old_id"), "old_id")
       .select(col("new_id").as("src"), col("cluster").as("dst"))
     // within-batch edges (new×new near-dups)
-    val nn = Dedup.minhashVerifiedPairs(newSets)
+    val nn = Dedup.minhashVerifiedPairs(
+        bGroups.select(explode(col("members")).as("doc_id"), col("s")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = Components.minLabels(toClusters.unionByName(nn))
     val assigned = batch.select("doc_id")
@@ -458,7 +554,8 @@ object MinhashIndexStore {
     */
   def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
     val base = scratchBase(dir, "minhash")
-    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    // layout-versioned (playbook rule): v2 = canonical groups + members
+    val fp = "mh-v2:" + sourceFingerprint(spark, s"$dir/documents.parquet")
     ensureBuilt(base, fp) {
       build(Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0), base)
     }

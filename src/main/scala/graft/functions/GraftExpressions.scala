@@ -54,6 +54,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => ArrayDotD(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "sorted_intersect_ge05" -> (es => SortedIntersectGe05(es(0), es(1))),
     "minhash_band_buckets" ->
       (es => MinHashBandBuckets(es(0), intLit("minhash_band_buckets", es(1)))),
     "lsh_packed_bands" ->
@@ -73,6 +74,9 @@ object GraftFunctions {
     "simhash64" -> (es => Simhash64(es.head)),
     "rolling_fp" ->
       (es => RollingFp(es(0), posIntLit("rolling_fp", es(1)))),
+    "cdc_boundaries" ->
+      (es => CdcBoundaries(es(0), posIntLit("cdc_boundaries", es(1)),
+        posIntLit("cdc_boundaries", es(2)))),
     "vec_sum" ->
       (es => VectorSumD(es.head).toAggregateExpression()),
   )
@@ -152,6 +156,72 @@ case class ArrayDotD(left: Expression, right: Expression)
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedIntersectCount]] fused with the Jaccard ≥ 0.5 admission
+  * test: returns the intersection size when the pair qualifies
+  * (`2·inter ≥ uni` ⟺ `3·inter ≥ |a|+|b|`), −1 otherwise — and the
+  * merge walk EXITS as soon as the bound is unreachable
+  * (`inter + min(remaining)` is an exact upper bound on the final
+  * intersection, so the early exit never changes the verdict). LSH
+  * candidate streams are mostly FALSE pairs — at the 10× ScaleUp
+  * corpus ~400M candidates carry ~28M true pairs — and a false pair's
+  * walk now stops roughly a third of the way in instead of consuming
+  * both arrays.
+  */
+case class SortedIntersectGe05(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    val need = 0L + na + nb // qualify iff 3·inter ≥ need
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val rem = math.min(na - i, nb - j)
+      if (3L * (c + rem) < need) return -1L
+      val la = x.getLong(i); val lb = y.getLong(j)
+      if (la < lb) i += 1
+      else if (la > lb) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    if (3L * c >= need) c else -1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val need = ctx.freshName("need")
+      val rem = ctx.freshName("rem")
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |final long $need = 0L + $na + $nb;
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |${ev.value} = -1L;
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? $na - $i : $nb - $j;
+         |  if (3L * ($c + $rem) < $need) break;
+         |  final long $la = $a.getLong($i);
+         |  final long $lb = $b.getLong($j);
+         |  if ($la < $lb) $i++;
+         |  else if ($la > $lb) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |if ($i >= $na || $j >= $nb) {
+         |  if (3L * $c >= $need) ${ev.value} = $c;
+         |}
        """.stripMargin
     })
 
@@ -341,6 +411,49 @@ object Mix {
       }
     }
     new GenericArrayData(Array(full, winMin))
+  }
+
+  /** Full work of CdcBoundaries (shared by eval and codegen): the SAME
+    * windowed polynomial rolling hash as [[rollingFp]], emitting every
+    * 1-based codepoint position i (k ≤ i ≤ n) whose k-window hash is ≡ 0
+    * mod 2^maskBits — the content-defined chunk boundary test (FastCDC's
+    * gear test, sans min/max clamps, so every boundary is a pure
+    * function of its LOCAL window: an edit can only move boundaries
+    * within k codepoints of it, never shift the rest of the stream).
+    * Expected chunk length is 2^maskBits codepoints.
+    */
+  def cdcBoundaries(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, maskBits: Int): GenericArrayData = {
+    val str = s.toString
+    var n = 0
+    var idx = 0
+    while (idx < str.length) { idx += Character.charCount(str.codePointAt(idx)); n += 1 }
+    val cps = new Array[Int](n)
+    idx = 0; var i = 0
+    while (idx < str.length) {
+      val cp = str.codePointAt(idx)
+      cps(i) = cp; i += 1; idx += Character.charCount(cp)
+    }
+    val M = 1000000007L
+    val mod = 1L << maskBits
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (n >= k) {
+      var pow = 1L
+      var t = 0
+      while (t < k - 1) { pow = pow * 257L % M; t += 1 }
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 257L + cps(j)) % M; j += 1 }
+      if (h % mod == 0L) out += k.toLong
+      j = k
+      while (j < n) {
+        val drop = cps(j - k) * pow % M
+        h = ((h - drop + M) % M * 257L + cps(j)) % M
+        if (h % mod == 0L) out += (j + 1).toLong
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Full work of NgramHashSet (shared by eval and codegen): hash every
@@ -727,6 +840,28 @@ case class RollingFp(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Mix.rollingFp($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunk boundary positions over a string — see
+  * [[Mix.cdcBoundaries]]. `k` is the rolling-window length, `maskBits`
+  * the boundary mask (expected chunk ≈ 2^maskBits codepoints). The
+  * modulus 1e9+7 arithmetic is small enough for the SQL oracle to
+  * reproduce with exact integer lambdas.
+  */
+case class CdcBoundaries(child: Expression, k: Int, maskBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mix.cdcBoundaries(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Mix.cdcBoundaries($a, $k, $maskBits);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

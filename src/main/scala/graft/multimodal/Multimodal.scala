@@ -193,6 +193,59 @@ object Multimodal {
       .orderBy("source") // source-table-sized output: bounded sort
   }
 
+  /** CDC rolling-window length (codepoints) and boundary mask bits —
+    * expected chunk ≈ 2^[[CdcMaskBits]] = 64 codepoints — fine-grained
+    * enough that the synthetic corpus (≤ ~560-char payloads) splits
+    * into several chunks per document.
+    */
+  private val CdcWindow = 16
+  private val CdcMaskBits = 6
+
+  /** CONTENT-DEFINED chunking over the opaque payload column — the
+    * dedup-grade chunker real blob stores use where [[mmChunk]]'s
+    * fixed-offset grid fails: inserting one byte into a payload shifts
+    * every downstream fixed chunk (all their digests change, storage
+    * dedup sees a brand-new blob), while a content-defined boundary is
+    * a pure function of its local `CdcWindow`-codepoint window (the
+    * FastCDC gear test on the `rolling_fp` polynomial hash, sans
+    * min/max clamps so the boundary set stays position-local and
+    * SQL-recomputable), so an edit disturbs only the chunk(s) touching
+    * it — MultimodalSpec pins exactly that shift-resistance. One
+    * codegen'd expression emits each payload's boundary list; chunk
+    * rows fan out from it with offsets, byte counts, and digests, the
+    * same shuffle-free generate shape as [[mmChunk]].
+    */
+  def mmChunkCdc(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(spark, Tables.documents(spark, dir))
+
+  /** [[mmChunkCdc]] over an arbitrary `(doc_id, text)` frame — the form
+    * the shift-resistance spec feeds edited payloads through.
+    */
+  private[graft] def cdcChunksOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        call_function("cdc_boundaries", col("text"),
+          lit(CdcWindow), lit(CdcMaskBits)).as("cuts"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          """zip_with(
+            |  concat(array(CAST(0 AS BIGINT)), cuts),
+            |  concat(cuts, array(n_bytes)),
+            |  (s, e) -> struct(s AS s, e AS e))""".stripMargin)).as("seg"))
+      .filter(col("seg.e") > col("seg.s")) // a cut at the very end leaves no tail
+      .select(col("doc_id"),
+        col("seg.s").as("off"),
+        (col("seg.e") - col("seg.s")).as("chunk_bytes"),
+        md5(expr("substring(text, CAST(seg.s + 1 AS INT), CAST(seg.e - seg.s AS INT))"))
+          .as("chunk_md5"))
+    // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
+  }
+
   /** Every k-th chunk is a sampled "frame" for `mmFrameSample`. */
   private val FrameStride = 5
 

@@ -414,4 +414,65 @@ object VectorIndexStore {
     graft.functions.GraftFunctions.register(spark)
     indexStats(spark, ensureIvfPq(spark, dir))
   }
+
+  /** EXACT top-k over the PROBED candidate union — the deterministic
+    * rail under the approximate ANN family: probe selection (top-4
+    * inverted lists by centroid cosine, rounded to 6 decimals with cid
+    * tie-break) and the candidate union both read the PERSISTED index
+    * artifacts, and the re-rank is the exact rounded cosine, so the
+    * whole IVF probe path — quantizer output, list membership, probe
+    * planning, candidate expansion, scoring — sits under the DuckDB
+    * hash gate (the oracle recomputes every step in SQL over the SAME
+    * centroids/lists parquet plus the embeddings table). The `ann_*`
+    * entries stay rows-only because their output depends on probe
+    * ORDER internals; this entry pins the parts that don't.
+    *
+    * Scale shape: probe scoring is |queries|×k against a broadcast
+    * centroid table; the candidate join streams only the probed
+    * buckets of the cid-bucketed lists; everything downstream is
+    * bounded by |queries| × probed-list mass, independent of corpus
+    * size.
+    */
+  def annExactRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Vectors.dot64
+    val base = ensureIvfPq(spark, dir)
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    val cents = spark.read.parquet(s"$base/centroids")
+    // derived-key broadcast join (BHJ, never BNLJ — the crossCentroids
+    // pattern); ranking on the ROUNDED cosine is the cross-engine
+    // contract, ties to the lowest cid
+    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+        "one")
+      .withColumn("ccos6",
+        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
+      .filter(col("crk") <= 4)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    // candidate union off the physical lists (the oracle reads the same
+    // files); multi-assignment duplicates collapse in the distinct
+    val cands = probed
+      .join(physicalTable(spark, base, "lists", "cid"), "cid")
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .distinct()
+    val scored = cands
+      .join(q.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("norm").as("nn")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id")))
+        .cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+  }
 }

@@ -10,7 +10,7 @@ import graft.SparkSpec
   * instead of `localCheckpoint` (the local default). Exercises one
   * representative of each checkpoint-heavy family: adaptive dedup + CC
   * (dedupMinhash/dedupCluster), the recursive prefix sum (shardPack),
-  * IVF-PQ training (annIvfPq), and the BPE merge loop (bpeLearn).
+  * IVF-PQ training (annIvfPq), and the BPE merge loop (bpeTrain).
   */
 class MaterializeSpec extends SparkSpec {
 
@@ -29,7 +29,13 @@ class MaterializeSpec extends SparkSpec {
       "dedup_cluster" -> (() => graft.dedup.Dedup.dedupCluster(spark, sf)),
       "shard_pack" -> (() => graft.curate.Curate.shardPack(spark, sf)),
       "ann_ivf_pq" -> (() => graft.sim.Similarity.annIvfPq(spark, sf)),
-      "bpe_learn" -> (() => graft.text.TextOps.bpeLearn(spark, sf)))
+      // the trainer LOOP directly — the public bpeLearn serves the
+      // frozen persisted model, which would dodge checkpoint mode
+      "bpe_train" -> (() => {
+        val sqlc = spark.sqlContext; import sqlc.implicits._
+        graft.text.TextOps.bpeTrain(spark, sf, 10)._2
+          .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+      }))
     val local = fns.map { case (n, f) => n -> rows(f()) }
     val ckpt = inCheckpointMode { fns.map { case (n, f) => n -> rows(f()) } }
     local.zip(ckpt).foreach { case ((n, l), (_, p)) =>

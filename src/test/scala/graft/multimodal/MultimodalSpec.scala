@@ -147,4 +147,62 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("unique_bytes") <= r.getAs[Long]("total_bytes"))
     }
   }
+
+  test("mm_chunk_cdc: chunks tile each payload; one inserted byte only disturbs chunks near the edit") {
+    import org.apache.spark.sql.functions._
+    val sqlc = spark.sqlContext
+    import sqlc.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    // tiling: per doc, offsets + byte counts reconstruct the payload exactly
+    val chunks = Multimodal.mmChunkCdc(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length.toLong)
+      .toMap
+    assert(chunks.keySet == lens.filter(_._2 > 0).keySet)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("off"))
+      assert(sorted.head.getAs[Long]("off") == 0L)
+      assert(sorted.map(_.getAs[Long]("chunk_bytes")).sum == lens(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(
+          a.getAs[Long]("off") + a.getAs[Long]("chunk_bytes") == b.getAs[Long]("off"))
+        case _ =>
+      }
+      assert(cs.forall(_.getAs[Long]("chunk_bytes") > 0))
+    }
+    // shift-resistance (the reason CDC exists): insert ONE character
+    // mid-payload; every chunk digest outside the window-sized
+    // neighbourhood of the edit must survive byte-for-byte — the fixed
+    // grid (mm_chunk) instead rewrites every digest after the edit
+    val victim = docs.orderBy(col("doc_id")).filter(length(col("text")) > 400)
+      .head()
+    val id = victim.getAs[Long]("doc_id")
+    val text = victim.getAs[String]("text")
+    val pos = text.length / 2
+    val edited = text.substring(0, pos) + "!" + text.substring(pos)
+    def digests(t: String): Set[String] =
+      Multimodal.cdcChunksOf(spark, Seq((id, t)).toDF("doc_id", "text"))
+        .collect().map(_.getAs[String]("chunk_md5")).toSet
+    val before = digests(text)
+    val after = digests(edited)
+    val survived = (before intersect after).size
+    // the edit can only disturb the chunk containing it (plus a
+    // window-split neighbour); with ~1200/256 ≈ 5+ chunks, most survive
+    assert(before.size >= 3, s"victim doc produced only ${before.size} chunks")
+    assert(before.size - survived <= 2,
+      s"CDC not shift-resistant: ${before.size - survived} of ${before.size} digests changed")
+    // fixed-grid contrast (driver recompute): the same edit rewrites
+    // EVERY fixed-offset digest at or after the insertion point
+    def gridDigests(t: String): Set[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      t.grouped(256).map(c =>
+        md.digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString).toSet
+    }
+    val fixedSurvived = (gridDigests(text) intersect gridDigests(edited)).size
+    assert(fixedSurvived <= pos / 256 + 1,
+      "fixed grid unexpectedly survived a mid-payload insert")
+    assert(survived > fixedSurvived,
+      "CDC chunking did not beat the fixed grid on shift-resistance")
+  }
 }

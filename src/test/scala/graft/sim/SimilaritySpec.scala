@@ -106,6 +106,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"ann_ivf recall $recall below floor 0.85")
   }
 
+  test("ann_exact_rerank: 5 ranked rows per query off the probed union, recall above floor") {
+    val got = VectorIndexStore.annExactRerank(spark, sf).collect()
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20)
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 5L)))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val bf = pairs(Similarity.cosineTopK(spark, sf).collect())
+    val recall = (bf intersect pairs(got)).size.toDouble / bf.size
+    // exact re-rank can only miss what the 4 probed lists miss — the
+    // same probe mass as ann_ivf, so the same floor applies
+    assert(recall >= 0.85, s"ann_exact_rerank recall $recall below floor 0.85")
+  }
+
   test("ann_ivf_pq returns 5 valid ranked neighbours per query, recall above floor") {
     val pq = Similarity.annIvfPq(spark, sf).collect()
     val byQ = pq.groupBy(_.getAs[Long]("q_id"))

@@ -105,6 +105,20 @@ class TextOpsSpec extends SparkSpec {
       docs.values.map(_.count(_ != ' ').toLong).sum)
   }
 
+  test("bpe model is frozen: one training run per corpus fingerprint") {
+    val base = TextOps.ensureBpeModel(spark, sf, merges = 6)
+    val marker = java.nio.file.Paths.get(base, "_INDEX_OK")
+    val m0 = java.nio.file.Files.getLastModifiedTime(marker)
+    TextOps.bpeLearn(spark, sf, merges = 6).collect()
+    TextOps.bpeApply(spark, sf, merges = 6).collect()
+    // serving did not retrain (the marker would have been restamped)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == m0)
+    // the apply plan reads the persisted vocabulary, not a live trainer
+    val plan = TextOps.bpeApply(spark, sf, merges = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("wordlens"), "bpe_apply did not load the frozen model")
+  }
+
   test("length_histogram partitions the corpus exactly") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
