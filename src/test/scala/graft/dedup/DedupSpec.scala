@@ -32,6 +32,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupMinhash(spark, sf).count() == exact)
   }
 
+  test("set canonicalization is exact under heavy injected exact duplication") {
+    // clone every doc 0..99 three times under fresh ids: the distinct-set
+    // groups now carry real member lists, so BOTH expansion paths
+    // (within-group J=1 grid, cross-group member fan-out) move real rows
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val cloned = docs
+      .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val sets = cloned.select(col("doc_id"),
+      expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("s"))
+    val got = Dedup.minhashVerifiedPairs(sets).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    // driver all-pairs oracle over the cloned corpus
+    val toks = cloned.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").distinct.toSet).toMap
+    val ids = toks.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = toks(ids(i)); b = toks(ids(j))
+      inter = (a intersect b).size.toLong
+      uni = a.size + b.size - inter
+      if 2 * inter >= uni
+    } yield (ids(i), ids(j), inter, uni)).toSet
+    assert(got == want)
+    // the clones genuinely exercised the within-group path
+    assert(want.exists { case (a, b, i, u) => i == u && b - a == 10000 })
+  }
+
   test("dedup_incremental equals the self-dedup pairs restricted to new x old") {
     val mixed = Dedup.dedupMinhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
