@@ -121,6 +121,7 @@ object SparkEntry {
     // rows-only by design (approximate candidate generation; precision 1,
     // recall floor-pinned in DedupSpec against the exact grid)
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn _),
+    "dedup_embedding_ann_indexed" -> (Dedup.dedupEmbeddingAnnIndexed _),
     "decontaminate"     -> (Curate.decontaminate _),
     "contamination_report" -> (Curate.contaminationReport _),
     "semantic_decon"    -> ((s: SparkSession, d: String) => Curate.semanticDecon(s, d)),
@@ -499,6 +500,27 @@ object SparkEntry {
           |  CAST(COUNT(*) * bucket_size * (bucket_size - 1) // 2 AS BIGINT) AS est_pairs
           |FROM per GROUP BY bucket_size
           |ORDER BY bucket_size""".stripMargin,
+      // SemDeDup from the persisted index: candidates are same-list
+      // pairs in the artifact's lists parquet, scored with the
+      // cosine_topk rounded-double fold — fully deterministic, so the
+      // embedding-ANN dedup path sits under the hash gate
+      "dedup_embedding_ann_indexed" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(embedding,
+          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+          |  FROM embeddings),
+          |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+          |cand AS (
+          |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+          |  FROM l x JOIN l y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+          |s AS (
+          |  SELECT cand.va AS vec_a, cand.vb AS vec_b,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+          |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+          |  FROM cand JOIN e a ON a.vec_id = cand.va JOIN e b ON b.vec_id = cand.vb)
+          |SELECT vec_a, vec_b, cos6 FROM s WHERE cos6 >= 0.35""".stripMargin,
       // the IVF probe path under the exact gate: probe planning and the
       // candidate union recompute from the SAME persisted artifacts the
       // Spark path reads; scoring is the cosine_topk rounded-double fold

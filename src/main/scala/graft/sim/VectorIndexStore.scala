@@ -49,7 +49,7 @@ object VectorIndexStore {
                               books: DataFrame, codes: DataFrame, n: Long)
 
   private val Buckets = 32
-  private val IvfK = 16
+  private[graft] val IvfK = 16
 
   /** Catalog names must be stable per index location (re-registration
     * hits the same entry) and unique across locations.

@@ -430,6 +430,23 @@ class DedupSpec extends SparkSpec {
       s"high-threshold recall ${ann.size}/${exact.size} below 0.9")
   }
 
+  test("dedup_embedding_ann_indexed: precision 1 vs exact, recall-floored, grid-joined plan") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos6"))).toSet
+    val exact = pairSet(Dedup.dedupEmbedding(spark, sf))
+    val ann = pairSet(Dedup.dedupEmbeddingAnnIndexed(spark, sf))
+    assert(ann.subsetOf(exact), "indexed ANN produced a pair the exact grid did not")
+    // the persisted index multi-assigns top-2 (vs the per-call form's
+    // 3), so the floor sits a notch lower
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall below floor 0.6 (${ann.size}/${exact.size})")
+    val plan = Dedup.dedupEmbeddingAnnIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup_embedding_ann plan has no nested-loop or cartesian join") {
     val plan = Dedup.dedupEmbeddingAnn(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"))
