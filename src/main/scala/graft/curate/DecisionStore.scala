@@ -199,7 +199,9 @@ object DecisionStore {
     */
   def ensureDecisions(spark: SparkSession, dir: String): String = {
     val base = scratchBase(dir, "decisions")
-    val fp = sourceFingerprint(spark, s"$dir/documents.parquet")
+    // layout-versioned: the embedded band index at $base/mh is the v2
+    // group-grain shape — a pre-v2 store would break appendDecisions
+    val fp = "dec-v2:" + sourceFingerprint(spark, s"$dir/documents.parquet")
     ensureBuilt(base, fp) { build(spark, dir, base) }
     base
   }
