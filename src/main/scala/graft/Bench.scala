@@ -141,7 +141,8 @@ object Bench {
           wanted("curation_report_indexed", "gate_funnel", "source_reputation"),
           () => graft.curate.DecisionStore.ensureDecisions(spark, sfDir)),
         ("ivfpq",
-          wanted("ann_ivf_pq_indexed", "vindex_stats"),
+          wanted("ann_ivf_pq_indexed", "vindex_stats", "ann_exact_rerank",
+            "dedup_embedding_ann_indexed", "bitext_mine"),
           () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir)),
         ("lblinc",
           wanted("dedup_cluster_incremental"),

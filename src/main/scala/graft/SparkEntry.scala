@@ -161,6 +161,10 @@ object SparkEntry {
     "vindex_stats" ->
       (graft.sim.VectorIndexStore.vindexStats _),
     "embed_qc"    -> ((s: SparkSession, d: String) => Similarity.embedQc(s, d)),
+    "hard_negatives" ->
+      ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "bitext_mine" ->
+      ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.bitextMine(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
@@ -1788,6 +1792,73 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
         |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // cosine_topk's brute-force chain with the contrastive-mining
+    // filters: different label, near-dup ceiling on the ROUNDED cosine
+    "hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM e a JOIN e b
+        |    ON a.vec_id < 20 AND b.vec_id <> a.vec_id AND b.label <> a.label),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, neg_id) AS rk
+        |      FROM s WHERE cos6 < 0.995)
+        |SELECT q_id, neg_id, cos6, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 8 ORDER BY q_id, rk""".stripMargin,
+    // full probe-path replay (the ann_exact_rerank pattern) + the
+    // integer micro-unit margin: k-NN sums are exact BIGINT sums, the
+    // one double division is margin6 = round(2·c·na·nb/(sa·nb+sb·na), 6)
+    "bitext_mine" ->
+      """WITH langs AS (SELECT doc_id AS vec_id, lang FROM documents),
+        |e AS (
+        |  SELECT emb.vec_id, emb.embedding, l.lang,
+        |    sqrt(list_reduce(list_transform(emb.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings emb JOIN langs l ON l.vec_id = emb.vec_id),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+        |li AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+        |p AS (
+        |  SELECT q.vec_id AS src_id, c.cid,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.norm * c.cnorm), 6) AS ccos6
+        |  FROM e q, c WHERE q.lang = 'de'),
+        |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY ccos6 DESC, cid) AS crk FROM p),
+        |cand AS (
+        |  SELECT DISTINCT pr.src_id, li.vec_id AS tgt_id
+        |  FROM pr JOIN li ON li.cid = pr.cid
+        |  WHERE pr.crk <= 4 AND li.vec_id <> pr.src_id),
+        |s AS (
+        |  SELECT cand.src_id, cand.tgt_id,
+        |    CAST(FLOOR(round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) * 1000000.0 + 0.5) AS BIGINT) AS c6i
+        |  FROM cand
+        |  JOIN e a ON a.vec_id = cand.src_id
+        |  JOIN e b ON b.vec_id = cand.tgt_id AND b.lang = 'en'),
+        |ss AS (SELECT src_id, SUM(c6i) AS sa, COUNT(*) AS na FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY c6i DESC, tgt_id) AS rks FROM s)
+        |       WHERE rks <= 4 GROUP BY 1),
+        |st AS (SELECT tgt_id, SUM(c6i) AS sb, COUNT(*) AS nb FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY c6i DESC, src_id) AS rkt FROM s)
+        |       WHERE rkt <= 4 GROUP BY 1),
+        |m AS (SELECT s.src_id, s.tgt_id, s.c6i,
+        |    round(2.0 * s.c6i * ss.na * st.nb / (ss.sa * st.nb + st.sb * ss.na), 6) AS margin6
+        |  FROM s JOIN ss ON ss.src_id = s.src_id JOIN st ON st.tgt_id = s.tgt_id),
+        |b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin6 DESC, tgt_id) AS brk FROM m),
+        |bt AS (SELECT src_id AS bt_src, tgt_id AS bt_tgt FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY margin6 DESC, src_id) AS trk FROM m)
+        |       WHERE trk = 1)
+        |SELECT b.src_id, b.tgt_id, round(b.c6i / 1000000.0, 6) AS cos6, b.margin6,
+        |  CASE WHEN bt.bt_src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+        |FROM b LEFT JOIN bt ON bt.bt_src = b.src_id AND bt.bt_tgt = b.tgt_id
+        |WHERE b.brk = 1 ORDER BY b.src_id""".stripMargin,
     // the cosine_topk chain extended with the majority-label vote
     "knn_classify" ->
       """WITH e AS (

@@ -595,6 +595,50 @@ object Similarity {
       .orderBy("label") // label-space-sized output: bounded sort
   }
 
+  /** Hard-negative mining for dense-retrieval training — for each
+    * query vector (the `cosineTopK` query batch) the top-8 most
+    * similar vectors that carry a DIFFERENT label, with near-duplicates
+    * (rounded cosine ≥ 0.995) excluded so a paraphrase of the positive
+    * never lands in the negative set (the standard false-negative
+    * guard). This is the mining pass every contrastive-training
+    * pipeline runs between embedding refreshes; it sits beside
+    * `knnClassify` as the second canonical APPLICATION of the
+    * similarity surface.
+    *
+    * Scale shape: identical to `cosineTopK` — the query side is a
+    * bounded training batch broadcast through a derived-key BHJ (never
+    * a nested loop), the corpus streams once, and the per-query top-k
+    * is a window over |queries|·|corpus| NARROW rows that AQE splits
+    * per query key. Swapping the exact scorer for the persisted-index
+    * probe path (`VectorIndexStore.annExactRerank`'s candidate
+    * machinery) changes recall, not shape.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+      k: Int = 8, dupCeil: Double = 0.995): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label")
+      .withColumn("norm", norm64("embedding"))
+    val q = e.filter(col("vec_id") < Queries)
+    // derived-key broadcast join (the annExactRerank crossCentroids
+    // pattern): BHJ on a constant key keeps the plan nested-loop-free
+    // while the bounded query batch broadcasts
+    val scored = broadcast(q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))).as("a")
+      .join(e.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int")).as("b"), "one")
+      .filter(col("a.vec_id") =!= col("b.vec_id") &&
+        col("a.label") =!= col("b.label"))
+      .select(
+        col("a.vec_id").as("q_id"), col("b.vec_id").as("neg_id"),
+        round(dot64("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+      // the ceiling compares the ROUNDED cosine — the cross-engine contract
+      .filter(col("cos6") < lit(dupCeil))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("neg_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
     // no global ORDER BY — corpus-sized QC report (see embedQcFrom doc)
     embedQcFrom(Tables.embeddings(spark, dir), expectDim)

@@ -475,4 +475,102 @@ object VectorIndexStore {
       .filter(col("rk") <= 5)
       .orderBy("q_id", "rk")
   }
+
+  /** Margin-based bitext-style pair mining over the persisted IVF
+    * index — for every source-language document, its best
+    * target-language match by RATIO MARGIN (cosine divided by the mean
+    * of the two sides' k-NN cosines, the Artetxe-Schwenk criterion
+    * that suppresses hub vectors plain cosine mining drowns in), plus
+    * a mutual-best flag (the pair survives production mining only when
+    * each side is the other's best match). Reference analogue: the
+    * cross-locale article linker (meili.rs's multi-index search),
+    * re-expressed as the mining pass a parallel-corpus pipeline runs.
+    *
+    * Deterministic by the same contract as `annExactRerank`:
+    * candidates come from the persisted probe path (top-`nprobe`
+    * centroid lists), cosines are rounded to 6 before anything
+    * consumes them, and the margin is computed from INTEGER micro-unit
+    * cosines — the k-NN sums are exact BIGINT sums (order-free, unlike
+    * a double average), so the single double division is bit-identical
+    * cross-engine: margin6 = round(2·c·nA·nB / (sA·nB + sB·nA), 6).
+    *
+    * Scale shape: the source side is the low-resource language — it
+    * probes the index like any query batch (centroids broadcast;
+    * the lists join streams only probed cid buckets); every frame
+    * after candidate generation is bounded by |src|·probed-list mass,
+    * never |src|·|corpus|. The margin windows run over that candidate
+    * frame. This is the CCMatrix shape: ANN candidates, exact margins.
+    */
+  def bitextMine(spark: SparkSession, dir: String,
+      srcLang: String = "de", tgtLang: String = "en",
+      kAvg: Int = 4, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Vectors.dot64
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureIvfPq(spark, dir)
+    val langs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+      .join(langs, "vec_id")
+    val q = e.filter(col("lang") === srcLang)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+        "one")
+      .withColumn("ccos6",
+        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("src_id"), col("cid"))
+    val cands = probed
+      .join(physicalTable(spark, base, "lists", "cid"), "cid")
+      .select(col("src_id"), col("vec_id").as("tgt_id"))
+      .filter(col("src_id") =!= col("tgt_id"))
+      .distinct()
+    // integer micro-unit cosine of each candidate pair (rounded-then-
+    // quantized, the embed_centroid_stats cos_ppm contract)
+    val scored = cands
+      .join(q.select(col("vec_id").as("src_id"),
+        col("embedding").as("qe"), col("norm").as("qn")), "src_id")
+      .join(e.filter(col("lang") === tgtLang).select(col("vec_id").as("tgt_id"),
+        col("embedding").as("te"), col("norm").as("tn")), "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        expr("CAST(FLOOR(round(" +
+          "vec_dot(qe, te) / (qn * tn), 6) * 1000000.0D + 0.5D) AS BIGINT)")
+          .as("c6i"))
+      .materializeOnce(eager = false)
+    // k-NN sums per side over the candidate frame — exact integer sums
+    // with the actual neighbour COUNT carried for short lists
+    val wS = Window.partitionBy(col("src_id")).orderBy(col("c6i").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id")).orderBy(col("c6i").desc, col("src_id"))
+    val sumS = scored.withColumn("rks", row_number().over(wS))
+      .filter(col("rks") <= kAvg)
+      .groupBy("src_id").agg(sum("c6i").as("sa"), count(lit(1)).as("na"))
+    val sumT = scored.withColumn("rkt", row_number().over(wT))
+      .filter(col("rkt") <= kAvg)
+      .groupBy("tgt_id").agg(sum("c6i").as("sb"), count(lit(1)).as("nb"))
+    val margins = scored.join(sumS, "src_id").join(sumT, "tgt_id")
+      .withColumn("margin6",
+        round(lit(2.0) * col("c6i") * col("na") * col("nb") /
+          (col("sa") * col("nb") + col("sb") * col("na")), 6))
+      .materializeOnce(eager = false)
+    val best = margins.withColumn("brk", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("margin6").desc, col("tgt_id"))))
+      .filter(col("brk") === 1)
+    val bestT = margins.withColumn("trk", row_number().over(
+        Window.partitionBy(col("tgt_id")).orderBy(col("margin6").desc, col("src_id"))))
+      .filter(col("trk") === 1)
+      .select(col("src_id").as("bt_src"), col("tgt_id").as("bt_tgt"))
+    best.join(bestT,
+        best("src_id") === bestT("bt_src") && best("tgt_id") === bestT("bt_tgt"),
+        "left")
+      .select(col("src_id"), col("tgt_id"),
+        round(col("c6i") / lit(1000000.0), 6).as("cos6"),
+        col("margin6"),
+        when(col("bt_src").isNotNull, 1).otherwise(0).as("mutual"))
+      .orderBy("src_id") // |src-lang|-sized output: bounded sort
+  }
 }

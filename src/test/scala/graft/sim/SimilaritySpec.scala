@@ -505,4 +505,98 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cos6") == 1.0)
     }
   }
+
+  private def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dotd(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var k = 0
+    while (k < a.length) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+    s
+  }
+
+  test("hard_negatives matches a driver recompute: different label, dup ceiling, top-8") {
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1), r.getAs[Int]("label")))
+    val norms = embs.map { case (id, v, _) => id -> math.sqrt(dotd(v, v)) }.toMap
+    val expected = embs.filter(_._1 < 20).flatMap { case (q, qv, ql) =>
+      embs.filter { case (n, _, nl) => n != q && nl != ql }
+        .map { case (n, nv, _) => (q, n, r6(dotd(qv, nv) / (norms(q) * norms(n)))) }
+        .filter(_._3 < 0.995)
+        .sortBy { case (_, n, c) => (-c, n) }
+        .take(8).zipWithIndex
+        .map { case ((qq, n, c), i) => (qq, n, c, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("cos6"), r.getAs[Long]("rk"))).toSet
+    assert(got == expected)
+    // no negative ever shares the query's label (the contrastive contract)
+    val labels = embs.map(e => e._1 -> e._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      assert(labels(q) != labels(n)); assert(c < 0.995)
+    }
+  }
+
+  test("bitext_mine matches a driver replay of the probe path and integer margins") {
+    val base = VectorIndexStore.ensureIvfPq(spark, sf)
+    val langOf = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val norms = embs.map { case (id, v) => id -> math.sqrt(dotd(v, v)) }
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select("cid", "cvec", "cnorm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1), r.getAs[Double]("cnorm")))
+    val lists = spark.read.parquet(s"$base/lists")
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val srcIds = embs.keys.filter(langOf(_) == "de").toSeq.sorted
+    // probe replay: top-4 centroids per src by rounded cosine, cid asc
+    val cands = srcIds.flatMap { q =>
+      val probed = cents
+        .map { case (cid, cv, cn) => (cid, r6(dotd(embs(q), cv) / (norms(q) * cn))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(4).map(_._1)
+      probed.flatMap(c => lists.getOrElse(c, Set.empty)).distinct
+        .filter(n => n != q && langOf(n) == "en").map(n => (q, n))
+    }.distinct
+    val c6i = cands.map { case (q, n) =>
+      (q, n) -> math.floor(r6(dotd(embs(q), embs(n)) / (norms(q) * norms(n))) * 1e6 + 0.5).toLong
+    }.toMap
+    def kSum(group: Map[Long, Seq[(Long, Long)]]): Map[Long, (Long, Long)] =
+      group.map { case (id, xs) =>
+        val top = xs.sortBy { case (o, c) => (-c, o) }.take(4)
+        id -> (top.map(_._2).sum, top.length.toLong)
+      }
+    val bySrc = kSum(cands.map { case (q, n) => (q, (n, c6i((q, n)))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+    val byTgt = kSum(cands.map { case (q, n) => (n, (q, c6i((q, n)))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+    val margin = cands.map { case (q, n) =>
+      val (sa, na) = bySrc(q); val (sb, nb) = byTgt(n)
+      (q, n) -> r6(2.0 * c6i((q, n)) * na * nb / (sa * nb + sb * na))
+    }.toMap
+    val bestS = cands.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.map(_._2).minBy(n => (-margin((q, n)), n))
+    }
+    val bestT = cands.groupBy(_._2).map { case (n, xs) =>
+      n -> xs.map(_._1).minBy(q => (-margin((q, n)), q))
+    }
+    val expected = bestS.map { case (q, n) =>
+      (q, n, r6(c6i((q, n)) / 1e6), margin((q, n)),
+        if (bestT(n) == q) 1 else 0)
+    }.toSet
+    val got = graft.sim.VectorIndexStore.bitextMine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("cos6"), r.getAs[Double]("margin6"),
+        r.getAs[Int]("mutual"))).toSet
+    assert(got == expected)
+    // structural contract: one best match per src doc that had candidates
+    assert(got.map(_._1).size == got.size)
+    assert(got.nonEmpty && got.exists(_._5 == 1))
+  }
 }
