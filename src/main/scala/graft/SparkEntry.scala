@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_rolling_fp" -> (TextOps.docRollingFp _),
     "bpe_learn"      -> ((s: SparkSession, d: String) => TextOps.bpeLearn(s, d)),
     "bpe_apply"      -> ((s: SparkSession, d: String) => TextOps.bpeApply(s, d)),
+    "fertility_stats" -> ((s: SparkSession, d: String) => TextOps.fertilityStats(s, d)),
     "tfidf_topk"  -> (Relevance.tfidfTopK _),
     "bm25_rank"   -> ((s: SparkSession, d: String) => Relevance.bm25Rank(s, d)),
     "cooccur_pmi" -> ((s: SparkSession, d: String) => Relevance.cooccurPmi(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "pii_redact"        -> (Pii.piiRedact _),
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
     "span_dedup"        -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    "span_trim"         -> ((s: SparkSession, d: String) => Dedup.spanTrim(s, d)),
     "profile_stats"     -> (Profile.profileStats _),
     "outlier_stats"     -> (Profile.outlierStats _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
@@ -253,6 +255,25 @@ object SparkEntry {
        |  CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-language fertility over the same unrolled trainer rounds —
+    * the oracle retrains the model in SQL, so the frozen persisted
+    * artifact the Spark entry reads is re-verified against an
+    * independent recompute on every gate run.
+    */
+  private def fertilityOracle(k: Int): String =
+    s"""WITH ${bpeRoundsCte(k)},
+       |tl AS MATERIALIZED (SELECT w, len(syms) AS n_sym FROM w$k),
+       |tokl AS MATERIALIZED (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |      FROM documents),
+       |f AS (SELECT lang, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_types,
+       |        SUM(n_sym) AS n_bpe
+       |      FROM tokl JOIN tl USING (w) GROUP BY 1)
+       |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_types AS BIGINT) AS n_types,
+       |  CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(n_bpe AS DOUBLE) / n_words, 6) AS fertility6
+       |FROM f ORDER BY lang""".stripMargin
 
   /** Shared by `dedup_incremental` and `dedup_incremental_indexed`:
     * the persisted-index gate is value-identical to the per-call gate.
@@ -587,6 +608,7 @@ object SparkEntry {
   private def oracleSqlBase: Map[String, String] = Map(
     "bpe_learn" -> bpeLearnOracle(10),
     "bpe_apply" -> bpeApplyOracle(10),
+    "fertility_stats" -> fertilityOracle(10),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2208,6 +2230,34 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_grams
         |FROM hit GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "span_trim" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pg AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos,
+        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)),
+        |dup AS (SELECT g, MIN(doc_id) AS d0 FROM pg
+        |        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |m AS MATERIALIZED (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (g)
+        |     WHERE pg.doc_id <> dup.d0),
+        |x AS (SELECT doc_id, pos,
+        |        MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |y AS (SELECT doc_id, pos,
+        |        SUM(CASE WHEN pmax IS NULL OR pos > pmax + 3 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM x),
+        |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 2 AS e FROM y GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
+        |       FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  round(CAST(len(string_split(d.text, ' ')) - COALESCE(pd.dup_tokens, 0) AS DOUBLE)
+        |    / len(string_split(d.text, ' ')), 6) AS keep_ratio6
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "para_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |paras AS (

@@ -372,6 +372,35 @@ object TextOps {
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
   }
 
+  /** Tokenizer FERTILITY by language — BPE tokens per whitespace word,
+    * the metric a multilingual pipeline owner reads before setting
+    * per-language token budgets (a high-fertility language consumes
+    * its budget in fewer words, so mixing by raw token counts
+    * over-weights it; reference analogue: the per-locale token-count
+    * columns of article.rs). Served from the same frozen model as
+    * `bpeApply`: the vocab-sized `(w, n_sym)` side loads, one corpus
+    * token scan joins it (broadcast — the model is Zipf-bounded), and
+    * the rollup is language-sized. `n_types` (distinct words seen per
+    * language) rides along as the vocabulary-coverage denominator.
+    */
+  def fertilityStats(spark: SparkSession, dir: String,
+      merges: Int = 10): DataFrame = {
+    val wordLen = spark.read
+      .parquet(s"${ensureBpeModel(spark, dir, merges)}/wordlens")
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordLen), "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("w")).as("n_types"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_types"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility6"))
+      .orderBy("lang") // language-space-sized output: bounded sort
+  }
+
   /** Bucket width (tokens) for `lengthHistogram`. */
   private val LenBucket = 16L
 

@@ -676,4 +676,35 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L,
       md5hex("completely unique words that nobody else wrote"))))
   }
+
+  test("spanTrim: first owner keeps, later copies trim the interval union") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    // doc 0 owns every shared passage (lowest id). doc 1 embeds the
+    // 5-token run "a b c d e" once; doc 2 embeds it twice with a
+    // 2-token gap (two merged spans); doc 4 matches two OVERLAPPING
+    // gram windows (positions 0 and 2 — "b c q" between them is
+    // unshared), which must merge into ONE span with no double-count.
+    val docs = Seq(
+      (0L, "a b c d e f g h c q e"),
+      (1L, "x1 x2 x3 a b c d e y1 y2 y3"),
+      (2L, "a b c d e q1 q2 a b c d e"),
+      (4L, "a b c q e m1 m2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanTrimDocs(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("n_spans"), r.getAs[Double]("keep_ratio6"))))
+      .toMap
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // the canonical doc is never cut
+    assert(got(0L) == ((11L, 0L, 0L, 1.0)))
+    // tokens 3..7 covered by grams at 3,4,5 — one span of 5
+    assert(got(1L) == ((11L, 5L, 1L, r6(6.0 / 11.0))))
+    // both copies trim (doc 2 is not the owner): [0,4] and [7,11]
+    assert(got(2L) == ((12L, 10L, 2L, r6(2.0 / 12.0))))
+    // windows [0,2] and [2,4] overlap at token 2: one span of 5
+    assert(got(4L) == ((7L, 5L, 1L, r6(2.0 / 7.0))))
+  }
 }

@@ -305,4 +305,32 @@ class TextOpsSpec extends SparkSpec {
     assert(est("zz") == 0L)
     assert(est(hh.head.getAs[String]("lang")) >= 0L)
   }
+
+  test("fertility_stats is bpeApply rolled up by language off the same frozen model") {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val langOf = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val perDoc = TextOps.bpeApply(spark, sf).collect()
+      .map(r => (langOf(r.getAs[Long]("doc_id")),
+        r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens")))
+    val types = graft.core.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+        .map(w => r.getAs[String]("lang") -> w))
+      .groupBy(_._1).map { case (l, ws) => l -> ws.map(_._2).distinct.length.toLong }
+    val got = TextOps.fertilityStats(spark, sf).collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq == got.map(_.getAs[String]("lang")).toSeq.sorted)
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val mine = perDoc.filter(_._1 == l)
+      val (nw, nb) = (mine.map(_._2).sum, mine.map(_._3).sum)
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_bpe_tokens") == nb)
+      assert(r.getAs[Long]("n_types") == types(l))
+      assert(r.getAs[Double]("fertility6") == r6(nb.toDouble / nw))
+    }
+    assert(got.map(_.getAs[String]("lang")).toSet == types.keySet)
+  }
 }
