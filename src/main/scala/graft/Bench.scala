@@ -159,7 +159,8 @@ object Bench {
             "cohort_retention_incremental"),
           () => graft.analytics.RollupStore.ensureRollup(spark, sfDir)),
         ("bpe",
-          wanted("bpe_learn", "bpe_apply", "shard_pack_bpe", "epoch_plan_bpe"),
+          wanted("bpe_learn", "bpe_apply", "shard_pack_bpe", "epoch_plan_bpe",
+            "fertility_stats"),
           () => graft.text.TextOps.ensureBpeModel(spark, sfDir))
       ).collect { case (k, true, f) =>
         val t0 = System.nanoTime()
