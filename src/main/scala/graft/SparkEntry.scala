@@ -147,6 +147,7 @@ object SparkEntry {
     "para_dedup"        -> ((s: SparkSession, d: String) => Dedup.paraDedup(s, d)),
     "span_dedup"        -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "span_trim"         -> ((s: SparkSession, d: String) => Dedup.spanTrim(s, d)),
+    "span_trim_apply"   -> ((s: SparkSession, d: String) => Dedup.spanTrimApply(s, d)),
     "profile_stats"     -> (Profile.profileStats _),
     "outlier_stats"     -> (Profile.outlierStats _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
@@ -2258,6 +2259,39 @@ object SparkEntry {
         |  round(CAST(len(string_split(d.text, ' ')) - COALESCE(pd.dup_tokens, 0) AS DOUBLE)
         |    / len(string_split(d.text, ' ')), 6) AS keep_ratio6
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "span_trim_apply" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pg AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos,
+        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)),
+        |dup AS (SELECT g, MIN(doc_id) AS d0 FROM pg
+        |        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |m AS MATERIALIZED (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (g)
+        |     WHERE pg.doc_id <> dup.d0),
+        |x AS (SELECT doc_id, pos,
+        |        MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |y AS (SELECT doc_id, pos,
+        |        SUM(CASE WHEN pmax IS NULL OR pos > pmax + 3 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM x),
+        |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 2 AS e FROM y GROUP BY 1, 2),
+        |rem AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok.w, ' ' ORDER BY tok.pos) AS tt
+        |  FROM tok LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.pos = tok.pos
+        |  WHERE rem.doc_id IS NULL GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(kept.tt, '')) AS clean_fp
+        |FROM documents d LEFT JOIN kept USING (doc_id)""".stripMargin,
     "para_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |paras AS (

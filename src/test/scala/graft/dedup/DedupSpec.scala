@@ -706,5 +706,18 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((12L, 10L, 2L, r6(2.0 / 12.0))))
     // windows [0,2] and [2,4] overlap at token 2: one span of 5
     assert(got(4L) == ((7L, 5L, 1L, r6(2.0 / 7.0))))
+
+    // the APPLY step reassembles exactly the surviving tokens in order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val applied = Dedup.spanTrimApplyDocs(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_fp")))).toMap
+    assert(applied(0L) == ((11L, 11L, md5hex("a b c d e f g h c q e"))))
+    assert(applied(1L) == ((11L, 6L, md5hex("x1 x2 x3 y1 y2 y3"))))
+    assert(applied(2L) == ((12L, 2L, md5hex("q1 q2"))))
+    assert(applied(4L) == ((7L, 2L, md5hex("m1 m2"))))
   }
 }
