@@ -142,7 +142,8 @@ object Bench {
           () => graft.curate.DecisionStore.ensureDecisions(spark, sfDir)),
         ("ivfpq",
           wanted("ann_ivf_pq_indexed", "vindex_stats", "ann_exact_rerank",
-            "dedup_embedding_ann_indexed", "bitext_mine"),
+            "dedup_embedding_ann_indexed", "bitext_mine",
+            "hard_negatives_indexed"),
           () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir)),
         ("lblinc",
           wanted("dedup_cluster_incremental"),

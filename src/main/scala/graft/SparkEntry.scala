@@ -168,6 +168,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "bitext_mine" ->
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.bitextMine(s, d)),
+    "hard_negatives_indexed" ->
+      ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.hardNegativesIndexed(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
@@ -1830,6 +1832,38 @@ object SparkEntry {
         |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
         |  FROM e a JOIN e b
         |    ON a.vec_id < 20 AND b.vec_id <> a.vec_id AND b.label <> a.label),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, neg_id) AS rk
+        |      FROM s WHERE cos6 < 0.995)
+        |SELECT q_id, neg_id, cos6, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 8 ORDER BY q_id, rk""".stripMargin,
+    // the ann_exact_rerank probe replay with the contrastive filters
+    "hard_negatives_indexed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+        |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.cid,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.norm * c.cnorm), 6) AS ccos6
+        |  FROM e q, c WHERE q.vec_id < 20),
+        |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos6 DESC, cid) AS crk FROM p),
+        |cand AS (
+        |  SELECT DISTINCT pr.q_id, l.vec_id AS neg_id
+        |  FROM pr JOIN l ON l.cid = pr.cid
+        |  WHERE pr.crk <= 4 AND l.vec_id <> pr.q_id),
+        |s AS (
+        |  SELECT cand.q_id, cand.neg_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM cand
+        |  JOIN e a ON a.vec_id = cand.q_id
+        |  JOIN e b ON b.vec_id = cand.neg_id AND b.label <> a.label),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, neg_id) AS rk
         |      FROM s WHERE cos6 < 0.995)
         |SELECT q_id, neg_id, cos6, CAST(rk AS BIGINT) AS rk

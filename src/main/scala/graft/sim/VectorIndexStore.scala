@@ -476,6 +476,60 @@ object VectorIndexStore {
       .orderBy("q_id", "rk")
   }
 
+  /** [[Similarity.hardNegatives]] served from the persisted IVF index —
+    * the scale path its Scaladoc promises: candidates come from the
+    * probed lists (the `annExactRerank` machinery) instead of a full
+    * corpus stream, then the same exact re-score, different-label
+    * filter, near-dup ceiling, and top-k. Work is bounded by
+    * |queries| × probed-list mass, independent of corpus size — the
+    * shape a contrastive-mining pass needs when the corpus no longer
+    * streams in one scan per training batch. Deterministic by the
+    * `annExactRerank` contract, so the DuckDB oracle replays probe
+    * planning, candidate union, label filter, and ceiling over the
+    * SAME persisted artifacts.
+    */
+  def hardNegativesIndexed(spark: SparkSession, dir: String,
+      k: Int = 8, dupCeil: Double = 0.995): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Vectors.dot64
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureIvfPq(spark, dir)
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label")
+      .withColumn("norm", norm64("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+        "one")
+      .withColumn("ccos6",
+        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
+      .filter(col("crk") <= 4)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val cands = probed
+      .join(physicalTable(spark, base, "lists", "cid"), "cid")
+      .select(col("q_id"), col("vec_id").as("neg_id"))
+      .filter(col("q_id") =!= col("neg_id"))
+      .distinct()
+    val scored = cands
+      .join(q.select(col("vec_id").as("q_id"), col("label").as("ql"),
+        col("embedding").as("qe"), col("norm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("neg_id"), col("label").as("nl"),
+        col("embedding").as("ne"), col("norm").as("nn")), "neg_id")
+      .filter(col("ql") =!= col("nl"))
+      .select(col("q_id"), col("neg_id"),
+        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+      .filter(col("cos6") < lit(dupCeil))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("neg_id")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   /** Margin-based bitext-style pair mining over the persisted IVF
     * index — for every source-language document, its best
     * target-language match by RATIO MARGIN (cosine divided by the mean

@@ -539,6 +539,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard_negatives_indexed matches a driver replay of the probe path + filters") {
+    val base = VectorIndexStore.ensureIvfPq(spark, sf)
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> ((r.getSeq[Float](1), r.getAs[Int]("label")))).toMap
+    val norms = embs.map { case (id, (v, _)) => id -> math.sqrt(dotd(v, v)) }
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select("cid", "cvec", "cnorm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1), r.getAs[Double]("cnorm")))
+    val lists = spark.read.parquet(s"$base/lists")
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val expected = embs.keys.filter(_ < 20).toSeq.sorted.flatMap { qid =>
+      val (qv, ql) = embs(qid)
+      val probedC = cents
+        .map { case (cid, cv, cn) => (cid, r6(dotd(qv, cv) / (norms(qid) * cn))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(4).map(_._1)
+      probedC.flatMap(c => lists.getOrElse(c, Set.empty)).distinct
+        .filter(n => n != qid && embs(n)._2 != ql)
+        .map(n => (n, r6(dotd(qv, embs(n)._1) / (norms(qid) * norms(n)))))
+        .filter(_._2 < 0.995)
+        .sortBy { case (n, c) => (-c, n) }.take(8).zipWithIndex
+        .map { case ((n, c), i) => (qid, n, c, (i + 1).toLong) }
+    }.toSet
+    val got = VectorIndexStore.hardNegativesIndexed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("cos6"), r.getAs[Long]("rk"))).toSet
+    assert(got == expected)
+    // recall vs the exact full-scan miner: probed lists cover most of
+    // the true hard-negative set at this corpus scale
+    val exact = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neg_id"))).toSet
+    val hit = got.count { case (q, n, _, _) => exact((q, n)) }
+    assert(hit.toDouble / exact.size >= 0.5,
+      s"indexed hard-negative recall ${hit.toDouble / exact.size} below floor")
+  }
+
   test("bitext_mine matches a driver replay of the probe path and integer margins") {
     val base = VectorIndexStore.ensureIvfPq(spark, sf)
     val langOf = graft.core.Tables.documents(spark, sf)
