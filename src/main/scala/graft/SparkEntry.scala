@@ -259,6 +259,33 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** The shared trim-interval CTE chain of `span_trim` /
+    * `span_trim_apply` (toks → positional grams → owned duplicated
+    * grams → non-owner matches → running-max interval union → merged
+    * spans `sp(doc_id, grp, s, e)`) — one definition so the gram width
+    * and the trimming rule cannot drift between the two oracles.
+    */
+  private def spanTrimCte(n: Int): String = {
+    val gram = (1 to n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pg AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $gram AS g
+       |  FROM toks, UNNEST(generate_series(0, len(t) - $n)) AS u(i)),
+       |dup AS (SELECT g, MIN(doc_id) AS d0 FROM pg
+       |        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+       |m AS MATERIALIZED (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (g)
+       |     WHERE pg.doc_id <> dup.d0),
+       |x AS (SELECT doc_id, pos,
+       |        MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |      FROM m),
+       |y AS (SELECT doc_id, pos,
+       |        SUM(CASE WHEN pmax IS NULL OR pos > pmax + $n THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM x),
+       |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + ${n - 1} AS e FROM y GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Per-language fertility over the same unrolled trainer rounds —
     * the oracle retrains the model in SQL, so the frozen persisted
     * artifact the Spark entry reads is re-verified against an
@@ -2266,24 +2293,7 @@ object SparkEntry {
         |FROM hit GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
     "span_trim" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |pg AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos,
-        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
-        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)),
-        |dup AS (SELECT g, MIN(doc_id) AS d0 FROM pg
-        |        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
-        |m AS MATERIALIZED (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (g)
-        |     WHERE pg.doc_id <> dup.d0),
-        |x AS (SELECT doc_id, pos,
-        |        MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-        |      FROM m),
-        |y AS (SELECT doc_id, pos,
-        |        SUM(CASE WHEN pmax IS NULL OR pos > pmax + 3 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |      FROM x),
-        |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 2 AS e FROM y GROUP BY 1, 2),
+      (s"""WITH ${spanTrimCte(3)},
         |pd AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
         |       FROM sp GROUP BY 1)
         |SELECT d.doc_id,
@@ -2292,26 +2302,9 @@ object SparkEntry {
         |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
         |  round(CAST(len(string_split(d.text, ' ')) - COALESCE(pd.dup_tokens, 0) AS DOUBLE)
         |    / len(string_split(d.text, ' ')), 6) AS keep_ratio6
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN pd USING (doc_id)""").stripMargin,
     "span_trim_apply" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |pg AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos,
-        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
-        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) AS u(i)),
-        |dup AS (SELECT g, MIN(doc_id) AS d0 FROM pg
-        |        GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
-        |m AS MATERIALIZED (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (g)
-        |     WHERE pg.doc_id <> dup.d0),
-        |x AS (SELECT doc_id, pos,
-        |        MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-        |      FROM m),
-        |y AS (SELECT doc_id, pos,
-        |        SUM(CASE WHEN pmax IS NULL OR pos > pmax + 3 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |      FROM x),
-        |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 2 AS e FROM y GROUP BY 1, 2),
+      (s"""WITH ${spanTrimCte(3)},
         |rem AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp),
         |tok AS MATERIALIZED (
         |  SELECT doc_id, i - 1 AS pos, t[i] AS w
@@ -2325,7 +2318,7 @@ object SparkEntry {
         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
         |  md5(COALESCE(kept.tt, '')) AS clean_fp
-        |FROM documents d LEFT JOIN kept USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN kept USING (doc_id)""").stripMargin,
     "para_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |paras AS (

@@ -433,6 +433,42 @@ object VectorIndexStore {
     * bounded by |queries| × probed-list mass, independent of corpus
     * size.
     */
+  /** The shared probe machinery of the probe-path consumers
+    * (`annExactRerank`, `hardNegativesIndexed`, `bitextMine`):
+    * top-`nprobe` centroid lists per query via the derived-key
+    * broadcast join (BHJ, never BNLJ — the crossCentroids pattern;
+    * ranking on the ROUNDED cosine is the cross-engine contract, ties
+    * to the lowest cid), then the candidate union off the LIVE
+    * inverted lists (tombstoned vectors never surface as candidates —
+    * the `loadIvfPq` contract; the oracles replay the tombstone-free
+    * store the driver's gate always builds fresh). Multi-assignment
+    * duplicates collapse in the distinct. `q` must carry
+    * `(vec_id, embedding, norm)`; `listFilter` optionally restricts
+    * the lists before the probe join so downstream stages only see
+    * the candidates they will keep (bitext's target-language cut).
+    */
+  private[sim] def probeCandidates(spark: SparkSession, base: String, q: DataFrame,
+      nprobe: Int, listFilter: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Vectors.dot64
+    val cents = spark.read.parquet(s"$base/centroids")
+    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+        "one")
+      .withColumn("ccos6",
+        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val lists = listFilter(
+      live(physicalTable(spark, base, "lists", "cid"), tombstones(spark, base)))
+    probed.join(lists, "cid")
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .distinct()
+  }
+
   def annExactRerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.sim.Vectors.dot64
@@ -441,26 +477,8 @@ object VectorIndexStore {
       .select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
     val q = e.filter(col("vec_id") < 20)
-    val cents = spark.read.parquet(s"$base/centroids")
-    // derived-key broadcast join (BHJ, never BNLJ — the crossCentroids
-    // pattern); ranking on the ROUNDED cosine is the cross-engine
-    // contract, ties to the lowest cid
-    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
-      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
-        "one")
-      .withColumn("ccos6",
-        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
-      .filter(col("crk") <= 4)
-      .select(col("vec_id").as("q_id"), col("cid"))
-    // candidate union off the physical lists (the oracle reads the same
-    // files); multi-assignment duplicates collapse in the distinct
-    val cands = probed
-      .join(physicalTable(spark, base, "lists", "cid"), "cid")
-      .select(col("q_id"), col("vec_id").as("n_id"))
-      .filter(col("q_id") =!= col("n_id"))
-      .distinct()
+    val cands = probeCandidates(spark, base, q, nprobe = 4)
+      .withColumnRenamed("cand_id", "n_id")
     val scored = cands
       .join(q.select(col("vec_id").as("q_id"),
         col("embedding").as("qe"), col("norm").as("qn")), "q_id")
@@ -498,21 +516,9 @@ object VectorIndexStore {
       .select("vec_id", "embedding", "label")
       .withColumn("norm", norm64("embedding"))
     val q = e.filter(col("vec_id") < 20)
-    val cents = spark.read.parquet(s"$base/centroids")
-    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
-      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
-        "one")
-      .withColumn("ccos6",
-        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
-      .filter(col("crk") <= 4)
-      .select(col("vec_id").as("q_id"), col("cid"))
-    val cands = probed
-      .join(physicalTable(spark, base, "lists", "cid"), "cid")
-      .select(col("q_id"), col("vec_id").as("neg_id"))
-      .filter(col("q_id") =!= col("neg_id"))
-      .distinct()
+    val cands = probeCandidates(spark, base,
+        q.select("vec_id", "embedding", "norm"), nprobe = 4)
+      .withColumnRenamed("cand_id", "neg_id")
     val scored = cands
       .join(q.select(col("vec_id").as("q_id"), col("label").as("ql"),
         col("embedding").as("qe"), col("norm").as("qn")), "q_id")
@@ -558,8 +564,6 @@ object VectorIndexStore {
   def bitextMine(spark: SparkSession, dir: String,
       srcLang: String = "de", tgtLang: String = "en",
       kAvg: Int = 4, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.sim.Vectors.dot64
     graft.functions.GraftFunctions.register(spark)
     val base = ensureIvfPq(spark, dir)
     val langs = graft.core.Tables.documents(spark, dir)
@@ -569,16 +573,6 @@ object VectorIndexStore {
       .withColumn("norm", norm64("embedding"))
       .join(langs, "vec_id")
     val q = e.filter(col("lang") === srcLang)
-    val cents = spark.read.parquet(s"$base/centroids")
-    val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
-      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
-        "one")
-      .withColumn("ccos6",
-        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("vec_id").as("src_id"), col("cid"))
     // restrict the inverted lists to TARGET-LANGUAGE vectors before the
     // probe join: every downstream stage (the dedup of multi-assignment
     // duplicates, scoring, the k-NN sums) then works on the mined
@@ -587,13 +581,11 @@ object VectorIndexStore {
     val tgtVecs = e.filter(col("lang") === tgtLang)
       .select(col("vec_id").as("tgt_id"),
         col("embedding").as("te"), col("norm").as("tn"))
-    val listsT = physicalTable(spark, base, "lists", "cid")
-      .join(tgtVecs.select("tgt_id").withColumnRenamed("tgt_id", "vec_id"), "vec_id")
-    val cands = probed
-      .join(listsT, "cid")
-      .select(col("src_id"), col("vec_id").as("tgt_id"))
-      .filter(col("src_id") =!= col("tgt_id"))
-      .distinct()
+    val cands = probeCandidates(spark, base,
+        q.select("vec_id", "embedding", "norm"), nprobe,
+        listFilter = _.join(
+          tgtVecs.select(col("tgt_id").as("vec_id")), "vec_id"))
+      .select(col("q_id").as("src_id"), col("cand_id").as("tgt_id"))
     // integer micro-unit cosine of each candidate pair (rounded-then-
     // quantized, the embed_centroid_stats cos_ppm contract). The pair
     // frame is the big intermediate (|src|·probed-list mass); both

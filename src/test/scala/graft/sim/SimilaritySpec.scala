@@ -577,6 +577,29 @@ class SimilaritySpec extends SparkSpec {
       s"indexed hard-negative recall ${hit.toDouble / exact.size} below floor")
   }
 
+  test("probe-path candidates never include tombstoned vectors") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-probe-tomb").toString + "/idx"
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    VectorIndexStore.buildIvfPq(emb, base)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .withColumn("norm", graft.sim.Vectors.norm64("embedding"))
+    val before = VectorIndexStore.probeCandidates(spark, base, q, nprobe = 4)
+      .collect().map(r => r.getAs[Long]("cand_id")).toSet
+    assert(before.nonEmpty)
+    val victim = before.max
+    val sql = spark.sqlContext
+    import sql.implicits._
+    VectorIndexStore.deleteIvfPq(Seq(victim).toDF("vec_id"), base)
+    val after = VectorIndexStore.probeCandidates(spark, base, q, nprobe = 4)
+      .collect().map(r => r.getAs[Long]("cand_id")).toSet
+    // the deleted vector vanished from every consumer's candidate set
+    // (annExactRerank / hardNegativesIndexed / bitextMine all route
+    // through probeCandidates) and nothing else changed
+    assert(!after.contains(victim))
+    assert(after == before - victim)
+  }
+
   test("bitext_mine matches a driver replay of the probe path and integer margins") {
     val base = VectorIndexStore.ensureIvfPq(spark, sf)
     val langOf = graft.core.Tables.documents(spark, sf)
