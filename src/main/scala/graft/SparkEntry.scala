@@ -170,6 +170,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.bitextMine(s, d)),
     "hard_negatives_indexed" ->
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.hardNegativesIndexed(s, d)),
+    "triplet_mine" ->
+      ((s: SparkSession, d: String) => Similarity.tripletMine(s, d)),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
@@ -1863,6 +1865,30 @@ object SparkEntry {
         |      FROM s WHERE cos6 < 0.995)
         |SELECT q_id, neg_id, cos6, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 8 ORDER BY q_id, rk""".stripMargin,
+    // the hard_negatives brute-force chain folded to per-anchor argmaxes
+    // on both sides (ROW_NUMBER()=1 == max(struct) with id-asc ties)
+    "triplet_mine" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |s AS MATERIALIZED (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    a.label = b.label AS same,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        |p AS (SELECT q_id, n_id AS pos_id, cos6 AS pos_cos6 FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk
+        |        FROM s WHERE same) WHERE rk = 1),
+        |n AS (SELECT q_id, n_id AS neg_id, cos6 AS neg_cos6 FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk
+        |        FROM s WHERE NOT same AND cos6 < 0.995) WHERE rk = 1)
+        |SELECT p.q_id, p.pos_id, p.pos_cos6, n.neg_id, n.neg_cos6,
+        |  round(p.pos_cos6 - n.neg_cos6, 6) AS margin6
+        |FROM p JOIN n USING (q_id) ORDER BY p.q_id""".stripMargin,
     // the ann_exact_rerank probe replay with the contrastive filters
     "hard_negatives_indexed" ->
       """WITH e AS (

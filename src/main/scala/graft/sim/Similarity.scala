@@ -639,6 +639,50 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Contrastive TRIPLET mining — the training artifact
+    * [[hardNegatives]] exists to feed: per anchor (the query batch),
+    * the best positive (top same-label neighbour by cosine, ties to
+    * the lowest id) and the best hard negative (top different-label
+    * neighbour under the near-dup ceiling), with the triplet margin
+    * `pos_cos6 − neg_cos6` — the quantity a triplet/InfoNCE loss
+    * consumes and the mining report an embedding owner reads to pick
+    * margin hyper-parameters. Anchors missing either side drop
+    * (inner join) — a label with one member has no positive.
+    *
+    * One corpus scan scores both sides (the derived-key BHJ shape of
+    * `hardNegatives`); each side's arg-max is a partial-aggregating
+    * max(struct) with the id negated for the asc tie-break — no
+    * window sort, no second scan. Determinism: cosines rounded to 6
+    * before anything consumes them; the margin is one subtraction of
+    * two identical-by-contract doubles, rounded again.
+    */
+  def tripletMine(spark: SparkSession, dir: String,
+      dupCeil: Double = 0.995): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label")
+      .withColumn("norm", norm64("embedding"))
+    val q = e.filter(col("vec_id") < Queries)
+    val scored = broadcast(q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))).as("a")
+      .join(e.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int")).as("b"), "one")
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        (col("a.label") === col("b.label")).as("same"),
+        round(dot64("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+      .materializeOnce(eager = false)
+    def top(df: DataFrame, id: String, c: String): DataFrame = df
+      .groupBy("q_id")
+      .agg(max(struct(col("cos6"), (-col("n_id")).as("nid"))).as("b"))
+      .select(col("q_id"), (-col("b.nid")).as(id), col("b.cos6").as(c))
+    val pos = top(scored.filter(col("same")), "pos_id", "pos_cos6")
+    val neg = top(scored.filter(!col("same") && col("cos6") < lit(dupCeil)),
+      "neg_id", "neg_cos6")
+    pos.join(neg, "q_id")
+      .withColumn("margin6", round(col("pos_cos6") - col("neg_cos6"), 6))
+      .orderBy("q_id") // query-batch-sized output: bounded sort
+  }
+
   def embedQc(spark: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
     // no global ORDER BY — corpus-sized QC report (see embedQcFrom doc)
     embedQcFrom(Tables.embeddings(spark, dir), expectDim)

@@ -577,6 +577,36 @@ class SimilaritySpec extends SparkSpec {
       s"indexed hard-negative recall ${hit.toDouble / exact.size} below floor")
   }
 
+  test("triplet_mine pairs each anchor's best positive with its best hard negative") {
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1), r.getAs[Int]("label")))
+    val norms = embs.map { case (id, v, _) => id -> math.sqrt(dotd(v, v)) }.toMap
+    def best(q: Long, qv: Seq[Float], keep: ((Long, Int)) => Boolean): Option[(Long, Double)] =
+      embs.filter { case (n, _, nl) => n != q && keep((n, nl)) }
+        .map { case (n, nv, _) => (n, r6(dotd(qv, nv) / (norms(q) * norms(n)))) }
+        .sortBy { case (n, c) => (-c, n) }.headOption
+    val expected = embs.filter(_._1 < 20).flatMap { case (q, qv, ql) =>
+      val pos = best(q, qv, { case (_, nl) => nl == ql })
+      // the negative must also clear the near-dup ceiling
+      val negC = embs.filter { case (n, _, nl) => n != q && nl != ql }
+        .map { case (n, nv, _) => (n, r6(dotd(qv, nv) / (norms(q) * norms(n)))) }
+        .filter(_._2 < 0.995)
+        .sortBy { case (n, c) => (-c, n) }.headOption
+      (pos, negC) match {
+        case (Some((p, pc)), Some((n, nc))) =>
+          Some((q, p, pc, n, nc, r6(pc - nc)))
+        case _ => None
+      }
+    }.toSet
+    val got = Similarity.tripletMine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("pos_id"),
+        r.getAs[Double]("pos_cos6"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("neg_cos6"), r.getAs[Double]("margin6"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("probe-path candidates never include tombstoned vectors") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-probe-tomb").toString + "/idx"
