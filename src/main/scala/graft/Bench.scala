@@ -107,6 +107,13 @@ object Bench {
       // (ann_ivf) absorbs the whole vector-JIT cost as plan time
       SparkEntry.queries.get("ann_ivf")
         .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
+      // the mining path JITs yet another expression set (quantized-
+      // cosine projection, collect_list top-k aggs, struct argmaxes);
+      // measured isolated at sf1 its 3-run spread was [62.6, 38.5,
+      // 19.2] s with a byte-identical plan — pure warm-up cost that
+      // belongs here, not in the timed reading
+      SparkEntry.queries.get("bitext_mine")
+        .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
     }
     // optional comma-separated subset for targeted timing runs — read
     // BEFORE the prebuild so a targeted run of one cheap query doesn't
