@@ -172,6 +172,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.hardNegativesIndexed(s, d)),
     "triplet_mine" ->
       ((s: SparkSession, d: String) => Similarity.tripletMine(s, d)),
+    "triplet_mine_indexed" ->
+      ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.tripletMineIndexed(s, d)),
+    "ann_adc_rerank" ->
+      ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.annAdcRerank(s, d)),
+    "vindex_sync" ->
+      (graft.sim.VectorIndexStore.vindexSync _),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
@@ -1960,7 +1966,8 @@ object SparkEntry {
         |       WHERE rkt <= 4 GROUP BY 1),
         |m AS (SELECT s.src_id, s.tgt_id, s.c6i,
         |    round(2.0 * s.c6i * ss.na * st.nb / (ss.sa * st.nb + st.sb * ss.na), 6) AS margin6
-        |  FROM s JOIN ss ON ss.src_id = s.src_id JOIN st ON st.tgt_id = s.tgt_id),
+        |  FROM s JOIN ss ON ss.src_id = s.src_id JOIN st ON st.tgt_id = s.tgt_id
+        |  WHERE ss.sa * st.nb + st.sb * ss.na > 0),
         |b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin6 DESC, tgt_id) AS brk FROM m),
         |bt AS (SELECT src_id AS bt_src, tgt_id AS bt_tgt FROM (
         |        SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY margin6 DESC, src_id) AS trk FROM m)
@@ -1969,6 +1976,139 @@ object SparkEntry {
         |  CASE WHEN bt.bt_src IS NOT NULL THEN 1 ELSE 0 END AS mutual
         |FROM b LEFT JOIN bt ON bt.bt_src = b.src_id AND bt.bt_tgt = b.tgt_id
         |WHERE b.brk = 1 ORDER BY b.src_id""".stripMargin,
+    // the hard_negatives_indexed probe replay + triplet_mine's two
+    // argmaxes — probe planning, candidate union, and both best-of
+    // selections recomputed from the persisted artifacts
+    "triplet_mine_indexed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+        |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.cid,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.norm * c.cnorm), 6) AS ccos6
+        |  FROM e q, c WHERE q.vec_id < 20),
+        |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos6 DESC, cid) AS crk FROM p),
+        |cand AS (
+        |  SELECT DISTINCT pr.q_id, l.vec_id AS n_id
+        |  FROM pr JOIN l ON l.cid = pr.cid
+        |  WHERE pr.crk <= 4 AND l.vec_id <> pr.q_id),
+        |s AS (
+        |  SELECT cand.q_id, cand.n_id, a.label = b.label AS same,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM cand
+        |  JOIN e a ON a.vec_id = cand.q_id
+        |  JOIN e b ON b.vec_id = cand.n_id),
+        |p2 AS (SELECT q_id, n_id AS pos_id, cos6 AS pos_cos6 FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk
+        |        FROM s WHERE same) WHERE rk = 1),
+        |n2 AS (SELECT q_id, n_id AS neg_id, cos6 AS neg_cos6 FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk
+        |        FROM s WHERE NOT same AND cos6 < 0.995) WHERE rk = 1)
+        |SELECT p2.q_id, p2.pos_id, p2.pos_cos6, n2.neg_id, n2.neg_cos6,
+        |  round(p2.pos_cos6 - n2.neg_cos6, 6) AS margin6
+        |FROM p2 JOIN n2 USING (q_id) ORDER BY p2.q_id""".stripMargin,
+    // one level deeper than ann_exact_rerank: the QUANTIZED (ADC)
+    // scoring replayed from the persisted books/codes — per-query LUT
+    // dots, the subspace-ordered fold (list_prepend(0.0) reproduces the
+    // engine's aggregate(…, 0.0D, +) fold bit-for-bit), round, rank
+    "ann_adc_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+        |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+        |bk AS (SELECT sub, code, cv FROM '{{scratch:ivfpq}}/books/*.parquet'),
+        |cd AS (SELECT vec_id, codes FROM '{{scratch:ivfpq}}/codes/*.parquet'),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.cid,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.norm * c.cnorm), 6) AS ccos6
+        |  FROM e q, c WHERE q.vec_id < 20),
+        |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos6 DESC, cid) AS crk FROM p),
+        |cand AS (
+        |  SELECT DISTINCT pr.q_id, l.vec_id AS n_id
+        |  FROM pr JOIN l ON l.cid = pr.cid
+        |  WHERE pr.crk <= 4 AND l.vec_id <> pr.q_id),
+        |qu AS (SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS REAL)) AS unit
+        |  FROM e WHERE vec_id < 20),
+        |qs AS (SELECT q_id, CAST(t.k AS INTEGER) AS sub,
+        |    list_slice(unit, CAST(t.k AS INTEGER) * 8 + 1, CAST(t.k AS INTEGER) * 8 + 8) AS qsv
+        |  FROM qu, range(0, 8) t(k)),
+        |lut AS (SELECT qs.q_id, qs.sub, bk.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      k -> CAST(qs.qsv[k] AS DOUBLE) * CAST(bk.cv[k] AS DOUBLE)),
+        |      (x, y) -> x + y) AS contrib
+        |  FROM qs JOIN bk ON bk.sub = qs.sub),
+        |adc AS (SELECT cand.q_id, cand.n_id,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(lut.contrib ORDER BY lut.sub)), (x, y) -> x + y), 6) AS adc6
+        |  FROM cand
+        |  JOIN cd ON cd.vec_id = cand.n_id
+        |  JOIN lut ON lut.q_id = cand.q_id AND lut.code = cd.codes[lut.sub + 1]
+        |  GROUP BY cand.q_id, cand.n_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc6 DESC, n_id) AS rk FROM adc)
+        |SELECT q_id, n_id, adc6, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // crawl-sync convergence gauge: re-derive top-2 assignment and
+    // nearest-cell PQ encoding of the FULL corpus from the synced
+    // artifact's frozen quantizers, then the same per-list rollup —
+    // a missed append/delete, a mis-assignment, or a mis-encoding all
+    // change a count, an id sum, or a code signature
+    "vindex_sync" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:vsync}}/centroids/*.parquet'),
+        |bk AS (SELECT sub, code, cv FROM '{{scratch:vsync}}/books/*.parquet'),
+        |a AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+        |  FROM e, c),
+        |lists AS (SELECT vec_id, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS ark
+        |    FROM a) WHERE ark <= 2),
+        |u AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS REAL)) AS unit
+        |  FROM e),
+        |qs AS (SELECT vec_id, CAST(t.k AS INTEGER) AS sub,
+        |    list_slice(unit, CAST(t.k AS INTEGER) * 8 + 1, CAST(t.k AS INTEGER) * 8 + 8) AS sv
+        |  FROM u, range(0, 8) t(k)),
+        |d AS (SELECT qs.vec_id, qs.sub, bk.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      k -> CAST(bk.cv[k] AS DOUBLE) * CAST(bk.cv[k] AS DOUBLE)),
+        |      (x, y) -> x + y)
+        |    - 2.0 * list_reduce(list_transform(range(1, 9),
+        |      k -> CAST(qs.sv[k] AS DOUBLE) * CAST(bk.cv[k] AS DOUBLE)),
+        |      (x, y) -> x + y) AS d2
+        |  FROM qs JOIN bk ON bk.sub = qs.sub),
+        |best AS (SELECT vec_id, sub, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+        |    FROM d) WHERE rk = 1),
+        |sigs AS (SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list(CAST(code AS BIGINT) ORDER BY sub)), (acc, cc) -> acc * 37 + cc) AS sig
+        |  FROM best GROUP BY vec_id)
+        |SELECT l.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(l.vec_id) AS BIGINT) AS sum_vid,
+        |  CAST(SUM(sigs.sig) AS BIGINT) AS code_sig
+        |FROM lists l JOIN sigs ON sigs.vec_id = l.vec_id
+        |GROUP BY l.cid ORDER BY l.cid""".stripMargin,
     // the cosine_topk chain extended with the majority-label vote
     "knn_classify" ->
       """WITH e AS (

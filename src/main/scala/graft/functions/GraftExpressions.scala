@@ -79,6 +79,11 @@ object GraftFunctions {
         posIntLit("cdc_boundaries", es(2)))),
     "vec_sum" ->
       (es => VectorSumD(es.head).toAggregateExpression()),
+    "vec_cos6" -> (es => VecCos6(es(0), es(1), es(2), es(3))),
+    "vec_cos6i" -> (es => VecCos6i(es(0), es(1), es(2), es(3))),
+    "top_k_sum_long" ->
+      (es => TopKSumLong(es(0), posIntLit("top_k_sum_long", es(1)))
+        .toAggregateExpression()),
   )
 
   /** Idempotent per-session registration; operators call this before
@@ -304,6 +309,44 @@ object Mix {
     while (i < b.length) { h = (h ^ (b(i) & 0xFF)) * 0x100000001B3L; i += 1 }
     mix64(h)
   }
+
+  /** Spark's `round(x, 6)` double semantics, replicated exactly
+    * (RoundBase: NaN/Infinity pass through, else BigDecimal.valueOf →
+    * setScale(6, HALF_UP) → doubleValue) so the fused cosine expressions
+    * below are bit-identical to the composed
+    * `round(vec_dot(a,b)/(na*nb), 6)` Column formula they replace —
+    * pinned by ExpressionPropertySpec against Spark's own `round`.
+    */
+  @inline def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Full work of VecCos6 (shared by eval and codegen): element-order
+    * float dot product (identical to ArrayDotD's fold) divided by the
+    * precomputed norms, rounded to 6 — the cross-engine cosine contract
+    * of the whole similarity/mining family, fused into ONE hot method so
+    * every consumer (exact top-k, hard negatives, triplets, bitext, the
+    * probe re-rank) shares a single JIT compilation instead of each
+    * stage paying its own warm-up for a structurally-identical
+    * expression tree.
+    */
+  def cos6d(a: ArrayData, b: ArrayData, na: Double, nb: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    round6(s / (na * nb))
+  }
+
+  /** Full work of VecCos6i: [[cos6d]] quantized to integer micro-units —
+    * exactly `CAST(FLOOR(round(dot/(na·nb), 6) · 1e6 + 0.5) AS BIGINT)`
+    * (floor-of-double then truncating cast; Scala's `.toLong` matches
+    * Spark's double→long cast on every value floor can produce,
+    * including NaN→0 and ±Infinity→Long.Min/MaxValue).
+    */
+  def cos6i(a: ArrayData, b: ArrayData, na: Double, nb: Double): Long =
+    math.floor(cos6d(a, b, na, nb) * 1000000.0 + 0.5).toLong
 
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
@@ -935,5 +978,143 @@ case class VectorSumD(
   override def withNewInputAggBufferOffset(newOffset: Int): VectorSumD =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): VectorSumD =
+    copy(child = newChild)
+}
+
+/** Rounded cosine of two float-array columns given their precomputed
+  * norms: `round(dot(a,b)/(na·nb), 6)` as ONE fused expression — see
+  * [[Mix.cos6d]] for why (single shared JIT compilation across the
+  * similarity/mining family; bit-identical to the composed formula).
+  */
+case class VecCos6(a: Expression, b: Expression, na: Expression, nb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = na
+  override def fourth: Expression = nb
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(x: Any, y: Any, n1: Any, n2: Any): Any =
+    Mix.cos6d(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
+      n1.asInstanceOf[Double], n2.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, n1, n2) =>
+      s"${ev.value} = graft.functions.Mix.cos6d($x, $y, $n1, $n2);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(a = f, b = s, na = t, nb = q)
+}
+
+/** [[VecCos6]] quantized to integer micro-units (the `c6i`/`cos_ppm`
+  * contract): `CAST(FLOOR(round(dot/(na·nb), 6) · 1e6 + 0.5) AS BIGINT)`
+  * as one fused expression — see [[Mix.cos6i]].
+  */
+case class VecCos6i(a: Expression, b: Expression, na: Expression, nb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = na
+  override def fourth: Expression = nb
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(x: Any, y: Any, n1: Any, n2: Any): Any =
+    Mix.cos6i(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
+      n1.asInstanceOf[Double], n2.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, n1, n2) =>
+      s"${ev.value} = graft.functions.Mix.cos6i($x, $y, $n1, $n2);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(a = f, b = s, na = t, nb = q)
+}
+
+/** Bounded top-k sum: per group, the exact BIGINT sum of the k largest
+  * long values plus how many values that was (`struct(s, n)`,
+  * n = min(group size, k)). The aggregation buffer is a k-length sorted
+  * array by construction — O(k) per key, spill-friendly partial
+  * aggregation — replacing the `collect_list` → sort → slice → fold
+  * shape whose per-key state grows with the GROUP (corpus-linear for
+  * the bitext k-NN denominators: a hub target vector can land in every
+  * probed list). Sum-of-k-largest is tie-order-invariant, so the result
+  * is identical to the full-sort formulation the DuckDB oracle keeps
+  * (`ROW_NUMBER() ≤ k` then SUM).
+  */
+case class TopKSumLong(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  /** Insert keeping the buffer sorted ascending (element 0 = the
+    * current k-th largest, the eviction candidate). k is small (the
+    * k-NN averaging depth), so the shift-insert is a handful of moves.
+    */
+  private def insert(buf: Array[Long], v: Long): Array[Long] =
+    if (buf.length < k) {
+      val out = new Array[Long](buf.length + 1)
+      var i = 0
+      while (i < buf.length && buf(i) < v) { out(i) = buf(i); i += 1 }
+      out(i) = v
+      while (i < buf.length) { out(i + 1) = buf(i); i += 1 }
+      out
+    } else if (v > buf(0)) {
+      var i = 0
+      while (i + 1 < k && buf(i + 1) < v) { buf(i) = buf(i + 1); i += 1 }
+      buf(i) = v
+      buf
+    } else buf
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf else insert(buf, v.asInstanceOf[Long])
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var out = b1
+    var i = 0
+    while (i < b2.length) { out = insert(out, b2(i)); i += 1 }
+    out
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var s = 0L
+    var i = 0
+    while (i < buf.length) { s += buf(i); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s, buf.length.toLong))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSumLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSumLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKSumLong =
     copy(child = newChild)
 }

@@ -47,7 +47,8 @@ object Similarity {
       .join(e.as("b"), selfGuard)
       .select(
         col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        round(dot64("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+        Vectors.cos6(col("a.embedding"), col("b.embedding"),
+          col("a.norm"), col("b.norm")).as("cos6"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -250,7 +251,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         col("norm").as("nn")), "n_id")
       .select(col("q_id"), col("n_id"),
-        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+        Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn")).as("cos6"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -313,9 +314,9 @@ object Similarity {
     * full-vector `annIvf`), floor-pinned at 0.85 in SimilaritySpec and
     * ScaleRecallSpec.
     */
-  private val PqSubs = 8
-  private val PqSubDim = 8
-  private val PqCodes = 32
+  private[sim] val PqSubs = 8
+  private[sim] val PqSubDim = 8
+  private[sim] val PqCodes = 32
   private val PqRerank = 100
 
   /** IVF-PQ ANN — the memory-bounded production configuration (the
@@ -372,7 +373,7 @@ object Similarity {
     * LUT construction — one definition of the PQ geometry so the two
     * sides can never desynchronize.
     */
-  private val SubExpr =
+  private[sim] val SubExpr =
     s"""transform(sequence(0, ${PqSubs - 1}),
        |  s -> struct(s AS sub, slice(unit, s * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin
 
@@ -629,7 +630,8 @@ object Similarity {
         col("a.label") =!= col("b.label"))
       .select(
         col("a.vec_id").as("q_id"), col("b.vec_id").as("neg_id"),
-        round(dot64("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+        Vectors.cos6(col("a.embedding"), col("b.embedding"),
+          col("a.norm"), col("b.norm")).as("cos6"))
       // the ceiling compares the ROUNDED cosine — the cross-engine contract
       .filter(col("cos6") < lit(dupCeil))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("neg_id"))
@@ -669,7 +671,8 @@ object Similarity {
       .select(
         col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
         (col("a.label") === col("b.label")).as("same"),
-        round(dot64("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+        Vectors.cos6(col("a.embedding"), col("b.embedding"),
+          col("a.norm"), col("b.norm")).as("cos6"))
       .materializeOnce(eager = false)
     def top(df: DataFrame, id: String, c: String): DataFrame = df
       .groupBy("q_id")

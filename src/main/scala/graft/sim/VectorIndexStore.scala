@@ -398,6 +398,17 @@ object VectorIndexStore {
       buildIvfPq(graft.core.Tables.embeddings(spark, dir)
         .select("vec_id", "embedding"), base)
     }
+    // Oracle-parity guard: every probe-path oracle (ann_exact_rerank,
+    // hard_negatives_indexed, bitext_mine, dedup_embedding_ann_indexed)
+    // reads this scratch's RAW lists/codes parquet, while the Spark
+    // side filters tombstones — parity holds because this SHARED base
+    // is build-only. If a future entry ever tombstones it, fail loudly
+    // here instead of letting the hash gate diverge silently (delete
+    // lifecycles belong on their own basePath, as vindex_sync's does).
+    require(!IndexScratch.pathExists(spark, tombstonesPath(base)),
+      s"shared oracle-gated IVF-PQ scratch at $base has tombstones; " +
+        "probe-path oracles read the raw parquet and would diverge — " +
+        "use a dedicated basePath for delete lifecycles or compact first")
     base
   }
 
@@ -415,24 +426,6 @@ object VectorIndexStore {
     indexStats(spark, ensureIvfPq(spark, dir))
   }
 
-  /** EXACT top-k over the PROBED candidate union — the deterministic
-    * rail under the approximate ANN family: probe selection (top-4
-    * inverted lists by centroid cosine, rounded to 6 decimals with cid
-    * tie-break) and the candidate union both read the PERSISTED index
-    * artifacts, and the re-rank is the exact rounded cosine, so the
-    * whole IVF probe path — quantizer output, list membership, probe
-    * planning, candidate expansion, scoring — sits under the DuckDB
-    * hash gate (the oracle recomputes every step in SQL over the SAME
-    * centroids/lists parquet plus the embeddings table). The `ann_*`
-    * entries stay rows-only because their output depends on probe
-    * ORDER internals; this entry pins the parts that don't.
-    *
-    * Scale shape: probe scoring is |queries|×k against a broadcast
-    * centroid table; the candidate join streams only the probed
-    * buckets of the cid-bucketed lists; everything downstream is
-    * bounded by |queries| × probed-list mass, independent of corpus
-    * size.
-    */
   /** The shared probe machinery of the probe-path consumers
     * (`annExactRerank`, `hardNegativesIndexed`, `bitextMine`):
     * top-`nprobe` centroid lists per query via the derived-key
@@ -450,13 +443,13 @@ object VectorIndexStore {
   private[sim] def probeCandidates(spark: SparkSession, base: String, q: DataFrame,
       nprobe: Int, listFilter: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.sim.Vectors.dot64
     val cents = spark.read.parquet(s"$base/centroids")
     val probed = q.withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
       .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
         "one")
       .withColumn("ccos6",
-        round(dot64("embedding", "cvec") / (col("norm") * col("cnorm")), 6))
+        graft.sim.Vectors.cos6(col("embedding"), col("cvec"),
+          col("norm"), col("cnorm")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos6").desc, col("cid"))))
       .filter(col("crk") <= nprobe)
@@ -469,9 +462,27 @@ object VectorIndexStore {
       .distinct()
   }
 
+  /** EXACT top-k over the PROBED candidate union — the deterministic
+    * rail under the approximate ANN family: probe selection (top-4
+    * inverted lists by centroid cosine, rounded to 6 decimals with cid
+    * tie-break) and the candidate union both read the PERSISTED index
+    * artifacts (through [[probeCandidates]]), and the re-rank is the
+    * exact rounded cosine, so the whole IVF probe path — quantizer
+    * output, list membership, probe planning, candidate expansion,
+    * scoring — sits under the DuckDB hash gate (the oracle recomputes
+    * every step in SQL over the SAME centroids/lists parquet plus the
+    * embeddings table). The `ann_*` entries stay rows-only because
+    * their output depends on probe ORDER internals; this entry pins
+    * the parts that don't.
+    *
+    * Scale shape: probe scoring is |queries|×k against a broadcast
+    * centroid table; the candidate join streams only the probed
+    * buckets of the cid-bucketed lists; everything downstream is
+    * bounded by |queries| × probed-list mass, independent of corpus
+    * size.
+    */
   def annExactRerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.sim.Vectors.dot64
     val base = ensureIvfPq(spark, dir)
     val e = graft.core.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
@@ -485,7 +496,8 @@ object VectorIndexStore {
       .join(e.select(col("vec_id").as("n_id"),
         col("embedding").as("ne"), col("norm").as("nn")), "n_id")
       .select(col("q_id"), col("n_id"),
-        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+        graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
+          .as("cos6"))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id")))
@@ -509,7 +521,6 @@ object VectorIndexStore {
   def hardNegativesIndexed(spark: SparkSession, dir: String,
       k: Int = 8, dupCeil: Double = 0.995): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.sim.Vectors.dot64
     graft.functions.GraftFunctions.register(spark)
     val base = ensureIvfPq(spark, dir)
     val e = graft.core.Tables.embeddings(spark, dir)
@@ -526,7 +537,8 @@ object VectorIndexStore {
         col("embedding").as("ne"), col("norm").as("nn")), "neg_id")
       .filter(col("ql") =!= col("nl"))
       .select(col("q_id"), col("neg_id"),
-        round(dot64("qe", "ne") / (col("qn") * col("nn")), 6).as("cos6"))
+        graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
+          .as("cos6"))
       .filter(col("cos6") < lit(dupCeil))
     scored
       .withColumn("rk", row_number().over(
@@ -587,7 +599,8 @@ object VectorIndexStore {
           tgtVecs.select(col("tgt_id").as("vec_id")), "vec_id"))
       .select(col("q_id").as("src_id"), col("cand_id").as("tgt_id"))
     // integer micro-unit cosine of each candidate pair (rounded-then-
-    // quantized, the embed_centroid_stats cos_ppm contract). The pair
+    // quantized, the embed_centroid_stats cos_ppm contract) via the
+    // fused native scorer the whole mining family shares. The pair
     // frame is the big intermediate (|src|·probed-list mass); both
     // vector sides are bounded (src = the query batch, tgt = one
     // language's vectors) and AQE broadcasts them, so scoring is one
@@ -597,28 +610,37 @@ object VectorIndexStore {
         col("embedding").as("qe"), col("norm").as("qn")), "src_id")
       .join(tgtVecs, "tgt_id")
       .select(col("src_id"), col("tgt_id"),
-        expr("CAST(FLOOR(round(" +
-          "vec_dot(qe, te) / (qn * tn), 6) * 1000000.0D + 0.5D) AS BIGINT)")
+        graft.sim.Vectors.cos6i(col("qe"), col("te"), col("qn"), col("tn"))
           .as("c6i"))
       .materializeOnce(eager = true)
     // k-NN sums per side — the SUM of the k largest cosines is
-    // tie-order-invariant, so a hash aggregation (sort the per-key
-    // list, slice k, fold) replaces a full window sort of the pair
-    // frame; `na`/`nb` carry the actual neighbour count for short
-    // candidate lists. Exact integer sums either way.
+    // tie-order-invariant, and the bounded `top_k_sum_long` aggregate
+    // (graft.functions.TopKSumLong) keeps per-key state at O(k) BY
+    // CONSTRUCTION: a hub target vector that lands in every probed
+    // list folds through a k-length sorted array instead of buffering
+    // its full corpus-linear candidate list (the old collect_list →
+    // sort → slice shape). `na`/`nb` carry the actual neighbour count
+    // for short candidate lists. Exact integer sums either way.
     def kSum(key: String, s: String, n: String): DataFrame = scored
-      .groupBy(key).agg(
-        expr(s"aggregate(slice(reverse(array_sort(collect_list(c6i))), 1, $kAvg), " +
-          s"0L, (x, y) -> x + y)").as(s),
-        least(count(lit(1)), lit(kAvg.toLong)).as(n))
+      .groupBy(key)
+      .agg(call_function("top_k_sum_long", col("c6i"), lit(kAvg)).as("t"))
+      .select(col(key), col("t.s").as(s), col("t.n").as(n))
     val sumS = kSum("src_id", "sa", "na")
     val sumT = kSum("tgt_id", "sb", "nb")
     // margins stream over the pinned pair frame against the two
     // broadcast side tables — no pair-frame exchange; the per-side
     // arg-max is a partial-aggregating max(struct) (margin desc, id
-    // asc via negation), never a window sort
+    // asc via negation), never a window sort.
+    // Denominator guard: a candidate whose k-NN cosine mass is not
+    // strictly positive has no defined ratio margin — and the engines
+    // disagree on x/0 (Spark non-ANSI yields NULL, DuckDB IEEE yields
+    // ±Inf), so such pairs are dropped EXPLICITLY and identically in
+    // the oracle (on normalized real-text embeddings every near-list
+    // cosine is positive, so the filter is a no-op there; it exists
+    // for adversarial inputs).
     val margins = scored
       .join(broadcast(sumS), "src_id").join(broadcast(sumT), "tgt_id")
+      .filter(col("sa") * col("nb") + col("sb") * col("na") > 0)
       .withColumn("margin6",
         round(lit(2.0) * col("c6i") * col("na") * col("nb") /
           (col("sa") * col("nb") + col("sb") * col("na")), 6))
@@ -640,5 +662,182 @@ object VectorIndexStore {
         col("margin6"),
         when(col("bt_src").isNotNull, 1).otherwise(0).as("mutual"))
       .orderBy("src_id") // |src-lang|-sized output: bounded sort
+  }
+
+  /** [[Similarity.tripletMine]] served from the persisted IVF index —
+    * the third consumer of the shared [[probeCandidates]] machinery
+    * (after `hardNegativesIndexed` and `bitextMine`): candidates come
+    * from the probed inverted lists instead of a full corpus stream,
+    * then the same exact re-score and the same two partial-aggregating
+    * argmaxes (best same-label positive; best different-label negative
+    * under the near-dup ceiling). Work is bounded by |anchors| ×
+    * probed-list mass, independent of corpus size — the per-training-
+    * batch shape once the corpus no longer streams per batch.
+    * Deterministic by the `annExactRerank` contract, so the DuckDB
+    * oracle replays probe planning, candidate union, and both argmaxes
+    * over the SAME persisted artifacts; TripletRecallSpec pins how much
+    * of the exact miner's margin mass the probe path retains.
+    */
+  def tripletMineIndexed(spark: SparkSession, dir: String,
+      dupCeil: Double = 0.995): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureIvfPq(spark, dir)
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label")
+      .withColumn("norm", norm64("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    val cands = probeCandidates(spark, base,
+        q.select("vec_id", "embedding", "norm"), nprobe = 4)
+      .withColumnRenamed("cand_id", "n_id")
+    val scored = cands
+      .join(q.select(col("vec_id").as("q_id"), col("label").as("ql"),
+        col("embedding").as("qe"), col("norm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("nl"),
+        col("embedding").as("ne"), col("norm").as("nn")), "n_id")
+      .select(col("q_id"), col("n_id"), (col("ql") === col("nl")).as("same"),
+        graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
+          .as("cos6"))
+      .materializeOnce(eager = false)
+    def top(df: DataFrame, id: String, c: String): DataFrame = df
+      .groupBy("q_id")
+      .agg(max(struct(col("cos6"), (-col("n_id")).as("nid"))).as("b"))
+      .select(col("q_id"), (-col("b.nid")).as(id), col("b.cos6").as(c))
+    val pos = top(scored.filter(col("same")), "pos_id", "pos_cos6")
+    val neg = top(scored.filter(!col("same") && col("cos6") < lit(dupCeil)),
+      "neg_id", "neg_cos6")
+    pos.join(neg, "q_id")
+      .withColumn("margin6", round(col("pos_cos6") - col("neg_cos6"), 6))
+      .orderBy("q_id") // query-batch-sized output: bounded sort
+  }
+
+  /** ADC (asymmetric-distance) top-k over the probed candidate union —
+    * the QUANTIZED scoring stage of the IVF-PQ query path under the
+    * hash gate, one level deeper than [[annExactRerank]] (which pinned
+    * probe planning + list membership + exact scoring): candidates come
+    * from [[probeCandidates]], each candidate's score is the PQ
+    * approximation Σ_s dot(query subvector s, codebook cell of its
+    * code_s) computed from the PERSISTED books/codes parquet, folded in
+    * subspace order and rounded to 6 (the cross-engine contract — both
+    * engines produce bit-identical doubles from the same persisted
+    * floats), ranked with n_id tie-break. The DuckDB oracle replays
+    * codebook lookup, LUT construction, the ordered fold, and the
+    * ranking over the SAME artifacts, so quantized scoring is verified
+    * end-to-end; the `ann_ivf_pq*` entries remain rows-only solely for
+    * Lloyd-training randomness.
+    *
+    * Scale shape: the per-query LUT is |queries| × 8×32 dots against a
+    * broadcast codebook; candidate scoring touches only the 8-byte code
+    * rows of probed-list members (the vec_id-bucketed codes table joins
+    * without exchanging); everything is bounded by |queries| ×
+    * probed-list mass.
+    */
+  def annAdcRerank(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureIvfPq(spark, dir)
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    val cands = probeCandidates(spark, base, q, nprobe = 4)
+      .withColumnRenamed("cand_id", "n_id")
+    val books = spark.read.parquet(s"$base/books")
+    val codes = live(physicalTable(spark, base, "codes", "vec_id"),
+      tombstones(spark, base))
+    // per-query ADC lookup table, keyed sub*PqCodes+code exactly as
+    // Similarity.ivfPqSearch builds it (one definition of the geometry
+    // via SubExpr, so the gated replay and the serving path can't drift)
+    val qsubs = q
+      .withColumn("unit", expr("transform(embedding, x -> CAST(x / norm AS FLOAT))"))
+      .select(col("vec_id").as("q_id"), explode(expr(Similarity.SubExpr)).as("p"))
+      .select(col("q_id"), col("p.sub").as("sub"), col("p.sv").as("qsv"))
+    val lut = qsubs.join(broadcast(books), "sub")
+      .select(col("q_id"),
+        (col("sub") * Similarity.PqCodes + col("code")).as("i"),
+        call_function("vec_dot", col("qsv"), col("cv")).as("contrib"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(col("i"), col("contrib")))).as("lut"))
+    val scored = cands
+      .join(codes.select(col("vec_id").as("n_id"), col("codes")), "n_id")
+      .join(broadcast(lut), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(expr(
+          s"""aggregate(sequence(0, ${Similarity.PqSubs - 1}), CAST(0.0 AS DOUBLE),
+             |  (acc, s) -> acc + element_at(lut, s * ${Similarity.PqCodes} + element_at(codes, s + 1)))""".stripMargin),
+          6).as("adc6"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc6").desc, col("n_id")))
+        .cast("long"))
+      .filter(col("rk") <= topN)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Build-if-missing of the CRAWL-SYNC verification artifact: a
+    * deliberately STALE IVF-PQ index (one-seventh of the corpus
+    * missing = the new batch; a deterministic slice of re-keyed phantom
+    * vectors = rows that vanished upstream) converged against the full
+    * corpus in one [[crawlSyncVectors]] cycle, then compacted so the
+    * persisted parquet IS the live set (no tombstone view for the
+    * oracle to replay). Quantizers train on the stale snapshot and stay
+    * frozen through the sync — the production posture, and what makes
+    * the artifact verifiable: assignment and encoding of EVERY live
+    * vector are pure functions of (corpus, persisted quantizers).
+    */
+  def ensureSyncedVindex(spark: SparkSession, dir: String): String = {
+    val base = IndexScratch.scratchBase(dir, "vsync")
+    IndexScratch.ensureBuilt(base,
+      IndexScratch.sourceFingerprint(spark, s"$dir/embeddings.parquet")) {
+      // a crashed previous attempt may have left tombstones behind;
+      // buildIvfPq overwrites every other artifact, so clear them too
+      val tp = new org.apache.hadoop.fs.Path(tombstonesPath(base))
+      val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tp)) fs.delete(tp, true)
+      val emb = graft.core.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+      val stale = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val phantom = emb.filter(pmod(col("vec_id"), lit(11)) === 5)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+      buildIvfPq(stale.unionByName(phantom), base)
+      crawlSyncVectors(spark, base, emb)
+      compactIvfPq(spark, base)
+    }
+    base
+  }
+
+  /** Crawl-sync convergence under the hash gate — the vector twin of
+    * `search_index_sync` (closing the asymmetry where
+    * [[crawlSyncVectors]] was spec-only while the search index's sync
+    * had an oracle-gated entry): a deterministic rollup over the SYNCED
+    * artifact of [[ensureSyncedVindex]] — per inverted list, the member
+    * count, the member-id sum, and a positional fold of every member's
+    * PQ codes — hash-checked against a DuckDB oracle that RE-DERIVES
+    * all three from the corpus plus the persisted frozen quantizers
+    * (top-2 assignment replay over centroids; nearest-cell encoding
+    * replay over books). A missed append shrinks a count, a missed
+    * delete inflates one, a mis-assignment moves an id sum, a
+    * mis-encoding flips a code signature — every diff class flips the
+    * hash.
+    *
+    * Scale shape: the gauge is one narrow join of the two bucketed
+    * index tables (lists ⋈ codes on vec_id) and a per-cid partial
+    * aggregation — index-sized, never corpus-vector-sized; the sync
+    * cycle itself is two id anti-joins + batch-only assign/encode
+    * (see [[crawlSyncVectors]]).
+    */
+  def vindexSync(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureSyncedVindex(spark, dir)
+    val idx = loadIvfPq(spark, base)
+    idx.lists.join(idx.codes, "vec_id")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum("vec_id").as("sum_vid"),
+        // positional integer fold (base 37) of the 8 codes — exact
+        // BIGINT arithmetic, so the oracle's encode replay must match
+        // every code of every member bit-for-bit
+        sum(expr("aggregate(codes, 0L, (acc, c) -> acc * 37 + CAST(c AS BIGINT))"))
+          .as("code_sig"))
+      .orderBy("cid")
   }
 }

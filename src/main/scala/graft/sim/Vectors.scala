@@ -47,6 +47,24 @@ object Vectors {
   def norm64(c: String): Column =
     sqrt(call_function("vec_dot", col(c), col(c)))
 
+  /** The family-wide rounded-cosine contract
+    * `round(dot(a,b)/(na·nb), 6)` as ONE fused native expression
+    * (graft.functions.VecCos6) — bit-identical to composing
+    * `round(dot64(a,b)/(na*nb), 6)` (spec-pinned), but every consumer
+    * (exact top-k, mining, the probe re-rank) shares a single generated
+    * hot method instead of each paying its own JIT warm-up for a
+    * structurally-identical round/divide tree.
+    */
+  def cos6(a: Column, b: Column, na: Column, nb: Column): Column =
+    call_function("vec_cos6", a, b, na, nb)
+
+  /** [[cos6]] quantized to integer micro-units (the `c6i` contract):
+    * `CAST(FLOOR(round(·, 6) · 1e6 + 0.5) AS BIGINT)` fused
+    * (graft.functions.VecCos6i).
+    */
+  def cos6i(a: Column, b: Column, na: Column, nb: Column): Column =
+    call_function("vec_cos6i", a, b, na, nb)
+
   /** Adds a `bucket_arr` column of `bands` LSH bucket keys for the
     * 64-d `embedding` column: each band packs `rows` hyperplane sign
     * bits and hashes them with the band id (bands never share buckets).

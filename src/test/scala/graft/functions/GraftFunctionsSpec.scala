@@ -256,6 +256,73 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(dot.length == 5 && dot.forall(_.getAs[Double]("d") > 0))
   }
 
+  test("vec_cos6 / vec_cos6i match the composed round/floor column formula") {
+    registered
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("embedding"), col("embedding"))))
+    val rows = e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        call_function("vec_cos6", col("a.embedding"), col("b.embedding"),
+          col("a.norm"), col("b.norm")).as("fast"),
+        round(call_function("vec_dot", col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm")), 6).as("ref"),
+        call_function("vec_cos6i", col("a.embedding"), col("b.embedding"),
+          col("a.norm"), col("b.norm")).as("fasti"),
+        expr("""CAST(FLOOR(round(vec_dot(a.embedding, b.embedding)
+               | / (a.norm * b.norm), 6) * 1000000.0D + 0.5D) AS BIGINT)""".stripMargin)
+          .as("refi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("round6 replicates Spark's round(x, 6) on adversarial doubles") {
+    // the fused cosine's rounding half must be bit-identical to the
+    // engine's own Round expression — including half-up ties, negatives,
+    // values with no exact binary representation, and non-finite inputs
+    val vals = Seq(0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.0000005,
+      0.0000005, -0.0000005, 1.0 / 3.0, -2.0 / 3.0, 0.729384756e-3,
+      Double.MinPositiveValue, 0.0, -0.0, 123.4567894999999, -7.37e-7,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    import spark.implicits._
+    val sparkRounded = vals.toDF("x").select(round(col("x"), 6)).collect()
+      .map(_.getDouble(0))
+    vals.zip(sparkRounded).foreach { case (x, ref) =>
+      val got = Mix.round6(x)
+      assert(java.lang.Double.compare(got, ref) == 0 ||
+        (got.isNaN && ref.isNaN), s"round6($x) = $got, spark round = $ref")
+    }
+  }
+
+  test("top_k_sum_long matches the collect_list sort/slice/fold formulation") {
+    registered
+    // group sizes straddle k on purpose: doc_id % 7 gives groups larger
+    // than k = 4, % 97 gives many groups smaller than k
+    Seq(7, 97).foreach { m =>
+      // values bounded like the micro-unit cosines the aggregate serves
+      // (full-range longs would overflow the ANSI reference fold)
+      val rows = Tables.documents(spark, sf)
+        .select((col("doc_id") % m).as("g"),
+          (pmod(xxhash64(col("text")), lit(2000001L)) - 1000000L).as("v"))
+        .groupBy("g")
+        .agg(
+          call_function("top_k_sum_long", col("v"), lit(4)).as("t"),
+          expr("""aggregate(slice(reverse(array_sort(collect_list(v))), 1, 4),
+                 | 0L, (x, y) -> x + y)""".stripMargin).as("refS"),
+          least(count(lit(1)), lit(4L)).as("refN"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val t = r.getStruct(1)
+        assert(t.getLong(0) == r.getLong(2), s"sum mismatch in group ${r.get(0)}")
+        assert(t.getLong(1) == r.getLong(3), s"count mismatch in group ${r.get(0)}")
+      }
+    }
+  }
+
   test("interpreted eval agrees with generated code for every expression") {
     registered
     // every native function evaluated over real data twice: once under
@@ -274,6 +341,12 @@ class GraftFunctionsSpec extends SparkSpec {
         .collect().map(_.toString).toSeq
       val e = Tables.embeddings(spark, sf).select(col("vec_id"),
           call_function("vec_dot", col("embedding"), col("embedding")).as("v"),
+          call_function("vec_cos6", col("embedding"), col("embedding"),
+            sqrt(call_function("vec_dot", col("embedding"), col("embedding"))),
+            lit(1.0)).as("c6"),
+          call_function("vec_cos6i", col("embedding"), col("embedding"),
+            sqrt(call_function("vec_dot", col("embedding"), col("embedding"))),
+            lit(1.0)).as("c6i"),
           call_function("lsh_packed_bands", col("embedding"), lit(8), lit(4)).as("p"),
           call_function("lsh_band_buckets", col("embedding"), lit(8), lit(4)).as("pb"),
           call_function("minhash_band_buckets",

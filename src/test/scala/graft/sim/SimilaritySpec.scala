@@ -690,4 +690,118 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).size == got.size)
     assert(got.nonEmpty && got.exists(_._5 == 1))
   }
+
+  test("triplet_mine_indexed matches a probe replay; recall floor vs the exact miner") {
+    val base = VectorIndexStore.ensureIvfPq(spark, sf)
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> ((r.getSeq[Float](1), r.getAs[Int]("label")))).toMap
+    val norms = embs.map { case (id, (v, _)) => id -> math.sqrt(dotd(v, v)) }
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select("cid", "cvec", "cnorm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1), r.getAs[Double]("cnorm")))
+    val lists = spark.read.parquet(s"$base/lists")
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val expected = embs.keys.filter(_ < 20).toSeq.sorted.flatMap { qid =>
+      val (qv, ql) = embs(qid)
+      val probedC = cents
+        .map { case (cid, cv, cn) => (cid, r6(dotd(qv, cv) / (norms(qid) * cn))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(4).map(_._1)
+      val cand = probedC.flatMap(c => lists.getOrElse(c, Set.empty)).distinct
+        .filter(_ != qid)
+        .map(n => (n, embs(n)._2, r6(dotd(qv, embs(n)._1) / (norms(qid) * norms(n)))))
+      val pos = cand.filter(_._2 == ql)
+        .sortBy { case (n, _, c) => (-c, n) }.headOption
+      val neg = cand.filter { case (_, nl, c) => nl != ql && c < 0.995 }
+        .sortBy { case (n, _, c) => (-c, n) }.headOption
+      (pos, neg) match {
+        case (Some((p, _, pc)), Some((n, _, nc))) =>
+          Some((qid, p, pc, n, nc, r6(pc - nc)))
+        case _ => None
+      }
+    }.toSet
+    val got = VectorIndexStore.tripletMineIndexed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("pos_id"),
+        r.getAs[Double]("pos_cos6"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("neg_cos6"), r.getAs[Double]("margin6"))).toSet
+    assert(got == expected)
+    // recall floor vs the exact full-scan miner: the probed lists must
+    // keep most anchors minable and mostly agree on the mined triplet
+    val exact = Similarity.tripletMine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("pos_id"),
+        r.getAs[Long]("neg_id"))).toSet
+    assert(got.size.toDouble / exact.size >= 0.5,
+      s"indexed miner covered ${got.size} of ${exact.size} anchors")
+    val agree = got.count(t => exact((t._1, t._2, t._4)))
+    assert(agree.toDouble / exact.size >= 0.3,
+      s"only $agree of ${exact.size} exact triplets re-mined from the index")
+  }
+
+  test("ann_adc_rerank matches a driver replay of persisted PQ scoring") {
+    val base = VectorIndexStore.ensureIvfPq(spark, sf)
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val norms = embs.map { case (id, v) => id -> math.sqrt(dotd(v, v)) }
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select("cid", "cvec", "cnorm").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1), r.getAs[Double]("cnorm")))
+    val lists = spark.read.parquet(s"$base/lists")
+      .select("cid", "vec_id").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val books = spark.read.parquet(s"$base/books")
+      .select("sub", "code", "cv").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")) -> r.getSeq[Float](2)).toMap
+    val codes = spark.read.parquet(s"$base/codes")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    // unit vector exactly as the serving path computes it: float/double
+    // division cast back to float per element
+    def unit(id: Long): Seq[Float] = embs(id).map(x => (x / norms(id)).toFloat)
+    val expected = embs.keys.filter(_ < 20).toSeq.sorted.flatMap { qid =>
+      val probedC = cents
+        .map { case (cid, cv, cn) => (cid, r6(dotd(embs(qid), cv) / (norms(qid) * cn))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(4).map(_._1)
+      val u = unit(qid)
+      val lut = (0 until 8).flatMap { s =>
+        val qsv = u.slice(s * 8, s * 8 + 8)
+        (0 until 32).flatMap(c => books.get((s, c)).map(cv => (s, c) -> dotd(qsv, cv)))
+      }.toMap
+      probedC.flatMap(c => lists.getOrElse(c, Set.empty)).distinct
+        .filter(_ != qid)
+        .map { n =>
+          val adc = (0 until 8).foldLeft(0.0)((acc, s) => acc + lut((s, codes(n)(s))))
+          (n, r6(adc))
+        }
+        .sortBy { case (n, a) => (-a, n) }.take(10).zipWithIndex
+        .map { case ((n, a), i) => (qid, n, a, (i + 1).toLong) }
+    }.toSet
+    val got = VectorIndexStore.annAdcRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("adc6"), r.getAs[Long]("rk"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("vindex_sync converges the stale index: every diff class repaired") {
+    val base = VectorIndexStore.ensureSyncedVindex(spark, sf)
+    val upstream = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val idx = VectorIndexStore.loadIvfPq(spark, base)
+    val codeIds = idx.codes.select("vec_id").collect().map(_.getLong(0)).toSet
+    val listIds = idx.lists.select("vec_id").collect().map(_.getLong(0)).toSet
+    // appended: the deliberately-missing seventh is back; deleted: no
+    // phantom id survives; and the compacted artifact carries no
+    // tombstone view — the raw parquet IS the live set
+    assert(codeIds == upstream)
+    assert(listIds == upstream)
+    assert(!graft.core.IndexScratch.pathExists(spark, s"$base/tombstones"))
+    assert(idx.n == upstream.size)
+    // the gauge aggregates exactly the live membership
+    val gauge = VectorIndexStore.vindexSync(spark, sf).collect()
+    assert(gauge.map(_.getAs[Long]("n_members")).sum == 2L * upstream.size)
+  }
 }
