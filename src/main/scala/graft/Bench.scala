@@ -55,6 +55,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // object-buffer aggregates (top_k_sum_long, collect_list in the
+      // reassembly operators) fall back to SORT-based aggregation after
+      // 128 in-memory groups by default — at mining-family group counts
+      // (thousands of anchors/targets per partition) that silently
+      // replaces an O(rows) hash fold with an O(rows log rows) sort of
+      // the full pair frame. 64k groups × small fixed-size buffers is
+      // still a few MB per task; the fallback remains for the genuinely
+      // unbounded aggregations (per-document collect_list at corpus
+      // grain).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // see graft.core.Graft: avoids Janino OOM on wide LSH projections
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
@@ -116,7 +126,8 @@ object Bench {
       if (smallWd && anyWanted("dedup_cluster", "dedup_cluster_best",
           "dedup_minhash", "dedup_incremental", "dedup_incremental_indexed",
           "curation_report", "ngram_jaccard", "simhash_near", "para_dedup",
-          "span_dedup", "span_trim", "span_trim_apply"))
+          "span_dedup", "span_trim", "span_trim_apply",
+          "span_trim_incremental"))
         SparkEntry.queries.get("dedup_cluster")
           .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
       // the vector hot paths (vec_dot/vec_cos6 loops, vec_sum Lloyd
@@ -177,6 +188,12 @@ object Bench {
         ("vsync",
           anyWanted("vindex_sync"),
           () => graft.sim.VectorIndexStore.ensureSyncedVindex(spark, sfDir)),
+        ("spaninc",
+          anyWanted("span_trim_incremental"),
+          () => graft.dedup.SpanIndexStore.ensureSpanIndex(spark, sfDir)),
+        ("bpedrift",
+          anyWanted("model_drift_stats"),
+          () => graft.text.Drift.ensureDriftModel(spark, sfDir)),
         ("lblinc",
           anyWanted("dedup_cluster_incremental"),
           () => graft.dedup.MinhashIndexStore.ensureIncrementalLabels(spark, sfDir)),

@@ -148,6 +148,8 @@ object SparkEntry {
     "span_dedup"        -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "span_trim"         -> ((s: SparkSession, d: String) => Dedup.spanTrim(s, d)),
     "span_trim_apply"   -> ((s: SparkSession, d: String) => Dedup.spanTrimApply(s, d)),
+    "span_trim_incremental" ->
+      (graft.dedup.SpanIndexStore.spanTrimIncremental _),
     "profile_stats"     -> (Profile.profileStats _),
     "outlier_stats"     -> (Profile.outlierStats _),
     "length_histogram"  -> (TextOps.lengthHistogram _),
@@ -178,6 +180,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.annAdcRerank(s, d)),
     "vindex_sync" ->
       (graft.sim.VectorIndexStore.vindexSync _),
+    "model_drift_stats" ->
+      (graft.text.Drift.modelDriftStats _),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
@@ -2109,6 +2113,48 @@ object SparkEntry {
         |  CAST(SUM(sigs.sig) AS BIGINT) AS code_sig
         |FROM lists l JOIN sigs ON sigs.vec_id = l.vec_id
         |GROUP BY l.cid ORDER BY l.cid""".stripMargin,
+    // drift gauge replay: BOTH sides recomputed from the corpus plus
+    // the persisted frozen vocabulary — the committed baseline (build
+    // slice under its own model) and the new-batch metrics; every ratio
+    // is integer-exact ppm, so a stale baseline, a vocabulary miss, or
+    // a threshold change all flip the hash
+    "model_drift_stats" ->
+      """WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+        |ws AS (SELECT w, n_sym, cnt FROM '{{scratch:bpedrift}}/wordstats/*.parquet'),
+        |toks AS (
+        |  SELECT d.doc_id, d.lang, tok.w
+        |  FROM documents d, UNNEST(string_split(d.text, ' ')) AS tok(w)
+        |  WHERE len(tok.w) > 0),
+        |stats AS (
+        |  SELECT CASE WHEN tk.doc_id <= b.lo + (b.hi - b.lo) * 4 // 5
+        |              THEN 0 ELSE 1 END AS half, tk.lang,
+        |    COUNT(*) AS n_words,
+        |    SUM(CASE WHEN ws.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    SUM(COALESCE(ws.n_sym, len(tk.w))) AS n_bpe,
+        |    SUM(CASE WHEN ws.cnt IS NOT NULL AND ws.cnt <= 2 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM toks tk LEFT JOIN ws ON ws.w = tk.w, b
+        |  GROUP BY 1, 2),
+        |base AS (SELECT lang,
+        |    (1000000 * n_bpe) // n_words AS fert_base_ppm,
+        |    (1000000 * n_rare) // n_words AS rare_base_ppm
+        |  FROM stats WHERE half = 0),
+        |cur AS (SELECT * FROM stats WHERE half = 1)
+        |SELECT cur.lang, CAST(cur.n_words AS BIGINT) AS n_words,
+        |  CAST((1000000 * cur.n_oov) // cur.n_words AS BIGINT) AS oov_ppm,
+        |  CAST((1000000 * cur.n_bpe) // cur.n_words AS BIGINT) AS fert_ppm,
+        |  CAST(COALESCE(base.fert_base_ppm, -1) AS BIGINT) AS fert_base_ppm,
+        |  CAST((1000000 * cur.n_rare) // cur.n_words AS BIGINT) AS rare_ppm,
+        |  CAST(COALESCE(base.rare_base_ppm, -1) AS BIGINT) AS rare_base_ppm,
+        |  CAST(CASE
+        |    WHEN COALESCE(base.fert_base_ppm, -1) < 0 THEN 1
+        |    WHEN (1000000 * cur.n_oov) // cur.n_words > 50000 THEN 1
+        |    WHEN abs((1000000 * cur.n_bpe) // cur.n_words - base.fert_base_ppm) * 10
+        |         > base.fert_base_ppm THEN 1
+        |    WHEN abs((1000000 * cur.n_rare) // cur.n_words - base.rare_base_ppm)
+        |         > 25000 THEN 1
+        |    ELSE 0 END AS INT) AS drift_flag
+        |FROM cur LEFT JOIN base USING (lang)
+        |ORDER BY cur.lang""".stripMargin,
     // the cosine_topk chain extended with the majority-label vote
     "knn_classify" ->
       """WITH e AS (
@@ -2459,6 +2505,21 @@ object SparkEntry {
         |FROM hit GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
     "span_trim" ->
+      (s"""WITH ${spanTrimCte(3)},
+        |pd AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
+        |       FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  round(CAST(len(string_split(d.text, ' ')) - COALESCE(pd.dup_tokens, 0) AS DOUBLE)
+        |    / len(string_split(d.text, ' ')), 6) AS keep_ratio6
+        |FROM documents d LEFT JOIN pd USING (doc_id)""").stripMargin,
+    // the incremental store must be INDISTINGUISHABLE from the full
+    // recompute: the oracle is span_trim's full-scan derivation verbatim
+    // — a batch the store trimmed against stale gram state, a missed
+    // within-batch duplicate, or a re-owned gram all flip the hash
+    "span_trim_incremental" ->
       (s"""WITH ${spanTrimCte(3)},
         |pd AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
         |       FROM sp GROUP BY 1)

@@ -19,6 +19,16 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // object-buffer aggregates (top_k_sum_long, collect_list in the
+      // reassembly operators) fall back to SORT-based aggregation after
+      // 128 in-memory groups by default — at mining-family group counts
+      // (thousands of anchors/targets per partition) that silently
+      // replaces an O(rows) hash fold with an O(rows log rows) sort of
+      // the full pair frame. 64k groups × small fixed-size buffers is
+      // still a few MB per task; the fallback remains for the genuinely
+      // unbounded aggregations (per-document collect_list at corpus
+      // grain).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // InferFiltersFromGenerate clones the generator's input expression
       // into an inferred size()>0 filter; with wide unrolled projections
       // (LSH banding) that triples a multi-thousand-node expression in

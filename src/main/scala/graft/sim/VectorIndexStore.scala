@@ -456,7 +456,15 @@ object VectorIndexStore {
       .select(col("vec_id").as("q_id"), col("cid"))
     val lists = listFilter(
       live(physicalTable(spark, base, "lists", "cid"), tombstones(spark, base)))
-    probed.join(lists, "cid")
+    // broadcast the PROBE side, stream the lists (the ivfPqSearch
+    // shape): the probe set is query-batch-sized, and the 1→many
+    // candidate fan-out must happen on the corpus side's parallel
+    // bucket scan. Left to size estimates, the planner broadcast the
+    // (post-filter small-looking) lists instead — and then the entire
+    // fan-out ran on the probe frame's ONE AQE-coalesced partition
+    // (measured at sf1: a 17 s single-task stage expanding 11k probed
+    // rows into 10.4M candidates).
+    broadcast(probed).join(lists, "cid")
       .select(col("q_id"), col("vec_id").as("cand_id"))
       .filter(col("q_id") =!= col("cand_id"))
       .distinct()
@@ -605,10 +613,27 @@ object VectorIndexStore {
     // vector sides are bounded (src = the query batch, tgt = one
     // language's vectors) and AQE broadcasts them, so scoring is one
     // pass with no pair-frame exchange before the pin.
+    //
+    // Explicit fixed-width repartition of the NARROW pair keys as the
+    // LAST exchange before the pin, not AQE's choice: the candidate
+    // rows are 16 bytes, so byte-based shuffle coalescing folds every
+    // coalescible exchange on this path into ONE partition — and then
+    // the 64-dim scoring, the pin, and both k-NN folds run single-core
+    // (measured at sf1: three ~27 s single-task stages, 3-4× the
+    // query's whole wall time). Bytes are the wrong cost model when
+    // per-row CPU dominates. The repartition must sit IMMEDIATELY
+    // under the pin: placed earlier, any EnsureRequirements exchange a
+    // non-broadcast vector join inserts on top becomes the checkpoint's
+    // final (coalescible) exchange and re-collapses the frame. Keyed by
+    // src_id so the src-side fold needs no second shuffle; ~|src| keys
+    // spread evenly (each probes the same nprobe lists). The query
+    // batch broadcasts by contract; scoring the pairs AFTER the
+    // repartition keeps the shuffled rows key-only.
     val scored = cands
-      .join(q.select(col("vec_id").as("src_id"),
-        col("embedding").as("qe"), col("norm").as("qn")), "src_id")
-      .join(tgtVecs, "tgt_id")
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("src_id"))
+      .join(broadcast(q.select(col("vec_id").as("src_id"),
+        col("embedding").as("qe"), col("norm").as("qn"))), "src_id")
+      .join(broadcast(tgtVecs), "tgt_id")
       .select(col("src_id"), col("tgt_id"),
         graft.sim.Vectors.cos6i(col("qe"), col("te"), col("qn"), col("tn"))
           .as("c6i"))

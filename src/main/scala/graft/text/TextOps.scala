@@ -288,8 +288,15 @@ object TextOps {
     * way.
     */
   private[graft] def bpeTrain(spark: SparkSession, dir: String, merges: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) =
+    bpeTrainDocs(Tables.documents(spark, dir), merges)
+
+  /** [[bpeTrain]] over an arbitrary `(doc_id, text)` frame — the drift
+    * store trains its frozen reference model on the BUILD slice only.
+    */
+  private[graft] def bpeTrainDocs(docs: DataFrame, merges: Int)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    var words = Tables.documents(spark, dir)
+    var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
