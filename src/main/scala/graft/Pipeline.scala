@@ -309,4 +309,58 @@ object Pipeline {
     val clean = emb.join(broadcast(bad), Seq("vec_id"), "left_anti")
     graft.sim.Similarity.annLshFrom(clean)
   }
+
+  /** Per-store diff counts of one [[crawlCycle]] run. */
+  final case class CrawlCycleReport(
+      decisionsNew: Long, decisionsDeleted: Long,
+      searchNew: Long, searchChanged: Long, searchDeleted: Long,
+      vectorsNew: Long, vectorsDeleted: Long,
+      spanBatchDocs: Long)
+
+  /** ONE crawl arrives; EVERY persisted store converges — the composed
+    * form of the reference's sync loop (sync_service.rs:104-163)
+    * applied across the whole incremental serving surface in a single
+    * call. Given the crawl's FULL current state (`docs` with
+    * `(doc_id, text, source)`, `emb` with `(vec_id, embedding)`):
+    *
+    *  - the per-corpus DECISION TABLE runs its diff cycle (new docs
+    *    scored against the frozen gate models and appended; vanished
+    *    docs tombstoned and removed as dup sources);
+    *  - the SEARCH index at `searchBase` deletes vanished ids first,
+    *    then upserts with the `text_hash` revision compare (only
+    *    changed documents reindex);
+    *  - the VECTOR index at `vectorBase` tombstones vanished ids and
+    *    appends new ones under its frozen quantizers;
+    *  - the SPAN store at `spanBase` absorbs the monotone NEW slice
+    *    (ids above its committed high-water mark) — span trim reports
+    *    are append-only crawl history by design (first-owner-keeps is
+    *    stable under monotone ids; removing a document's report means
+    *    a rebuild, the same trade the reference's snapshot history
+    *    makes).
+    *
+    * Every half of every store cycle is idempotent, so a REPLAYED
+    * cycle reports all-zero diffs and changes nothing (spec-pinned).
+    * Scale shape: each store classifies the crawl with narrow id
+    * anti-joins against its bucketed table (store side bucket-scans,
+    * only the crawl's ids shuffle) and then does batch-proportional
+    * work — the whole cycle costs the delta, never the corpus.
+    */
+  def crawlCycle(spark: SparkSession, dir: String,
+      docs: DataFrame, emb: DataFrame,
+      searchBase: String, vectorBase: String,
+      spanBase: String): CrawlCycleReport = {
+    val (decNew, decDel) =
+      graft.curate.DecisionStore.crawlSync(spark, dir, docs)
+    val (sNew, sChanged, sDel) = graft.index.SearchIndexStore
+      .searchSync(docs.select("doc_id", "text"), searchBase)
+    val (vNew, vDel) = graft.sim.VectorIndexStore
+      .crawlSyncVectors(spark, vectorBase, emb)
+    val spanMax = spark.read.parquet(s"$spanBase/meta").head().getLong(0)
+    val spanBatch = docs.select("doc_id", "text")
+      .filter(col("doc_id") > spanMax)
+    val nSpan = spanBatch.count()
+    if (nSpan > 0)
+      graft.dedup.SpanIndexStore.appendSpanBatch(spanBatch, spanBase)
+    CrawlCycleReport(decNew, decDel, sNew, sChanged, sDel, vNew, vDel, nSpan)
+  }
 }

@@ -82,16 +82,37 @@ object SpanIndexStore {
     * rows are untouched by construction (see the class doc); the
     * monotone-id precondition that construction rests on is enforced
     * here.
+    *
+    * REPLAY-SAFE for at-least-once delivery (the store contract every
+    * crawl gate shares): the meta max-id write is the COMMIT POINT
+    * (written last), the report append is id-guarded (only doc_ids the
+    * report doesn't already hold land — a crash between the report
+    * write and the meta write repairs instead of duplicating on
+    * retry), and duplicated gram PARTIALS from a replayed half are
+    * harmless by construction (min/max over duplicated partials is the
+    * same min/max). A fully-committed batch re-delivered later (ids ≤
+    * indexed max, every id already reported) is a silent no-op; a
+    * genuinely out-of-order NEW batch still fails loudly.
     */
   def appendSpanBatch(batch: DataFrame, basePath: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text").materializeOnce()
     val indexedMax = spark.read.parquet(s"$basePath/meta").head().getLong(0)
     val batchBounds = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    require(batchBounds.getLong(0) > indexedMax,
-      s"appendSpanBatch needs monotone crawl ids: batch min " +
-        s"${batchBounds.getLong(0)} <= indexed max $indexedMax — " +
-        "out-of-order ids could re-own grams and invalidate committed reports")
+    if (batchBounds.getLong(0) <= indexedMax) {
+      // ids at or below the commit point: either a full replay of a
+      // committed batch (every id already reported → no-op) or a true
+      // ordering violation (reject — out-of-order ids could re-own
+      // grams and invalidate committed reports)
+      val unreported = b.select("doc_id")
+        .join(spark.read.parquet(s"$basePath/report").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      require(unreported.isEmpty,
+        s"appendSpanBatch needs monotone crawl ids: batch min " +
+          s"${batchBounds.getLong(0)} <= indexed max $indexedMax and the " +
+          "batch holds unreported ids — not a replay of a committed batch")
+      return
+    }
     // batch positional grams feed both the state partial and the match
     val grams = Dedup.spanGramsOf(b, N).materializeOnce()
     val batchState = grams.groupBy("g")
@@ -112,7 +133,12 @@ object SpanIndexStore {
     val matched = grams.join(dupG, "g")
       .filter(col("doc_id") =!= col("d0"))
       .select("doc_id", "pos")
+    // id-guard against the CURRENT report, pinned before the append
+    // reads the path it writes (a half-committed previous attempt may
+    // have landed some of these rows already)
     val report = Dedup.spanTrimReport(b, Dedup.trimIntervals(matched, N))
+      .join(spark.read.parquet(s"$basePath/report").select("doc_id"),
+        Seq("doc_id"), "left_anti")
       .materializeOnce(eager = true)
     Sinks.appendBucketed(batchState, tableName(basePath), "g", Buckets)
     report.write.mode(SaveMode.Append).parquet(s"$basePath/report")

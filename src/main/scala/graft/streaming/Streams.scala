@@ -150,6 +150,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming SPAN-dedup maintenance — the crawl-batch twin of
+    * [[vectorIndexAppend]] for the incremental span store: each
+    * micro-batch of `(doc_id, text)` rows trims against the persisted
+    * per-gram ownership state and appends its partials + report
+    * (`SpanIndexStore.appendSpanBatch`). At-least-once replays are
+    * safe by the store's contract: meta is the commit point, the
+    * report append is id-guarded, duplicated gram partials are
+    * min/max-harmless, and a fully-committed batch re-delivered later
+    * is a silent no-op — while a genuinely out-of-order batch (ids
+    * below the committed high-water mark that were never reported)
+    * fails loudly instead of silently corrupting first-ownership.
+    */
+  def spanIndexAppend(newDocs: DataFrame,
+      basePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.dedup.SpanIndexStore.appendSpanBatch(batch.toDF(), basePath)
+        ()
+      }
+      .start()
+
   /** Streaming SEARCH-index maintenance — the postings-side twin of
     * [[vectorIndexAppend]], and the streaming form of the reference's
     * core loop (an article changes upstream; minutes later its search

@@ -231,4 +231,61 @@ class PipelineSpec extends SparkSpec {
       .filter(_.getAs[Int]("keep") == 1).map(_.getAs[Long]("doc_id")).toSet
     assert(written == keepSet)
   }
+
+  test("crawlCycle converges every persisted store on one crawl; replay is all-zero") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // crawl 1: ids below 400 minus the %5 slice; crawl 2 (the cycle's
+    // upstream): below-400 minus the %3 slice PLUS everything >= 400 —
+    // so every diff class fires: deletes (%3-dropped), re-additions
+    // (%5-dropped ids back), monotone new ids (>= 400, the span batch)
+    val oldDocs = docs.filter(col("doc_id") < 400 && col("doc_id") % 5 =!= 0)
+    val upDocs = docs.filter(
+      (col("doc_id") < 400 && col("doc_id") % 3 =!= 0) || col("doc_id") >= 400)
+    val oldEmb = emb.filter(col("vec_id") < 400 && col("vec_id") % 5 =!= 0)
+      .select("vec_id", "embedding")
+    val upEmb = emb.filter(
+      (col("vec_id") < 400 && col("vec_id") % 3 =!= 0) || col("vec_id") >= 400)
+      .select("vec_id", "embedding")
+    // crawl-1 state for all four stores (the decision store keys off a
+    // corpus dir — give it crawl 1 as its documents table)
+    val tmp = Files.createTempDirectory("graft-crawlcycle").toString
+    oldDocs.write.parquet(s"$tmp/documents.parquet")
+    graft.curate.DecisionStore.ensureDecisions(spark, tmp)
+    val searchBase = Files.createTempDirectory("graft-cc-search").toString + "/idx"
+    graft.index.SearchIndexStore.build(oldDocs.select("doc_id", "text"), searchBase)
+    val vectorBase = Files.createTempDirectory("graft-cc-vec").toString + "/idx"
+    graft.sim.VectorIndexStore.buildIvfPq(oldEmb, vectorBase)
+    val spanBase = Files.createTempDirectory("graft-cc-span").toString + "/idx"
+    graft.dedup.SpanIndexStore.buildSpanIndex(oldDocs.select("doc_id", "text"), spanBase)
+
+    val rep = Pipeline.crawlCycle(spark, tmp, upDocs, upEmb,
+      searchBase, vectorBase, spanBase)
+    val upIds = upDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val oldIds = oldDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // search index tracks exactly the upstream corpus
+    assert(graft.index.SearchIndexStore.loadDocStats(spark, searchBase)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == upIds)
+    // vector index tracks exactly the upstream vectors
+    val upVecIds = upEmb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(graft.sim.VectorIndexStore.loadIvfPq(spark, vectorBase)
+      .codes.select("vec_id").collect().map(_.getLong(0)).toSet == upVecIds)
+    // decision table tracks the upstream minus its eval slice (%97)
+    assert(graft.curate.DecisionStore.decisionTable(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      upIds.filter(_ % 97 != 0))
+    // span reports: crawl-1 history plus the monotone new slice
+    assert(spark.read.parquet(s"$spanBase/report")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      oldIds ++ upIds.filter(_ >= 400))
+    assert(rep.decisionsNew > 0 && rep.decisionsDeleted > 0)
+    assert(rep.searchNew > 0 && rep.searchDeleted > 0)
+    assert(rep.vectorsNew > 0 && rep.vectorsDeleted > 0)
+    assert(rep.spanBatchDocs == upIds.count(_ >= 400).toLong)
+
+    // a replayed cycle converges to all-zero diffs and changes nothing
+    val rep2 = Pipeline.crawlCycle(spark, tmp, upDocs, upEmb,
+      searchBase, vectorBase, spanBase)
+    assert(rep2 == Pipeline.CrawlCycleReport(0, 0, 0, 0, 0, 0, 0, 0))
+  }
 }

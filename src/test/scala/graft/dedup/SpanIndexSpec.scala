@@ -66,6 +66,67 @@ class SpanIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("monotone"))
   }
 
+  test("replayed and half-committed appends converge without duplicate reports") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-spaninc-replay").toString + "/idx"
+    val old = Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta other words")
+    val batch = Seq(10L -> "alpha beta gamma delta arrives again later",
+      11L -> "totally novel content in this one document")
+    SpanIndexStore.buildSpanIndex(docsDf(old), base)
+    SpanIndexStore.appendSpanBatch(docsDf(batch), base)
+    val committed = reportSet(spark.read.parquet(s"$base/report"))
+    // full re-delivery of the committed batch: silent no-op
+    SpanIndexStore.appendSpanBatch(docsDf(batch), base)
+    assert(reportSet(spark.read.parquet(s"$base/report")) == committed)
+    assert(spark.read.parquet(s"$base/report").count() == committed.size)
+    // simulated crash AFTER grams+report landed but BEFORE the meta
+    // commit point: rewind meta to the pre-batch value, then replay
+    val sql = spark.sqlContext
+    import sql.implicits._
+    Seq(2L).toDF("max_doc").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/meta")
+    SpanIndexStore.appendSpanBatch(docsDf(batch), base)
+    assert(reportSet(spark.read.parquet(s"$base/report")) == committed)
+    assert(spark.read.parquet(s"$base/report").count() == committed.size)
+    assert(spark.read.parquet(s"$base/meta").head().getLong(0) == 11L)
+    // the duplicated gram partials from the replayed half do not change
+    // the NEXT batch's verdicts: a doc repeating the shared passage
+    // still trims against owner 1
+    SpanIndexStore.appendSpanBatch(docsDf(Seq(
+      20L -> "closing crawl alpha beta gamma delta repeats")), base)
+    val byDoc = reportSet(spark.read.parquet(s"$base/report"))
+      .map(t => t._1 -> t._3).toMap
+    assert(byDoc(20L) > 0 && byDoc(1L) == 0)
+  }
+
+  test("spanIndexAppend streams crawl batches into the persisted store") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-spaninc-stream").toString + "/idx"
+    SpanIndexStore.buildSpanIndex(docsDf(Seq(
+      1L -> "the shared passage lives right here first",
+      2L -> "unrelated words fill this second document")), base)
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Streams.spanIndexAppend(
+      stream.toDS().toDF("doc_id", "text"), base)
+    stream.addData((10L, "prefix the shared passage lives right here too"))
+    q.processAllAvailable()
+    stream.addData((11L, "another crawl with only fresh material inside"))
+    q.processAllAvailable()
+    q.stop()
+    val got = reportSet(spark.read.parquet(s"$base/report"))
+    val full = reportSet(Dedup.spanTrimDocs(docsDf(Seq(
+      1L -> "the shared passage lives right here first",
+      2L -> "unrelated words fill this second document",
+      10L -> "prefix the shared passage lives right here too",
+      11L -> "another crawl with only fresh material inside"))))
+    assert(got == full)
+  }
+
   test("query entry covers the whole corpus once, one row per document") {
     val df = SpanIndexStore.spanTrimIncremental(spark, sf)
     val n = graft.core.Tables.documents(spark, sf).count()
