@@ -135,7 +135,12 @@ object Multimodal {
     * found by review.
     */
   private def chunked(spark: SparkSession, dir: String, stride: Int): DataFrame =
-    Tables.documents(spark, dir)
+    chunkedDocs(Tables.documents(spark, dir), stride)
+
+  /** `chunked` over an arbitrary `(doc_id, text)` frame — the form the
+    * shift-resistance specs feed synthetic corpora through. */
+  private[graft] def chunkedDocs(docs: DataFrame, stride: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_bytes"))
       .filter(col("n_bytes") > 0)
@@ -171,11 +176,19 @@ object Multimodal {
     * the dedup is a distinct over (digest, bytes) — one partial-agg
     * distinct + two source-keyed aggs, no pairwise comparison anywhere.
     */
-  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val j = chunked(spark, dir, stride = 1)
-      .select(col("doc_id"), col("chunk_bytes"), col("chunk_md5"))
-      .join(Tables.documents(spark, dir).select("doc_id", "source"),
-        "doc_id")
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupRollup(
+      chunked(spark, dir, stride = 1)
+        .select("doc_id", "chunk_bytes", "chunk_md5"),
+      Tables.documents(spark, dir))
+
+  /** The per-source content-addressed rollup shared by the fixed-grid
+    * ([[mmChunkDedup]]) and content-defined ([[mmChunkCdcDedup]])
+    * storage-dedup entries — one definition of the accounting so the
+    * two chunkers' numbers are directly comparable.
+    */
+  private def chunkDedupRollup(chunks: DataFrame, docs: DataFrame): DataFrame = {
+    val j = chunks.join(docs.select("doc_id", "source"), "doc_id")
     val totals = j.groupBy("source").agg(
       count(lit(1)).as("n_chunks"),
       sum(col("chunk_bytes")).as("total_bytes"))
@@ -192,6 +205,37 @@ object Multimodal {
           .as("unique_ppm"))
       .orderBy("source") // source-table-sized output: bounded sort
   }
+
+  /** Chunk-level storage dedup over CONTENT-DEFINED chunks — the
+    * measurement that justifies [[mmChunkCdc]] over the fixed grid:
+    * under the fixed [[ChunkBytes]] offsets, a one-byte insertion
+    * shifts every downstream chunk of the edited copy (all digests
+    * change — `unique_ppm` reads as if the copy were brand-new bytes),
+    * while content-defined boundaries realign after the edit, so the
+    * shared tail dedups again (MultimodalSpec pins CDC's `unique_ppm`
+    * strictly below the fixed grid's on a shifted-duplicate corpus).
+    * Same rollup, same scale shape as [[mmChunkDedup]]: a map-side
+    * generate of narrow digest rows, one partial-agg distinct, two
+    * source-keyed aggs — no pairwise comparison anywhere.
+    */
+  def mmChunkCdcDedup(spark: SparkSession, dir: String): DataFrame =
+    mmChunkCdcDedupDocs(Tables.documents(spark, dir))
+
+  /** [[mmChunkCdcDedup]] over an arbitrary `(doc_id, text, source)`
+    * frame. */
+  private[graft] def mmChunkCdcDedupDocs(docs: DataFrame): DataFrame =
+    chunkDedupRollup(
+      cdcChunksOf(docs.sparkSession, docs)
+        .select("doc_id", "chunk_bytes", "chunk_md5"),
+      docs)
+
+  /** [[mmChunkDedup]] over an arbitrary `(doc_id, text, source)`
+    * frame. */
+  private[graft] def mmChunkDedupDocs(docs: DataFrame): DataFrame =
+    chunkDedupRollup(
+      chunkedDocs(docs, stride = 1)
+        .select("doc_id", "chunk_bytes", "chunk_md5"),
+      docs)
 
   /** CDC rolling-window length (codepoints) and boundary mask bits —
     * expected chunk ≈ 2^[[CdcMaskBits]] = 64 codepoints — fine-grained

@@ -205,4 +205,33 @@ class MultimodalSpec extends SparkSpec {
     assert(survived > fixedSurvived,
       "CDC chunking did not beat the fixed grid on shift-resistance")
   }
+
+  test("mm_chunk_cdc_dedup beats the fixed grid on a shifted-duplicate corpus") {
+    import org.apache.spark.sql.functions._
+    val sqlc = spark.sqlContext
+    import sqlc.implicits._
+    // a store holding each asset twice: the original and a copy with ONE
+    // byte inserted up front — the boilerplate-with-a-prefix shape real
+    // media corpora carry. Long payloads so both chunkers emit many
+    // chunks per doc.
+    val base = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .filter(_._2.length > 300)
+    assert(base.length >= 10, "corpus slice too short for the dedup case")
+    val corpus = (base.map { case (id, t) => (id, t, "store") } ++
+      base.map { case (id, t) => (id + 100000L, "X" + t, "store") })
+      .toSeq.toDF("doc_id", "text", "source")
+    def uniquePpm(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("source") === "store").head().getAs[Long]("unique_ppm")
+    val cdc = uniquePpm(Multimodal.mmChunkCdcDedupDocs(corpus))
+    val fixed = uniquePpm(Multimodal.mmChunkDedupDocs(corpus))
+    // the fixed grid sees the shifted copy as brand-new bytes (every
+    // chunk digest moved); CDC boundaries realign after the edit, so
+    // the shared tail stores once — strictly better dedup
+    assert(cdc < fixed,
+      s"CDC unique_ppm $cdc not below the fixed grid's $fixed on shifted duplicates")
+    assert(fixed > 900000L, s"fixed grid unexpectedly deduped shifted copies: $fixed")
+    assert(cdc < 700000L, s"CDC dedup weaker than expected: $cdc")
+  }
 }
