@@ -135,7 +135,8 @@ object Bench {
       // them at the small dir or the alphabetically-FIRST timed query
       // (ann_ivf) absorbs the whole vector-JIT cost as plan time
       if (smallWd && anyWanted("ann_ivf", "ann_ivf_pq", "ann_ivf_pq_indexed",
-          "ann_lsh", "ann_exact_rerank", "cosine_topk", "knn_classify",
+          "ann_lsh", "ann_exact_rerank", "ann_adc_rerank", "cosine_topk",
+          "knn_classify",
           "dedup_embedding", "dedup_embedding_lsh", "dedup_embedding_ann",
           "dedup_embedding_ann_indexed", "hard_negatives",
           "hard_negatives_indexed", "triplet_mine", "triplet_mine_indexed",
@@ -149,7 +150,7 @@ object Bench {
       // belongs here, not in the timed reading. Builds the small dir's
       // IVF-PQ index as a side effect, hence the strict smallWd gate.
       if (smallWd && anyWanted("bitext_mine", "hard_negatives_indexed",
-          "triplet_mine_indexed", "ann_exact_rerank"))
+          "triplet_mine_indexed", "ann_exact_rerank", "ann_adc_rerank"))
         SparkEntry.queries.get("bitext_mine")
           .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
     }
@@ -220,6 +221,11 @@ object Bench {
         }
         k -> (System.nanoTime() - t0) / 1e9
       }
+    // committed-artifact protection: the three bench_*_last.json files
+    // are the round's FULL-surface attribution baselines (tracked in
+    // git since r16) — a targeted SPARK_GRAFT_ONLY run must not clobber
+    // them, so subset runs write *.subset.json siblings (gitignored)
+    val lastSuffix = if (only.isDefined) ".subset.json" else ".json"
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)
 
@@ -314,7 +320,7 @@ object Bench {
       s"""{"metric":"shuffle_bytes","queries":$sb,"suspect":$taintJson,"sf":"$sfDir"}"""
     println(shuffleLine)
     try {
-      val w = new java.io.PrintWriter("bench_shuffle_last.json")
+      val w = new java.io.PrintWriter("bench_shuffle_last" + lastSuffix)
       try w.println(shuffleLine) finally w.close()
     } catch { case _: Throwable => () } // best-effort: cwd may be read-only
     // per-run samples for the median-of-3 queries — own line + file so
@@ -328,7 +334,7 @@ object Bench {
         s"""{"metric":"bench_variance","median_threshold_sec":${s2(medianSec)},"runs":$vr,"sf":"$sfDir"}"""
       println(varianceLine)
       try {
-        val w = new java.io.PrintWriter("bench_variance_last.json")
+        val w = new java.io.PrintWriter("bench_variance_last" + lastSuffix)
         try w.println(varianceLine) finally w.close()
       } catch { case _: Throwable => () }
     }
@@ -342,7 +348,7 @@ object Bench {
       s"""{"metric":"query_times","queries":$qs,"sf":"$sfDir"}"""
     println(timesLine)
     try {
-      val w = new java.io.PrintWriter("bench_times_last.json")
+      val w = new java.io.PrintWriter("bench_times_last" + lastSuffix)
       try w.println(timesLine) finally w.close()
     } catch { case _: Throwable => () }
     // index pre-build cost on its own line: a fresh artifact reads ~0 s,

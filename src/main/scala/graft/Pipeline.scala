@@ -355,12 +355,8 @@ object Pipeline {
       .searchSync(docs.select("doc_id", "text"), searchBase)
     val (vNew, vDel) = graft.sim.VectorIndexStore
       .crawlSyncVectors(spark, vectorBase, emb)
-    val spanMax = spark.read.parquet(s"$spanBase/meta").head().getLong(0)
-    val spanBatch = docs.select("doc_id", "text")
-      .filter(col("doc_id") > spanMax)
-    val nSpan = spanBatch.count()
-    if (nSpan > 0)
-      graft.dedup.SpanIndexStore.appendSpanBatch(spanBatch, spanBase)
+    val nSpan = graft.dedup.SpanIndexStore
+      .spanSync(docs.select("doc_id", "text"), spanBase)
     CrawlCycleReport(decNew, decDel, sNew, sChanged, sDel, vNew, vDel, nSpan)
   }
 }

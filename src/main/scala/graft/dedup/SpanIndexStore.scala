@@ -97,6 +97,7 @@ object SpanIndexStore {
   def appendSpanBatch(batch: DataFrame, basePath: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text").materializeOnce()
+    if (b.isEmpty) return // an empty crawl batch is a no-op, not an NPE
     val indexedMax = spark.read.parquet(s"$basePath/meta").head().getLong(0)
     val batchBounds = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (batchBounds.getLong(0) <= indexedMax) {
@@ -143,6 +144,27 @@ object SpanIndexStore {
     Sinks.appendBucketed(batchState, tableName(basePath), "g", Buckets)
     report.write.mode(SaveMode.Append).parquet(s"$basePath/report")
     writeMeta(spark, basePath, batchBounds.getLong(1))
+  }
+
+  /** One crawl-SYNC step: absorb the upstream's monotone NEW slice
+    * (ids above the committed high-water mark) — the span store's
+    * entry in `Pipeline.crawlCycle`. Owns the meta/commit-point
+    * knowledge so callers never read the store's layout directly.
+    * Vanished documents are out of scope by design: trim reports are
+    * append-only crawl history (first-owner-keeps is stable under
+    * monotone ids); removing a document's report means a rebuild.
+    *
+    * @return the number of new documents absorbed
+    */
+  def spanSync(upstream: DataFrame, basePath: String): Long = {
+    val spark = upstream.sparkSession
+    val maxDoc = spark.read.parquet(s"$basePath/meta").head().getLong(0)
+    val batch = upstream.select("doc_id", "text")
+      .filter(col("doc_id") > maxDoc)
+      .materializeOnce() // one scan feeds the count AND the append
+    val n = batch.count()
+    if (n > 0) appendSpanBatch(batch, basePath)
+    n
   }
 
   /** Build-if-missing of the incremental-span verification artifact:

@@ -985,6 +985,18 @@ case class VectorSumD(
   * norms: `round(dot(a,b)/(na·nb), 6)` as ONE fused expression — see
   * [[Mix.cos6d]] for why (single shared JIT compilation across the
   * similarity/mining family; bit-identical to the composed formula).
+  *
+  * NULL on a zero divisor (a zero-norm degenerate vector) — the one
+  * deliberate divergence from the composed formula, chosen because
+  * both alternatives are worse at corpus scale: a raw IEEE division
+  * yields NaN, which is GREATEST in Spark's double ordering and would
+  * rank the degenerate vector above every real neighbour in every
+  * top-k window (and diverge from the oracle); the composed `Divide`
+  * under the engine's ANSI default THROWS DIVIDE_BY_ZERO and kills
+  * the whole pass on one bad vector. NULL sorts last under
+  * `cos6 DESC` and drops out of aggregates — the embed_qc ingest gate
+  * remains the real defense; this is the belt after those braces.
+  * Found by review; spec-pinned.
   */
 case class VecCos6(a: Expression, b: Expression, na: Expression, nb: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
@@ -993,14 +1005,24 @@ case class VecCos6(a: Expression, b: Expression, na: Expression, nb: Expression)
   override def third: Expression = na
   override def fourth: Expression = nb
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(x: Any, y: Any, n1: Any, n2: Any): Any =
-    Mix.cos6d(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
+  override protected def nullSafeEval(x: Any, y: Any, n1: Any, n2: Any): Any = {
+    val d = n1.asInstanceOf[Double] * n2.asInstanceOf[Double]
+    if (d == 0.0) null
+    else Mix.cos6d(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
       n1.asInstanceOf[Double], n2.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y, n1, n2) =>
-      s"${ev.value} = graft.functions.Mix.cos6d($x, $y, $n1, $n2);")
+      s"""
+         |if ($n1 * $n2 == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Mix.cos6d($x, $y, $n1, $n2);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression =
@@ -1009,7 +1031,8 @@ case class VecCos6(a: Expression, b: Expression, na: Expression, nb: Expression)
 
 /** [[VecCos6]] quantized to integer micro-units (the `c6i`/`cos_ppm`
   * contract): `CAST(FLOOR(round(dot/(na·nb), 6) · 1e6 + 0.5) AS BIGINT)`
-  * as one fused expression — see [[Mix.cos6i]].
+  * as one fused expression — see [[Mix.cos6i]]. NULL on a zero divisor,
+  * same rationale and spec as [[VecCos6]].
   */
 case class VecCos6i(a: Expression, b: Expression, na: Expression, nb: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
@@ -1018,14 +1041,24 @@ case class VecCos6i(a: Expression, b: Expression, na: Expression, nb: Expression
   override def third: Expression = na
   override def fourth: Expression = nb
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(x: Any, y: Any, n1: Any, n2: Any): Any =
-    Mix.cos6i(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
+  override protected def nullSafeEval(x: Any, y: Any, n1: Any, n2: Any): Any = {
+    val d = n1.asInstanceOf[Double] * n2.asInstanceOf[Double]
+    if (d == 0.0) null
+    else Mix.cos6i(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
       n1.asInstanceOf[Double], n2.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y, n1, n2) =>
-      s"${ev.value} = graft.functions.Mix.cos6i($x, $y, $n1, $n2);")
+      s"""
+         |if ($n1 * $n2 == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Mix.cos6i($x, $y, $n1, $n2);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression =

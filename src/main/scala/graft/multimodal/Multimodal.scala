@@ -177,10 +177,7 @@ object Multimodal {
     * distinct + two source-keyed aggs, no pairwise comparison anywhere.
     */
   def mmChunkDedup(spark: SparkSession, dir: String): DataFrame =
-    chunkDedupRollup(
-      chunked(spark, dir, stride = 1)
-        .select("doc_id", "chunk_bytes", "chunk_md5"),
-      Tables.documents(spark, dir))
+    mmChunkDedupDocs(Tables.documents(spark, dir))
 
   /** The per-source content-addressed rollup shared by the fixed-grid
     * ([[mmChunkDedup]]) and content-defined ([[mmChunkCdcDedup]])

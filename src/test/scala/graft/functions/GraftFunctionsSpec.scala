@@ -279,6 +279,34 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_cos6 / vec_cos6i are NULL on a zero divisor (degenerate vectors sort last)") {
+    registered
+    val sqlc = spark.sqlContext
+    import sqlc.implicits._
+    // a zero-norm (degenerate) vector must score NULL and therefore
+    // sort LAST under cos6 DESC: an IEEE NaN would rank it ABOVE every
+    // real neighbour, and the composed Divide under this engine's ANSI
+    // default would instead kill the whole pass with DIVIDE_BY_ZERO —
+    // neither is acceptable for a corpus-scale mining query (embed_qc
+    // is the real gate; this is the belt after those braces)
+    val rows = Seq((Array(0f, 0f), Array(1f, 2f)))
+      .toDF("a", "b")
+      .select(
+        call_function("vec_cos6", col("a"), col("b"),
+          sqrt(call_function("vec_dot", col("a"), col("a"))),
+          sqrt(call_function("vec_dot", col("b"), col("b")))).as("fast"),
+        call_function("vec_cos6i", col("a"), col("b"),
+          sqrt(call_function("vec_dot", col("a"), col("a"))),
+          lit(1.0)).as("fasti"),
+        // and a well-formed pair through the same projection stays defined
+        call_function("vec_cos6", col("b"), col("b"),
+          sqrt(call_function("vec_dot", col("b"), col("b"))),
+          sqrt(call_function("vec_dot", col("b"), col("b")))).as("ok"))
+      .collect()
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1))
+    assert(rows.head.getDouble(2) == 1.0)
+  }
+
   test("round6 replicates Spark's round(x, 6) on adversarial doubles") {
     // the fused cosine's rounding half must be bit-identical to the
     // engine's own Round expression — including half-up ties, negatives,
