@@ -140,7 +140,8 @@ object Bench {
           "dedup_embedding", "dedup_embedding_lsh", "dedup_embedding_ann",
           "dedup_embedding_ann_indexed", "hard_negatives",
           "hard_negatives_indexed", "triplet_mine", "triplet_mine_indexed",
-          "bitext_mine", "vindex_stats", "vindex_sync", "embed_centroid_stats"))
+          "bitext_mine", "vindex_stats", "vindex_sync", "embed_drift_stats",
+          "embed_centroid_stats"))
         SparkEntry.queries.get("ann_ivf")
           .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
       // the mining path JITs yet another expression set (the fused
@@ -187,7 +188,7 @@ object Bench {
             "hard_negatives_indexed", "triplet_mine_indexed"),
           () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir)),
         ("vsync",
-          anyWanted("vindex_sync"),
+          anyWanted("vindex_sync", "embed_drift_stats"),
           () => graft.sim.VectorIndexStore.ensureSyncedVindex(spark, sfDir)),
         ("spaninc",
           anyWanted("span_trim_incremental"),

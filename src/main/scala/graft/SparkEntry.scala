@@ -182,6 +182,8 @@ object SparkEntry {
       (graft.sim.VectorIndexStore.vindexSync _),
     "model_drift_stats" ->
       (graft.text.Drift.modelDriftStats _),
+    "embed_drift_stats" ->
+      (graft.sim.VectorIndexStore.embedDriftStats _),
     "mm_binary_stats" -> (Multimodal.mmBinaryStats _),
     "mm_chunk"        -> (Multimodal.mmChunk _),
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
@@ -2114,6 +2116,47 @@ object SparkEntry {
         |  CAST(SUM(sigs.sig) AS BIGINT) AS code_sig
         |FROM lists l JOIN sigs ON sigs.vec_id = l.vec_id
         |GROUP BY l.cid ORDER BY l.cid""".stripMargin,
+    // embedding-drift replay: top-1 frozen-centroid assignment
+    // (quantized-cosine argmax, lowest-cid ties) + micro-unit cosines
+    // re-derived from the synced artifact's persisted centroids; the
+    // build/new split, shares, means, and flags are all integer-exact
+    "embed_drift_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:vsync}}/centroids/*.parquet'),
+        |a AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CAST(FLOOR(round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (e.norm * c.cnorm), 6) * 1000000.0 + 0.5) AS BIGINT) AS c6i
+        |  FROM e, c),
+        |best AS (SELECT vec_id, cid, c6i, vec_id % 7 = 3 AS is_new FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c6i DESC, cid) AS rk
+        |    FROM a) WHERE rk = 1),
+        |per AS (
+        |  SELECT cid,
+        |    SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS n_build,
+        |    SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN is_new THEN 0 ELSE c6i END) AS s_build,
+        |    SUM(CASE WHEN is_new THEN c6i ELSE 0 END) AS s_new
+        |  FROM best GROUP BY 1),
+        |tot AS (SELECT SUM(n_build) AS tb, SUM(n_new) AS tn FROM per)
+        |SELECT per.cid, CAST(per.n_build AS BIGINT) AS n_build,
+        |  CAST(per.n_new AS BIGINT) AS n_new,
+        |  CAST((1000000 * per.n_build) // tot.tb AS BIGINT) AS build_share_ppm,
+        |  CAST((1000000 * per.n_new) // tot.tn AS BIGINT) AS new_share_ppm,
+        |  CAST(abs((1000000 * per.n_new) // tot.tn - (1000000 * per.n_build) // tot.tb) AS BIGINT) AS shift_ppm,
+        |  CAST(CASE WHEN per.n_build > 0 THEN per.s_build // per.n_build ELSE -1 END AS BIGINT) AS build_mean_cos_ppm,
+        |  CAST(CASE WHEN per.n_new > 0 THEN per.s_new // per.n_new ELSE -1 END AS BIGINT) AS new_mean_cos_ppm,
+        |  CAST(CASE
+        |    WHEN per.n_build = 0 OR per.n_new = 0 THEN 1
+        |    WHEN abs((1000000 * per.n_new) // tot.tn - (1000000 * per.n_build) // tot.tb) > 25000 THEN 1
+        |    WHEN per.s_build // per.n_build - per.s_new // per.n_new > 25000 THEN 1
+        |    ELSE 0 END AS INT) AS drift_flag
+        |FROM per, tot ORDER BY per.cid""".stripMargin,
     // drift gauge replay: BOTH sides recomputed from the corpus plus
     // the persisted frozen vocabulary — the committed baseline (build
     // slice under its own model) and the new-batch metrics; every ratio

@@ -850,6 +850,76 @@ object VectorIndexStore {
     * cycle itself is two id anti-joins + batch-only assign/encode
     * (see [[crawlSyncVectors]]).
     */
+  /** EMBEDDING-space drift gauge — the vector twin of
+    * `text.Drift.modelDriftStats`, and the missing OBSERVABLE for the
+    * trade [[appendIvfPq]] documents ("after enough appends the
+    * quantizers stop fitting the corpus"): per frozen centroid, how the
+    * NEW crawl's assignment mass and quantization quality compare to
+    * the build corpus's. Uses [[ensureSyncedVindex]]'s artifact — its
+    * quantizers trained on the stale snapshot, its newest-seventh slice
+    * plays the new crawl — so the gauge reads the exact situation a
+    * production store is in after a sync cycle.
+    *
+    * Per centroid, all integer-exact (micro-unit cosines, ppm shares
+    * via integer DIV): build/new member counts under TOP-1 frozen
+    * assignment (quantized-cosine argmax, ties to the lowest cid — the
+    * oracle replays the same rule), each side's share of its corpus,
+    * the absolute share shift, each side's mean member-to-centroid
+    * cosine (−1 when a side has no members), and a `drift_flag` that
+    * trips when assignment mass moved > 2.5 points, the new side's
+    * quantization quality dropped > 2.5 points, or a side is empty
+    * (a centroid the new crawl abandoned or newly saturated). Any
+    * flagged centroid is the retrain/rebuild signal an index operator
+    * alerts on.
+    *
+    * Scale shape: one corpus scan against the broadcast centroid
+    * frame, a per-vector argmax partial agg, then centroid-sized
+    * arithmetic — no corpus-sized shuffle.
+    */
+  def embedDriftStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = ensureSyncedVindex(spark, dir)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .withColumn("norm", norm64("embedding"))
+    val assigned = e
+      .withColumn("one", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(cents.withColumn("one", pmod(col("cid"), lit(1)).cast("int"))),
+        "one")
+      .withColumn("c6i",
+        graft.sim.Vectors.cos6i(col("embedding"), col("cvec"),
+          col("norm"), col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("c6i"), (-col("cid")).as("nc"))).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).cast("int").as("cid"),
+        col("b.c6i").as("c6i"),
+        // the newest-seventh slice is the synced artifact's new crawl
+        (pmod(col("vec_id"), lit(7)) === 3).as("is_new"))
+    val per = assigned.groupBy("cid").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_build"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(!col("is_new"), col("c6i")).otherwise(0L)).as("s_build"),
+      sum(when(col("is_new"), col("c6i")).otherwise(0L)).as("s_new"))
+    val tot = per.agg(sum(col("n_build")).as("tb"), sum(col("n_new")).as("tn"))
+    per.crossJoin(broadcast(tot)) // 1-row totals: rewritten to a BHJ
+      .select(col("cid"), col("n_build"), col("n_new"),
+        expr("CAST((1000000 * n_build) DIV tb AS BIGINT)").as("build_share_ppm"),
+        expr("CAST((1000000 * n_new) DIV tn AS BIGINT)").as("new_share_ppm"),
+        expr("CAST(abs((1000000 * n_new) DIV tn - (1000000 * n_build) DIV tb) AS BIGINT)")
+          .as("shift_ppm"),
+        expr("CAST(IF(n_build > 0, s_build DIV n_build, -1) AS BIGINT)")
+          .as("build_mean_cos_ppm"),
+        expr("CAST(IF(n_new > 0, s_new DIV n_new, -1) AS BIGINT)")
+          .as("new_mean_cos_ppm"))
+      .withColumn("drift_flag",
+        when(col("n_build") === 0 || col("n_new") === 0, 1)
+          .when(col("shift_ppm") > 25000, 1)
+          .when(col("build_mean_cos_ppm") - col("new_mean_cos_ppm") > 25000, 1)
+          .otherwise(0))
+      .orderBy("cid") // centroid-sized output: bounded sort
+  }
+
   def vindexSync(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = ensureSyncedVindex(spark, dir)

@@ -786,6 +786,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("embed_drift_stats: one row per frozen centroid, shares account for both corpora") {
+    val rows = VectorIndexStore.embedDriftStats(spark, sf).collect()
+    val base = VectorIndexStore.ensureSyncedVindex(spark, sf)
+    val nCents = spark.read.parquet(s"$base/centroids").count()
+    assert(rows.length.toLong == nCents)
+    // integer-floor shares of each corpus sum to ≤ 1e6 and within one
+    // rounding step per centroid of it
+    val bs = rows.map(_.getAs[Long]("build_share_ppm")).sum
+    val ns = rows.map(_.getAs[Long]("new_share_ppm")).sum
+    assert(bs <= 1000000L && bs > 1000000L - nCents)
+    assert(ns <= 1000000L && ns > 1000000L - nCents)
+    rows.foreach { r =>
+      // the flag must fire on an abandoned/saturated centroid
+      if (r.getAs[Long]("n_new") == 0L || r.getAs[Long]("n_build") == 0L)
+        assert(r.getAs[Int]("drift_flag") == 1)
+      // shift is the |difference| of the two shares by construction
+      assert(r.getAs[Long]("shift_ppm") ==
+        math.abs(r.getAs[Long]("new_share_ppm") - r.getAs[Long]("build_share_ppm")))
+      // mean member cosine is a valid micro-unit cosine (or -1 sentinel)
+      Seq("build_mean_cos_ppm", "new_mean_cos_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v == -1L || (v >= -1000000L && v <= 1000000L))
+      }
+    }
+  }
+
   test("vindex_sync converges the stale index: every diff class repaired") {
     val base = VectorIndexStore.ensureSyncedVindex(spark, sf)
     val upstream = graft.core.Tables.embeddings(spark, sf)
