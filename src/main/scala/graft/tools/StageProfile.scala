@@ -1,0 +1,81 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** Per-stage profile of one query entry — the repeatable form of the
+  * diagnosis that found the r16 bitext serialization bug (three
+  * single-task stages hiding behind a healthy-looking wall total):
+  * runs `SparkEntry.queries(name)` through the noop sink and prints
+  * every stage's wall time, TASK COUNT, summed executor CPU, and
+  * input/shuffle record counts, sorted by wall time.
+  *
+  * Read it like this: a stage with `tasks=1` and seconds of CPU is a
+  * serialization bug (AQE byte-coalescing of a CPU-heavy narrow frame,
+  * or a fan-out streaming on the wrong side of a broadcast join — see
+  * SURVEY §5's "where AQE's cost model is wrong"); a stage whose CPU
+  * is ~tasks× its wall time is genuinely parallel work; total CPU far
+  * above wall×cores means recomputation (a missing pin).
+  *
+  * Usage: runMain graft.tools.StageProfile <sfDir> <queryName> [runs]
+  * (later runs are warm — compare run 1 vs run N to split JIT/IO
+  * warm-up from plan time).
+  */
+object StageProfile {
+
+  private final class Agg {
+    var tasks = 0
+    var cpuNs = 0L
+    var inputRecords = 0L
+    var shuffleRecords = 0L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val name = args.lift(1).getOrElse("q1_agg")
+    val runs = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = graft.core.Graft.session()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; keys: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val stages = mutable.LinkedHashMap.empty[Int, (Double, Agg)]
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+        stages.synchronized {
+          val a = stages.getOrElseUpdate(si.stageId, (dur, new Agg))._2
+          stages(si.stageId) = (dur, a)
+        }
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) stages.synchronized {
+          val a = stages.getOrElseUpdate(te.stageId, (0.0, new Agg))._2
+          a.tasks += 1
+          a.cpuNs += m.executorCpuTime
+          a.inputRecords += m.inputMetrics.recordsRead
+          a.shuffleRecords += m.shuffleReadMetrics.recordsRead
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    (1 to runs).foreach { r =>
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // let the async listener bus drain before reading the map
+      Thread.sleep(500)
+      println(f"== $name run $r/$runs: wall $wall%.2f s ==")
+      println(f"${"wall_s"}%8s ${"stage"}%6s ${"tasks"}%6s ${"cpu_s"}%8s ${"input_recs"}%13s ${"shuffle_recs"}%13s")
+      stages.synchronized(stages.toSeq).sortBy(-_._2._1).take(15).foreach {
+        case (sid, (dur, a)) =>
+          val flag = if (a.tasks == 1 && dur > 1.0) "  <- SINGLE-TASK" else ""
+          println(f"$dur%8.2f $sid%6d ${a.tasks}%6d ${a.cpuNs / 1e9}%8.1f ${a.inputRecords}%13d ${a.shuffleRecords}%13d$flag")
+      }
+    }
+    spark.stop()
+  }
+}
