@@ -136,7 +136,7 @@ object Bench {
       // (ann_ivf) absorbs the whole vector-JIT cost as plan time
       if (smallWd && anyWanted("ann_ivf", "ann_ivf_pq", "ann_ivf_pq_indexed",
           "ann_lsh", "ann_exact_rerank", "ann_adc_rerank", "cosine_topk",
-          "knn_classify",
+          "knn_classify", "probe_recall_stats",
           "dedup_embedding", "dedup_embedding_lsh", "dedup_embedding_ann",
           "dedup_embedding_ann_indexed", "hard_negatives",
           "hard_negatives_indexed", "triplet_mine", "triplet_mine_indexed",
@@ -185,7 +185,8 @@ object Bench {
         ("ivfpq",
           anyWanted("ann_ivf_pq_indexed", "vindex_stats", "ann_exact_rerank",
             "ann_adc_rerank", "dedup_embedding_ann_indexed", "bitext_mine",
-            "hard_negatives_indexed", "triplet_mine_indexed"),
+            "hard_negatives_indexed", "triplet_mine_indexed",
+            "probe_recall_stats"),
           () => graft.sim.VectorIndexStore.ensureIvfPq(spark, sfDir)),
         ("vsync",
           anyWanted("vindex_sync", "embed_drift_stats"),

@@ -82,6 +82,7 @@ object SparkEntry {
     "lang_id"    -> (TextOps.langId _),
     "token_freq" -> (TextOps.tokenFreq _),
     "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
+    "kmv_overlap" -> ((s: SparkSession, d: String) => TextOps.kmvOverlap(s, d)),
     // k=32 so the 500-doc test corpora exercise REAL truncation (every
     // lang stratum outnumbers the sample); production default is 256
     "quantile_sketch" -> ((s: SparkSession, d: String) => TextOps.quantileSketch(s, d, k = 32)),
@@ -178,6 +179,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.tripletMineIndexed(s, d)),
     "ann_adc_rerank" ->
       ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.annAdcRerank(s, d)),
+    "probe_recall_stats" ->
+      ((s: SparkSession, d: String) => graft.sim.VectorIndexStore.probeRecallStats(s, d)),
     "vindex_sync" ->
       (graft.sim.VectorIndexStore.vindexSync _),
     "model_drift_stats" ->
@@ -622,6 +625,59 @@ object SparkEntry {
           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
           |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      // recall@k of the probe path vs the exact rail — the oracle
+      // replays BOTH top-k chains (probe planning + list membership +
+      // scoring from the persisted artifacts; exact scoring from the
+      // embeddings table) and recomputes the intersection
+      "probe_recall_stats" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(embedding,
+          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+          |  FROM embeddings),
+          |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+          |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+          |p AS (
+          |  SELECT q.vec_id AS q_id, c.cid,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+          |      (x, y) -> x + y) / (q.norm * c.cnorm), 6) AS ccos6
+          |  FROM e q, c WHERE q.vec_id < 20),
+          |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos6 DESC, cid) AS crk FROM p),
+          |cand AS (
+          |  SELECT DISTINCT pr.q_id, l.vec_id AS n_id
+          |  FROM pr JOIN l ON l.cid = pr.cid
+          |  WHERE pr.crk <= 4 AND l.vec_id <> pr.q_id),
+          |nc AS (SELECT q_id, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+          |s AS (
+          |  SELECT cand.q_id, cand.n_id,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+          |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+          |  FROM cand JOIN e a ON a.vec_id = cand.q_id JOIN e b ON b.vec_id = cand.n_id),
+          |pt AS (SELECT q_id, n_id FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk
+          |  FROM s) WHERE rk <= 10),
+          |ex AS (
+          |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+          |    round(list_reduce(list_transform(range(1, 65),
+          |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+          |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+          |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          |  WHERE a.vec_id < 20),
+          |et AS (SELECT q_id, n_id FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk
+          |  FROM ex) WHERE rk <= 10),
+          |h AS (
+          |  SELECT et.q_id, COUNT(*) AS n_exact,
+          |    SUM(CASE WHEN pt.n_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+          |  FROM et LEFT JOIN pt ON pt.q_id = et.q_id AND pt.n_id = et.n_id
+          |  GROUP BY 1)
+          |SELECT h.q_id, CAST(nc.n_cand AS BIGINT) AS n_cand,
+          |  CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+          |  CAST(1000000 * n_hit // n_exact AS BIGINT) AS recall_ppm
+          |FROM h JOIN nc ON nc.q_id = h.q_id
+          |ORDER BY h.q_id""".stripMargin,
       "vindex_stats" ->
         """WITH per AS (
           |  SELECT cid, COUNT(*) AS list_size
@@ -1168,6 +1224,67 @@ object SparkEntry {
         |  CAST(est_distinct AS BIGINT) AS est_distinct,
         |  CAST(1000000 * ABS(est_distinct - n_exact) // n_exact AS BIGINT) AS err_ppm
         |FROM est ORDER BY lang""".stripMargin,
+    // KMV set operations are pure functions of the two bottom-k states
+    // (merged state = bottom-k of the states' union; Beyer K∩ counts
+    // merged hashes present in both states), so union / intersection /
+    // novelty ESTIMATES all hash-match — the only doubles are the two
+    // FLOOR-ed estimate divisions the distinct_sketch contract pinned
+    "kmv_overlap" ->
+      """WITH d AS (SELECT lang, doc_id % 5 = 0 AS is_new,
+        |    string_split(text, ' ') AS l FROM documents),
+        |occ AS (SELECT lang, is_new, unnest(CASE WHEN len(l) >= 3
+        |    THEN list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM d),
+        |fl AS (SELECT lang, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h,
+        |    MAX(CASE WHEN is_new THEN 1 ELSE 0 END) AS has_new,
+        |    MAX(CASE WHEN is_new THEN 0 ELSE 1 END) AS has_old
+        |  FROM occ GROUP BY 1, 2),
+        |so AS (SELECT lang, h FROM (SELECT lang, h,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+        |    FROM fl WHERE has_old = 1) WHERE rk <= 256),
+        |sn AS (SELECT lang, h FROM (SELECT lang, h,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+        |    FROM fl WHERE has_new = 1) WHERE rk <= 256),
+        |mg AS (SELECT lang, h FROM (SELECT lang, h,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+        |    FROM (SELECT DISTINCT lang, h FROM
+        |      (SELECT * FROM so UNION ALL SELECT * FROM sn))) WHERE rk <= 256),
+        |eo AS (SELECT lang, COALESCE(CAST(FLOOR(255 * CAST(4294967296 AS DOUBLE)
+        |      / (CASE WHEN COUNT(*) = 256 THEN MAX(h) END)) AS BIGINT), COUNT(*))
+        |    AS est_old FROM so GROUP BY lang),
+        |en AS (SELECT lang, COALESCE(CAST(FLOOR(255 * CAST(4294967296 AS DOUBLE)
+        |      / (CASE WHEN COUNT(*) = 256 THEN MAX(h) END)) AS BIGINT), COUNT(*))
+        |    AS est_new FROM sn GROUP BY lang),
+        |eu AS (SELECT lang, COALESCE(CAST(FLOOR(255 * CAST(4294967296 AS DOUBLE)
+        |      / (CASE WHEN COUNT(*) = 256 THEN MAX(h) END)) AS BIGINT), COUNT(*))
+        |    AS est_union FROM mg GROUP BY lang),
+        |kb AS (SELECT mg.lang, COUNT(*) AS n_kept,
+        |    SUM(CASE WHEN o.in_old = 1 AND n.in_new = 1 THEN 1 ELSE 0 END) AS k_both
+        |  FROM mg
+        |  LEFT JOIN (SELECT lang, h, 1 AS in_old FROM so) o
+        |    ON mg.lang = o.lang AND mg.h = o.h
+        |  LEFT JOIN (SELECT lang, h, 1 AS in_new FROM sn) n
+        |    ON mg.lang = n.lang AND mg.h = n.h
+        |  GROUP BY 1),
+        |ex AS (SELECT lang, COUNT(*) AS n_union_exact,
+        |    SUM(CASE WHEN has_old = 1 AND has_new = 1 THEN 1 ELSE 0 END)
+        |      AS n_inter_exact
+        |  FROM fl GROUP BY 1)
+        |SELECT ex.lang, est_old, est_new, est_union,
+        |  CAST(k_both * est_union // n_kept AS BIGINT) AS est_inter,
+        |  CASE WHEN est_new > 0
+        |    THEN LEAST(CAST(1000000 AS BIGINT),
+        |      CAST(GREATEST(0, 1000000 * (est_union - est_old)) // est_new AS BIGINT))
+        |    ELSE CAST(0 AS BIGINT) END AS novelty_ppm,
+        |  CAST(n_union_exact AS BIGINT) AS n_union_exact,
+        |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+        |  CAST(1000000 * ABS(est_union - n_union_exact) // n_union_exact AS BIGINT)
+        |    AS err_union_ppm
+        |FROM ex JOIN eo USING (lang) JOIN en USING (lang) JOIN eu USING (lang)
+        |  JOIN kb USING (lang)
+        |ORDER BY lang""".stripMargin,
     // Count-Min is a pure function of the occurrence multiset (counters
     // are sums over row-salted md5 buckets), so the sketch ESTIMATE
     // itself hash-matches — the same move as distinct_sketch, applied

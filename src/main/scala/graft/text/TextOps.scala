@@ -506,13 +506,19 @@ object TextOps {
     * distinct sketch above takes the same rows set-wise).
     */
   def shingleOccurrences(docs: DataFrame): DataFrame =
+    shingleOccurrences(docs, Seq("lang"))
+
+  /** [[shingleOccurrences]] carrying arbitrary key columns alongside
+    * the gram — the crawl-overlap gauge keys shingles by (lang, side).
+    */
+  def shingleOccurrences(docs: DataFrame, keys: Seq[String]): DataFrame =
     docs
-      .select(col("lang"), split(col("text"), " ").as("l"))
-      .select(col("lang"), explode(expr(
+      .select(keys.map(col) :+ split(col("text"), " ").as("l"): _*)
+      .select(keys.map(col) :+ explode(expr(
         """CASE WHEN size(l) >= 3
           |  THEN transform(sequence(0, size(l) - 3),
           |    i -> concat_ws(' ', slice(l, i + 1, 3)))
-          |  ELSE array() END""".stripMargin)).as("g"))
+          |  ELSE array() END""".stripMargin)).as("g"): _*)
 
   /** The sketch STATE: the k smallest distinct hashes per lang, as a
     * plain `(lang, h)` frame — langs·k rows regardless of corpus size.
@@ -556,6 +562,98 @@ object TextOps {
           expr(s"CAST(FLOOR((${k - 1}) * CAST(4294967296 AS DOUBLE) / kth_hash) AS BIGINT)"),
           col("n_kept")))
       .select("lang", "kth_hash", "est_distinct")
+
+  /** KMV SET-OPERATION gauge between the existing corpus and a fresh
+    * crawl batch (`doc_id % 5 == 0` plays the new crawl — the
+    * `dedup_incremental` split) — per language, the union / intersection
+    * / novelty estimates a crawl planner reads BEFORE paying for
+    * dedup: "how much of this crawl's shingle mass is actually new?".
+    * Reference analogue: the sync planner's snapshot diff
+    * (sync_service.rs decides per article whether a fetched revision is
+    * new work); this is that decision lifted to corpus grain, answered
+    * from two sketch states instead of a full content diff.
+    *
+    * This is the MERGE side of [[distinctSketch]] — the property that
+    * makes KMV the 100 TB shape: each crawl keeps a langs·k-row state,
+    * and union cardinality comes from merging STATES ([[sketchMerge]] —
+    * the union's bottom-k is exactly the bottom-k of the two bottom-k
+    * states), never from re-scanning the old corpus. Intersection is
+    * the Beyer et al. (SIGMOD'07) KMV estimator: every hash in the
+    * merged state is ≤ the merged kth value τ, and τ ≤ each side's own
+    * kth, so membership of a merged-state hash in a SIDE is decidable
+    * from that side's state alone — `est∩ = K∩/k · est∪` where K∩
+    * counts merged-state hashes present in both sides (the divisor is
+    * the merged state's actual row count, so a universe smaller than k
+    * degrades to the exact intersection). Novelty is inclusion-
+    * exclusion on the estimates: `(est∪ − est_old)/est_new`, clamped
+    * to [0, 1] and reported in integer ppm (cross-engine exact — the only
+    * doubles are the two FLOOR-ed estimate divisions the
+    * `distinct_sketch` contract already pinned).
+    *
+    * The `*_exact` / `err_*_ppm` columns are the validation rail (they
+    * cost the vocabulary-grain distinct this sketch exists to avoid) —
+    * a production caller reads the estimates off the two persisted
+    * states and never touches the corpus; the bench keeps the rail so
+    * the error is measured, not assumed.
+    *
+    * Scale shape: ONE corpus scan → one gram-keyed distinct (the rail;
+    * the sketch-only path is the same distinct each side's crawl
+    * already paid when it built its state), then every frame is
+    * langs·k rows — states, merged state, membership joins, estimates
+    * all bounded regardless of corpus size.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvOverlap needs k >= 2, got $k")
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("text"), (col("doc_id") % 5 === 0).as("is_new"))
+    // one shingle pass; per-(lang, hash) side flags feed the two side
+    // states AND the exact rail without a second corpus scan
+    val flags = shingleOccurrences(docs, Seq("lang", "is_new"))
+      .select(col("lang"), col("is_new"),
+        expr("CAST(CONV(SUBSTRING(md5(g), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("lang", "h")
+      .agg(max(when(col("is_new"), 1).otherwise(0)).as("has_new"),
+        max(when(col("is_new"), 0).otherwise(1)).as("has_old"))
+      .materializeOnce()
+    val stOld = bottomK(flags.filter(col("has_old") === 1).select("lang", "h"), k)
+      .materializeOnce()
+    val stNew = bottomK(flags.filter(col("has_new") === 1).select("lang", "h"), k)
+      .materializeOnce()
+    val merged = sketchMerge(stOld, stNew, k).materializeOnce()
+    val estOld = sketchEstimate(stOld, k)
+      .select(col("lang"), col("est_distinct").as("est_old"))
+    val estNew = sketchEstimate(stNew, k)
+      .select(col("lang"), col("est_distinct").as("est_new"))
+    val estU = sketchEstimate(merged, k)
+      .select(col("lang"), col("est_distinct").as("est_union"))
+    // Beyer K∩: merged-state hashes present in BOTH side states (valid
+    // because every merged hash ≤ τ ≤ each side's kth — see scaladoc)
+    val kBoth = merged
+      .join(stOld.withColumn("in_old", lit(1)), Seq("lang", "h"), "left")
+      .join(stNew.withColumn("in_new", lit(1)), Seq("lang", "h"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("in_old") === 1 && col("in_new") === 1, 1L).otherwise(0L))
+          .as("k_both"))
+    val exact = flags.groupBy("lang").agg(
+      count(lit(1)).as("n_union_exact"),
+      sum(when(col("has_old") === 1 && col("has_new") === 1, 1L).otherwise(0L))
+        .as("n_inter_exact"))
+    exact.join(estOld, "lang").join(estNew, "lang").join(estU, "lang")
+      .join(kBoth, "lang")
+      .select(col("lang"), col("est_old"), col("est_new"), col("est_union"),
+        expr("CAST(k_both * est_union DIV n_kept AS BIGINT)").as("est_inter"),
+        // clamped to [0, 1e6]: inclusion-exclusion on ESTIMATES can
+        // stray past either end of the true share's range
+        expr("""CASE WHEN est_new > 0
+                |  THEN LEAST(1000000L,
+                |    CAST(GREATEST(0L, 1000000 * (est_union - est_old)) DIV est_new AS BIGINT))
+                |  ELSE 0L END""".stripMargin).as("novelty_ppm"),
+        col("n_union_exact"), col("n_inter_exact"),
+        expr("CAST(1000000 * ABS(est_union - n_union_exact) DIV n_union_exact AS BIGINT)")
+          .as("err_union_ppm"))
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
 
   /** Per-doc quality scores keyed by the portable md5-prefix 32-bit
     * doc-id hash — the quantile sketch's sample universe. The hash is

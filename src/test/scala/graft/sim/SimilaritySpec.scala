@@ -120,6 +120,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"ann_exact_rerank recall $recall below floor 0.85")
   }
 
+  test("probe_recall_stats: consistent counts; probing every list is exact by law") {
+    val got = VectorIndexStore.probeRecallStats(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val nExact = r.getAs[Long]("n_exact")
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nExact == 10L)
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(r.getAs[Long]("n_cand") >= nHit)
+      assert(r.getAs[Long]("recall_ppm") == 1000000L * nHit / nExact)
+    }
+    // the observable must agree with what the recall specs pin: the
+    // 4-probe path keeps most of the exact top-10 on this corpus
+    val mean = got.map(_.getAs[Long]("recall_ppm")).sum / got.length
+    assert(mean >= 600000L, s"mean probe recall $mean ppm below floor")
+    // LAW, not floor: probing every list makes the candidate union the
+    // whole corpus (minus self), so probe top-k == exact top-k exactly
+    val full = VectorIndexStore.probeRecallStats(spark, sf, nprobe = 1000000)
+      .collect()
+    assert(full.length == 20)
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_hit") == r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    }
+  }
+
   test("ann_ivf_pq returns 5 valid ranked neighbours per query, recall above floor") {
     val pq = Similarity.annIvfPq(spark, sf).collect()
     val byQ = pq.groupBy(_.getAs[Long]("q_id"))

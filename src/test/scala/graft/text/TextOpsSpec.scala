@@ -226,6 +226,73 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv_overlap matches a driver recompute of the Beyer estimator; degrades to exact") {
+    // driver recompute: per-lang side hash sets under the doc_id % 5 split
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+    val sides = docs.flatMap { r =>
+      val l = r.getString(2).split(" ", -1).toSeq
+      val isNew = r.getLong(0) % 5 == 0
+      if (l.length < 3) Seq.empty[(String, Boolean, Long)]
+      else l.sliding(3).map { g =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(1), isNew, java.lang.Long.parseLong(md5.take(8), 16))
+      }.toSeq
+    }.distinct
+    val oldSets = sides.filter(!_._2).groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._3).toSet }
+    val newSets = sides.filter(_._2).groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._3).toSet }
+    def est(state: Seq[Long], k: Int): Long =
+      if (state.length < k) state.length.toLong
+      else math.floor((k - 1) * 4294967296.0 / state.max).toLong
+
+    val k = 256
+    val rows = TextOps.kmvOverlap(spark, sf, k).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet ==
+      (oldSets.keySet ++ newSets.keySet))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val o = oldSets.getOrElse(lang, Set.empty)
+      val n = newSets.getOrElse(lang, Set.empty)
+      val stOld = o.toSeq.sorted.take(k)
+      val stNew = n.toSeq.sorted.take(k)
+      // mergeability law: bottom-k of the two STATES == bottom-k of the
+      // raw union — the property that lets crawls merge without rescans
+      val merged = (stOld ++ stNew).distinct.sorted.take(k)
+      assert(merged == (o ++ n).toSeq.sorted.take(k))
+      val eo = est(stOld, k); val en = est(stNew, k); val eu = est(merged, k)
+      val kBoth = merged.count(h => stOld.contains(h) && stNew.contains(h))
+      assert(r.getAs[Long]("est_old") == eo)
+      assert(r.getAs[Long]("est_new") == en)
+      assert(r.getAs[Long]("est_union") == eu)
+      assert(r.getAs[Long]("est_inter") == kBoth * eu / merged.length)
+      assert(r.getAs[Long]("novelty_ppm") ==
+        (if (en > 0) math.min(1000000L, math.max(0L, 1000000L * (eu - eo)) / en)
+         else 0L))
+      assert(r.getAs[Long]("n_union_exact") == (o ++ n).size.toLong)
+      assert(r.getAs[Long]("n_inter_exact") == (o intersect n).size.toLong)
+      // k=256 → sigma ~6% on the union; fail the build past ~3 sigma
+      assert(r.getAs[Long]("err_union_ppm") < 200000L,
+        s"$lang union error ${r.getAs[Long]("err_union_ppm")} ppm")
+    }
+
+    // universe smaller than k → every estimate IS the exact count
+    val exactRows = TextOps.kmvOverlap(spark, sf, k = 1000000).collect()
+    exactRows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val o = oldSets.getOrElse(lang, Set.empty)
+      val n = newSets.getOrElse(lang, Set.empty)
+      assert(r.getAs[Long]("est_old") == o.size.toLong)
+      assert(r.getAs[Long]("est_new") == n.size.toLong)
+      assert(r.getAs[Long]("est_union") == (o ++ n).size.toLong)
+      assert(r.getAs[Long]("est_inter") == (o intersect n).size.toLong)
+      assert(r.getAs[Long]("err_union_ppm") == 0L)
+    }
+  }
+
   test("quantile_sketch: deterministic bottom-k sample, real truncation, exact merge law") {
     import org.apache.spark.sql.functions._
     val k = 32
