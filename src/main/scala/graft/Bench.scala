@@ -127,7 +127,7 @@ object Bench {
           "dedup_minhash", "dedup_incremental", "dedup_incremental_indexed",
           "curation_report", "ngram_jaccard", "simhash_near", "para_dedup",
           "span_dedup", "span_trim", "span_trim_apply",
-          "span_trim_incremental"))
+          "span_trim_incremental", "dedup_threshold_stats"))
         SparkEntry.queries.get("dedup_cluster")
           .foreach(f => f(spark, wd).write.format("noop").mode("overwrite").save())
       // the vector hot paths (vec_dot/vec_cos6 loops, vec_sum Lloyd
@@ -173,7 +173,8 @@ object Bench {
         ("mhpairs",
           anyWanted("dedup_cluster", "dedup_cluster_best", "curation_report",
             "dedup_cluster_best_indexed", "dedup_cluster_stats",
-            "curation_report_indexed", "gate_funnel", "source_reputation"),
+            "curation_report_indexed", "gate_funnel", "source_reputation",
+            "dedup_threshold_stats"),
           () => graft.dedup.Dedup.ensureVerifiedPairs(spark, sfDir)),
         ("cluster",
           anyWanted("dedup_cluster_best_indexed", "dedup_cluster_stats",

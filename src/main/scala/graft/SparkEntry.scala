@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_cluster_best" -> (Dedup.dedupClusterBest _),
     "dedup_cluster_best_indexed" ->
       (graft.dedup.MinhashIndexStore.dedupClusterBestIndexed _),
+    "dedup_threshold_stats" -> (Dedup.dedupThresholdStats _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_incremental_indexed" ->
       (graft.dedup.MinhashIndexStore.dedupIncrementalIndexed _),
@@ -1679,6 +1680,35 @@ object SparkEntry {
         |WHERE 2 * len(list_intersect(a.t, b.t)) >=
         |      len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the threshold table is pure integer math over the exact J >= 0.5
+    // pair set, which the oracle recomputes brute-force (the
+    // dedup_minhash contract: banding finds every qualifying pair at
+    // this scale)
+    "dedup_threshold_stats" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    len(list_intersect(a.t, b.t)) AS i,
+        |    len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS u
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.t, b.t)) >=
+        |        len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+        |pb AS (SELECT 10 * i // u AS b10, da, db FROM p),
+        |th AS (SELECT unnest(range(5, 11)) AS t10),
+        |pc AS (SELECT t10, COUNT(*) AS n FROM th JOIN pb ON pb.b10 >= th.t10
+        |       GROUP BY 1),
+        |dm AS (SELECT doc_id, MAX(b10) AS mb FROM
+        |         (SELECT da AS doc_id, b10 FROM pb
+        |          UNION ALL SELECT db AS doc_id, b10 FROM pb)
+        |       GROUP BY 1),
+        |dc AS (SELECT t10, COUNT(*) AS n FROM th JOIN dm ON dm.mb >= th.t10
+        |       GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT CAST(th.t10 AS BIGINT) AS t10,
+        |  CAST(COALESCE(pc.n, 0) AS BIGINT) AS n_pairs_ge,
+        |  CAST(COALESCE(dc.n, 0) AS BIGINT) AS n_docs_ge,
+        |  CAST(1000000 * COALESCE(dc.n, 0) // tot.n AS BIGINT) AS flagged_ppm
+        |FROM th LEFT JOIN pc USING (t10) LEFT JOIN dc USING (t10), tot
+        |ORDER BY t10""".stripMargin,
     // 64-bit fingerprint assembled from two 32-bit md5-prefix halves
     // (hex chars 1-8 = bits 63..32, chars 9-16 = bits 31..0), the high
     // half recombined SIGNED so the product stays inside BIGINT — bit

@@ -32,6 +32,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupMinhash(spark, sf).count() == exact)
   }
 
+  test("dedup_threshold_stats matches a driver brute-force threshold sweep") {
+    val got = Dedup.dedupThresholdStats(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("t10")).toSeq == (5L to 10L))
+    // driver recompute: exact all-pairs Jaccard over distinct token sets
+    val sets = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet)
+    val pairs = for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      inter = (sets(i)._2 intersect sets(j)._2).size
+      uni = sets(i)._2.size + sets(j)._2.size - inter
+      if 2 * inter >= uni
+    } yield (sets(i)._1, sets(j)._1, 10L * inter / uni)
+    val docMax = pairs.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).max }
+    got.foreach { r =>
+      val t = r.getAs[Long]("t10")
+      val nP = pairs.count(_._3 >= t).toLong
+      val nD = docMax.count(_ >= t).toLong
+      assert(r.getAs[Long]("n_pairs_ge") == nP, s"t10=$t pairs")
+      assert(r.getAs[Long]("n_docs_ge") == nD, s"t10=$t docs")
+      assert(r.getAs[Long]("flagged_ppm") == 1000000L * nD / sets.length)
+    }
+    // the table must be monotone non-increasing in t by construction
+    val ps = got.map(_.getAs[Long]("n_pairs_ge"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+  }
+
   test("set canonicalization is exact under heavy injected exact duplication") {
     // clone every doc 0..99 three times under fresh ids: the distinct-set
     // groups now carry real member lists, so BOTH expansion paths
