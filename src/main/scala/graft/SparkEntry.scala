@@ -1273,18 +1273,21 @@ object SparkEntry {
         |    SUM(CASE WHEN has_old = 1 AND has_new = 1 THEN 1 ELSE 0 END)
         |      AS n_inter_exact
         |  FROM fl GROUP BY 1)
-        |SELECT ex.lang, est_old, est_new, est_union,
+        |SELECT ex.lang,
+        |  CAST(COALESCE(est_old, 0) AS BIGINT) AS est_old,
+        |  CAST(COALESCE(est_new, 0) AS BIGINT) AS est_new, est_union,
         |  CAST(k_both * est_union // n_kept AS BIGINT) AS est_inter,
-        |  CASE WHEN est_new > 0
+        |  CASE WHEN COALESCE(est_new, 0) > 0
         |    THEN LEAST(CAST(1000000 AS BIGINT),
-        |      CAST(GREATEST(0, 1000000 * (est_union - est_old)) // est_new AS BIGINT))
+        |      CAST(GREATEST(0, 1000000 * (est_union - COALESCE(est_old, 0)))
+        |        // est_new AS BIGINT))
         |    ELSE CAST(0 AS BIGINT) END AS novelty_ppm,
         |  CAST(n_union_exact AS BIGINT) AS n_union_exact,
         |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
         |  CAST(1000000 * ABS(est_union - n_union_exact) // n_union_exact AS BIGINT)
         |    AS err_union_ppm
-        |FROM ex JOIN eo USING (lang) JOIN en USING (lang) JOIN eu USING (lang)
-        |  JOIN kb USING (lang)
+        |FROM ex LEFT JOIN eo USING (lang) LEFT JOIN en USING (lang)
+        |  JOIN eu USING (lang) JOIN kb USING (lang)
         |ORDER BY lang""".stripMargin,
     // Count-Min is a pure function of the occurrence multiset (counters
     // are sums over row-salted md5 buckets), so the sketch ESTIMATE

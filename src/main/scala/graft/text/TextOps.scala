@@ -639,8 +639,17 @@ object TextOps {
       count(lit(1)).as("n_union_exact"),
       sum(when(col("has_old") === 1 && col("has_new") === 1, 1L).otherwise(0L))
         .as("n_inter_exact"))
-    exact.join(estOld, "lang").join(estNew, "lang").join(estU, "lang")
-      .join(kBoth, "lang")
+    // LEFT joins with zero defaults on the side estimates: a language
+    // present on only ONE side (a brand-new language in the crawl, or
+    // one that vanished) is exactly what a novelty gauge must report,
+    // not drop — an empty side's sketch estimates 0. The union/K∩
+    // frames exist whenever the language has any gram at all.
+    exact
+      .join(estOld, Seq("lang"), "left")
+      .join(estNew, Seq("lang"), "left")
+      .join(estU, "lang").join(kBoth, "lang")
+      .withColumn("est_old", coalesce(col("est_old"), lit(0L)))
+      .withColumn("est_new", coalesce(col("est_new"), lit(0L)))
       .select(col("lang"), col("est_old"), col("est_new"), col("est_union"),
         expr("CAST(k_both * est_union DIV n_kept AS BIGINT)").as("est_inter"),
         // clamped to [0, 1e6]: inclusion-exclusion on ESTIMATES can
