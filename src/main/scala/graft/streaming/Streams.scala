@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
+
 /** Structured Streaming twins of the batch event operators.
   *
   * The reference's outbox poller (outbox.rs: ordered event log drained
@@ -288,6 +290,74 @@ object Streams {
         ()
       }
       .start()
+
+  /** Streaming CRAWL-NOVELTY gauge — the live form of `kmv_overlap`'s
+    * question: "is this crawl still bringing new content, per
+    * language?". Each micro-batch's bottom-k shingle state lands in
+    * its OWN `batch_id` partition (a pure function of the batch — a
+    * crash-redelivered batch rewrites identical rows via dynamic
+    * overwrite, never corrupts: the `heavyHitterGauge` contract, chosen
+    * over merge-in-place because a novelty number computed against a
+    * state the batch already merged into would silently read as 0 on
+    * replay). [[crawlNoveltyRead]] derives the novelty series at read
+    * time. State is batches·langs·k rows until
+    * [[graft.text.TextOps.sketchMerge]]-based compaction folds history
+    * (the cmsCompact move; merge IS the compaction for set-union
+    * sketches).
+    */
+  def crawlNoveltyGauge(newDocs: DataFrame, statePath: String,
+      k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.TextOps.bottomK(
+              graft.text.TextOps.shingleHashes(batch.toDF()), k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statePath)
+        }
+        ()
+      }
+      .start()
+
+  /** The read side of [[crawlNoveltyGauge]]: fold the per-batch states
+    * in batch order and emit each batch's per-language overlap row
+    * against the fold of its predecessors (`TextOps.sketchOverlapFrom`
+    * — est_old is the corpus-so-far, est_new the batch, novelty_ppm
+    * the planner's signal). Deterministic replay of the whole series
+    * from the partitioned states alone, so a redelivered batch can
+    * never corrupt history. The driver-side loop is over BATCH IDS
+    * (crawl cadence, not corpus size — the `cmsLoad` shape) and each
+    * fold is langs·k rows.
+    */
+  def crawlNoveltyRead(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, k: Int = 256): DataFrame = {
+    val all = spark.read.parquet(statePath)
+      .select(col("lang"), col("h"), col("batch_id").cast("long").as("batch_id"))
+    val ids = all.select("batch_id").distinct()
+      .orderBy("batch_id").collect().map(_.getLong(0))
+    if (ids.isEmpty) {
+      val empty = all.select("lang", "h").limit(0)
+      return graft.text.TextOps.sketchOverlapFrom(empty, empty, k)
+        .withColumn("batch_id", lit(0L))
+    }
+    var acc: DataFrame = null
+    val outs = ids.map { id =>
+      val st = all.filter(col("batch_id") === id).select("lang", "h")
+      val base = if (acc == null) st.limit(0) else acc
+      val out = graft.text.TextOps.sketchOverlapFrom(base, st, k)
+        .withColumn("batch_id", lit(id))
+      acc =
+        if (acc == null) st.materializeOnce()
+        else graft.text.TextOps.sketchMerge(acc, st, k).materializeOnce()
+      out
+    }
+    outs.reduce(_ unionByName _)
+  }
 
   /** Streaming HEAVY-HITTER (Count-Min) gauge — the frequency member
     * of the sketch-gauge family. Counters merge by ADDITION, which is

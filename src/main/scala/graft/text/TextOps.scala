@@ -619,6 +619,33 @@ object TextOps {
       .materializeOnce()
     val stNew = bottomK(flags.filter(col("has_new") === 1).select("lang", "h"), k)
       .materializeOnce()
+    val exact = flags.groupBy("lang").agg(
+      count(lit(1)).as("n_union_exact"),
+      sum(when(col("has_old") === 1 && col("has_new") === 1, 1L).otherwise(0L))
+        .as("n_inter_exact"))
+    // the overlap frame covers every language with a gram on either
+    // side (its base is the MERGED state), so this join keeps all of
+    // `exact`'s languages
+    exact.join(sketchOverlapFrom(stOld, stNew, k), "lang")
+      .select(col("lang"), col("est_old"), col("est_new"), col("est_union"),
+        col("est_inter"), col("novelty_ppm"),
+        col("n_union_exact"), col("n_inter_exact"),
+        expr("CAST(1000000 * ABS(est_union - n_union_exact) DIV n_union_exact AS BIGINT)")
+          .as("err_union_ppm"))
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
+
+  /** Set-operation estimates from two sketch STATES alone — no corpus
+    * access, every frame langs·k rows: the form [[kmvOverlap]] joins
+    * its exact rail onto, and the streaming crawl-novelty gauge
+    * ([[graft.streaming.Streams.crawlNoveltyGauge]]) reads per batch.
+    * LEFT joins with zero defaults on the side estimates: a language
+    * present in only ONE state (a brand-new language in the crawl, or
+    * one that vanished) is exactly what a novelty gauge must report,
+    * not drop — an empty side's sketch estimates 0. The union/K∩
+    * frames cover every language either state mentions.
+    */
+  def sketchOverlapFrom(stOld: DataFrame, stNew: DataFrame, k: Int): DataFrame = {
     val merged = sketchMerge(stOld, stNew, k).materializeOnce()
     val estOld = sketchEstimate(stOld, k)
       .select(col("lang"), col("est_distinct").as("est_old"))
@@ -627,7 +654,7 @@ object TextOps {
     val estU = sketchEstimate(merged, k)
       .select(col("lang"), col("est_distinct").as("est_union"))
     // Beyer K∩: merged-state hashes present in BOTH side states (valid
-    // because every merged hash ≤ τ ≤ each side's kth — see scaladoc)
+    // because every merged hash ≤ τ ≤ each side's kth — see kmvOverlap)
     val kBoth = merged
       .join(stOld.withColumn("in_old", lit(1)), Seq("lang", "h"), "left")
       .join(stNew.withColumn("in_new", lit(1)), Seq("lang", "h"), "left")
@@ -635,19 +662,10 @@ object TextOps {
       .agg(count(lit(1)).as("n_kept"),
         sum(when(col("in_old") === 1 && col("in_new") === 1, 1L).otherwise(0L))
           .as("k_both"))
-    val exact = flags.groupBy("lang").agg(
-      count(lit(1)).as("n_union_exact"),
-      sum(when(col("has_old") === 1 && col("has_new") === 1, 1L).otherwise(0L))
-        .as("n_inter_exact"))
-    // LEFT joins with zero defaults on the side estimates: a language
-    // present on only ONE side (a brand-new language in the crawl, or
-    // one that vanished) is exactly what a novelty gauge must report,
-    // not drop — an empty side's sketch estimates 0. The union/K∩
-    // frames exist whenever the language has any gram at all.
-    exact
+    estU
       .join(estOld, Seq("lang"), "left")
       .join(estNew, Seq("lang"), "left")
-      .join(estU, "lang").join(kBoth, "lang")
+      .join(kBoth, "lang")
       .withColumn("est_old", coalesce(col("est_old"), lit(0L)))
       .withColumn("est_new", coalesce(col("est_new"), lit(0L)))
       .select(col("lang"), col("est_old"), col("est_new"), col("est_union"),
@@ -657,11 +675,7 @@ object TextOps {
         expr("""CASE WHEN est_new > 0
                 |  THEN LEAST(1000000L,
                 |    CAST(GREATEST(0L, 1000000 * (est_union - est_old)) DIV est_new AS BIGINT))
-                |  ELSE 0L END""".stripMargin).as("novelty_ppm"),
-        col("n_union_exact"), col("n_inter_exact"),
-        expr("CAST(1000000 * ABS(est_union - n_union_exact) DIV n_union_exact AS BIGINT)")
-          .as("err_union_ppm"))
-      .orderBy("lang") // language-table-sized output: bounded sort
+                |  ELSE 0L END""".stripMargin).as("novelty_ppm"))
   }
 
   /** Per-doc quality scores keyed by the portable md5-prefix 32-bit

@@ -261,6 +261,57 @@ class StreamsSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("crawlNoveltyGauge: per-batch states replay-safe; read fold matches direct overlap") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).select("lang", "text")
+    val all = docs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val statePath = java.nio.file.Files.createTempDirectory("noveltystate")
+      .resolve("state").toString
+    val stream = MemoryStream[(String, String)](spark)
+    val query = Streams.crawlNoveltyGauge(
+      stream.toDS().toDF("lang", "text"), statePath, k = 64)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      // a later crawl re-fetching identical content: its state
+      // partition is a pure function of the batch (the replay-safety
+      // contract), and the read-side fold must report it as 0 novelty
+      stream.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = Streams.crawlNoveltyRead(spark, statePath, k = 64).collect()
+    val byBatch = got.groupBy(_.getAs[Long]("batch_id"))
+    assert(byBatch.keySet == Set(0L, 1L, 2L))
+    def state(rows: Seq[(String, String)]) = graft.text.TextOps.bottomK(
+      graft.text.TextOps.shingleHashes(
+        rows.toDF("lang", "text")), 64)
+    def cmp(rows: Array[org.apache.spark.sql.Row],
+        expect: org.apache.spark.sql.DataFrame): Unit = {
+      val g = rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("est_old"),
+        r.getAs[Long]("est_new"), r.getAs[Long]("est_union"),
+        r.getAs[Long]("est_inter"), r.getAs[Long]("novelty_ppm"))).sorted
+      val e = expect.collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("est_old"), r.getAs[Long]("est_new"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_inter"),
+        r.getAs[Long]("novelty_ppm"))).sorted
+      assert(g.sameElements(e))
+    }
+    val s1 = state(b1)
+    // batch 0 against nothing: everything is novel, novelty pins at 1e6
+    cmp(byBatch(0L), graft.text.TextOps.sketchOverlapFrom(s1.limit(0), s1, 64))
+    assert(byBatch(0L).forall(_.getAs[Long]("novelty_ppm") == 1000000L))
+    // batch 1 against batch 0's fold
+    cmp(byBatch(1L), graft.text.TextOps.sketchOverlapFrom(s1, state(b2), 64))
+    // the replayed batch 2 == batch 1's data against a fold that already
+    // contains it: est_union == est_old, so novelty reads 0
+    assert(byBatch(2L).forall(_.getAs[Long]("novelty_ppm") == 0L))
+  }
+
   test("decisionAppendGate streams crawl batches into the decision store, replay-safe") {
     val sql = spark.sqlContext
     import sql.implicits._
