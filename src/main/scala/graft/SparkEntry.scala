@@ -674,10 +674,10 @@ object SparkEntry {
           |    SUM(CASE WHEN pt.n_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
           |  FROM et LEFT JOIN pt ON pt.q_id = et.q_id AND pt.n_id = et.n_id
           |  GROUP BY 1)
-          |SELECT h.q_id, CAST(nc.n_cand AS BIGINT) AS n_cand,
+          |SELECT h.q_id, CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
           |  CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
           |  CAST(1000000 * n_hit // n_exact AS BIGINT) AS recall_ppm
-          |FROM h JOIN nc ON nc.q_id = h.q_id
+          |FROM h LEFT JOIN nc ON nc.q_id = h.q_id
           |ORDER BY h.q_id""".stripMargin,
       "vindex_stats" ->
         """WITH per AS (

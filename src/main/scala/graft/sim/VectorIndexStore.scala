@@ -489,15 +489,32 @@ object VectorIndexStore {
     * bounded by |queries| × probed-list mass, independent of corpus
     * size.
     */
-  def annExactRerank(spark: SparkSession, dir: String): DataFrame = {
+  def annExactRerank(spark: SparkSession, dir: String): DataFrame =
+    scoredProbeTopK(spark, dir, k = 5, nprobe = 4)._2
+      .orderBy("q_id", "rk")
+
+  /** The ONE exact-scored probe-rail definition shared by
+    * [[annExactRerank]] and [[probeRecallStats]]: probed candidate
+    * union off the persisted index ([[probeCandidates]]), exact
+    * rounded-cosine re-score against the query batch, `cos6` desc /
+    * `n_id` asc ranking cut at `k`. The rounding, tie-break, and
+    * self-exclusion here ARE the cross-engine contract the probe-path
+    * oracles replay — which is why it lives in one place: two copies
+    * would have to stay bit-identical by hand. Returns the (pinned)
+    * candidate pair frame alongside the ranked top-k so a caller can
+    * also measure candidate mass without recomputing the probe.
+    */
+  private def scoredProbeTopK(spark: SparkSession, dir: String,
+      k: Int, nprobe: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = ensureIvfPq(spark, dir)
     val e = graft.core.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
     val q = e.filter(col("vec_id") < 20)
-    val cands = probeCandidates(spark, base, q, nprobe = 4)
+    val cands = probeCandidates(spark, base, q, nprobe)
       .withColumnRenamed("cand_id", "n_id")
+      .materializeOnce()
     val scored = cands
       .join(q.select(col("vec_id").as("q_id"),
         col("embedding").as("qe"), col("norm").as("qn")), "q_id")
@@ -506,12 +523,12 @@ object VectorIndexStore {
       .select(col("q_id"), col("n_id"),
         graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
           .as("cos6"))
-    scored
+    val ranked = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id")))
         .cast("long"))
-      .filter(col("rk") <= 5)
-      .orderBy("q_id", "rk")
+      .filter(col("rk") <= k)
+    (cands, ranked)
   }
 
   /** [[Similarity.hardNegatives]] served from the persisted IVF index —
@@ -824,51 +841,45 @@ object VectorIndexStore {
       k: Int = 10, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
-    val base = ensureIvfPq(spark, dir)
+    val (cands, ranked) = scoredProbeTopK(spark, dir, k, nprobe)
+    val probeTop = ranked.select("q_id", "n_id")
     val e = graft.core.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
       .withColumn("norm", norm64("embedding"))
-    val q = e.filter(col("vec_id") < 20)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))
-    def topK(scored: DataFrame): DataFrame = scored
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("q_id", "n_id")
-    val qs = q.select(col("vec_id").as("q_id"),
-      col("embedding").as("qe"), col("norm").as("qn"))
-    def score(pairs: DataFrame): DataFrame = pairs
-      .join(broadcast(qs), "q_id")
-      .join(e.select(col("vec_id").as("n_id"),
-        col("embedding").as("ne"), col("norm").as("nn")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
-          .as("cos6"))
-    val cands = probeCandidates(spark, base, q, nprobe)
-      .withColumnRenamed("cand_id", "n_id")
-      .materializeOnce()
-    val probeTop = topK(score(cands))
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("norm").as("qn"))
     // exact rail: the full-corpus stream against the broadcast query
     // batch via the derived-key BHJ (the crossCentroids pattern — one
     // map-side pass over the corpus, never a nested loop), scored
     // inline so no pair frame carries vectors, ranked under the same
     // contract as the probe side
-    val exactTop = topK(
-      e.select(col("vec_id").as("n_id"),
+    val exactTop = e
+      .select(col("vec_id").as("n_id"),
         col("embedding").as("ne"), col("norm").as("nn"))
-        .withColumn("one", pmod(col("n_id"), lit(1)).cast("int"))
-        .join(broadcast(qs.withColumn("one",
-          pmod(col("q_id"), lit(1)).cast("int"))), "one")
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
-            .as("cos6")))
+      .withColumn("one", pmod(col("n_id"), lit(1)).cast("int"))
+      .join(broadcast(qs.withColumn("one",
+        pmod(col("q_id"), lit(1)).cast("int"))), "one")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.sim.Vectors.cos6(col("qe"), col("ne"), col("qn"), col("nn"))
+          .as("cos6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id")
     val nCand = cands.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
     val hits = exactTop.join(probeTop.withColumn("hit", lit(1)),
         Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-    hits.join(nCand, "q_id")
-      .select(col("q_id"), col("n_cand"), col("n_exact"), col("n_hit"),
+    // LEFT join: a query whose probed lists held nothing but itself has
+    // no candidate rows at all — the gauge must report it as
+    // n_cand = 0 / recall 0, not silently drop the worst-recall query
+    hits.join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_exact"), col("n_hit"),
         expr("CAST(1000000 * n_hit DIV n_exact AS BIGINT)").as("recall_ppm"))
       .orderBy("q_id") // query-batch-sized output: bounded sort
   }

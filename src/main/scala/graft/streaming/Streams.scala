@@ -239,12 +239,28 @@ object Streams {
     */
   def semanticDeconGate(newVecs: DataFrame, evalVecs: DataFrame,
       path: String): org.apache.spark.sql.streaming.StreamingQuery =
-    newVecs
+    batchPartitionedSink(newVecs, path)(
+      b => graft.curate.Curate.semanticDeconFrom(b, evalVecs))
+
+  /** The ONE batch_id-partitioned dynamic-overwrite sink shared by
+    * every per-batch-keyed gauge ([[semanticDeconGate]],
+    * [[heavyHitterGauge]], [[crawlNoveltyGauge]]): each non-empty
+    * micro-batch's transform lands in its OWN `batch_id` partition, so
+    * a crash-redelivered batch REWRITES its partition instead of
+    * duplicating it. The idempotence contract holds only when
+    * `transform` is a pure function of the batch — which is why it
+    * lives in one place: the overwrite-mode options ARE the contract,
+    * and a fix to them must reach every sink at once.
+    */
+  private def batchPartitionedSink(src: DataFrame, path: String)(
+      transform: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    src
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.curate.Curate.semanticDeconFrom(batch.toDF(), evalVecs)
+          transform(batch.toDF())
             .withColumn("batch_id", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
@@ -307,22 +323,8 @@ object Streams {
     */
   def crawlNoveltyGauge(newDocs: DataFrame, statePath: String,
       k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.text.TextOps.bottomK(
-              graft.text.TextOps.shingleHashes(batch.toDF()), k)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(statePath)
-        }
-        ()
-      }
-      .start()
+    batchPartitionedSink(newDocs, statePath)(
+      b => graft.text.TextOps.bottomK(graft.text.TextOps.shingleHashes(b), k))
 
   /** The read side of [[crawlNoveltyGauge]]: fold the per-batch states
     * in batch order and emit each batch's per-language overlap row
@@ -336,15 +338,23 @@ object Streams {
     */
   def crawlNoveltyRead(spark: org.apache.spark.sql.SparkSession,
       statePath: String, k: Int = 256): DataFrame = {
+    // before the first non-empty micro-batch lands there is nothing to
+    // read — return the empty overlap frame instead of letting the
+    // parquet read throw (the distinctSketchGauge pathExists guard;
+    // also covers a state dir whose batches were all too short to
+    // shingle, which reads back zero rows)
+    def emptySeries: DataFrame = {
+      import spark.implicits._
+      val empty = Seq.empty[(String, Long)].toDF("lang", "h")
+      graft.text.TextOps.sketchOverlapFrom(empty, empty, k)
+        .withColumn("batch_id", lit(0L))
+    }
+    if (!graft.core.IndexScratch.pathExists(spark, statePath)) return emptySeries
     val all = spark.read.parquet(statePath)
       .select(col("lang"), col("h"), col("batch_id").cast("long").as("batch_id"))
     val ids = all.select("batch_id").distinct()
       .orderBy("batch_id").collect().map(_.getLong(0))
-    if (ids.isEmpty) {
-      val empty = all.select("lang", "h").limit(0)
-      return graft.text.TextOps.sketchOverlapFrom(empty, empty, k)
-        .withColumn("batch_id", lit(0L))
-    }
+    if (ids.isEmpty) return emptySeries
     var acc: DataFrame = null
     val outs = ids.map { id =>
       val st = all.filter(col("batch_id") === id).select("lang", "h")
@@ -372,22 +382,8 @@ object Streams {
     */
   def heavyHitterGauge(newDocs: DataFrame,
       statePath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.text.TextOps.cmsState(
-              graft.text.TextOps.shingleOccurrences(batch.toDF()))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(statePath)
-        }
-        ()
-      }
-      .start()
+    batchPartitionedSink(newDocs, statePath)(
+      b => graft.text.TextOps.cmsState(graft.text.TextOps.shingleOccurrences(b)))
 
   /** Streaming DECISION-TABLE maintenance — the curation level of the
     * reference's sync loop (`VectorIndexAppend`'s decision twin): each
