@@ -15,9 +15,14 @@ object IndexScratch {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Versioned per-corpus scratch location for query-entry indexes. */
+  /** Versioned per-corpus scratch location for query-entry indexes.
+    * v2: quantizer training moved to exact integer-quantized Lloyd
+    * arithmetic — artifacts trained by the v1 float path are no longer
+    * bit-compatible with the training-replay oracles, so the version
+    * bump forces a rebuild rather than trusting a stale cache.
+    */
   def scratchBase(dir: String, kind: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-index-v1-$kind-${md5hex(dir).take(10)}"
+    s"${sys.props("java.io.tmpdir")}/graft-index-v2-$kind-${md5hex(dir).take(10)}"
 
   /** Hadoop-FS existence probe (works for any configured filesystem,
     * not just local paths — the stores' artifacts live wherever the

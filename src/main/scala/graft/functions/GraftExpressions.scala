@@ -79,6 +79,8 @@ object GraftFunctions {
         posIntLit("cdc_boundaries", es(2)))),
     "vec_sum" ->
       (es => VectorSumD(es.head).toAggregateExpression()),
+    "vec_sum_long" ->
+      (es => VectorSumL(es.head).toAggregateExpression()),
     "vec_cos6" -> (es => VecCos6(es(0), es(1), es(2), es(3))),
     "vec_cos6i" -> (es => VecCos6i(es(0), es(1), es(2), es(3))),
     "top_k_sum_long" ->
@@ -910,16 +912,17 @@ case class CdcBoundaries(child: Expression, k: Int, maskBits: Int)
     copy(child = newChild)
 }
 
-/** Elementwise sum of a float-array column as `array<double>` — the
-  * centroid-accumulation aggregate of the IVF trainer (Similarity
-  * .annIvf). Replaces the posexplode → per-(cid, pos) avg shape, which
+/** Elementwise sum of a float-array column as `array<double>`.
+  * Replaces the posexplode → per-(group, pos) avg shape, which
   * shuffles |corpus| × dim rows; this buffers ONE dim-length double
   * vector per group and merges buffers, so the shuffle carries
   * groups × dim doubles with normal partial aggregation. Like any
   * float summation its result is accumulation-order-dependent, so it
   * belongs in recall-pinned (rows-checked) operators, not hash-verified
-  * ones. Buffer sizes lazily from the first row (dimension-agnostic);
-  * mismatched rows fold at the shorter length.
+  * ones — which is why the IVF/PQ trainers moved to the exact
+  * [[VectorSumL]] over micro-unit quantizations. Buffer sizes lazily
+  * from the first row (dimension-agnostic); mismatched rows fold at
+  * the shorter length.
   */
 case class VectorSumD(
     child: Expression,
@@ -978,6 +981,76 @@ case class VectorSumD(
   override def withNewInputAggBufferOffset(newOffset: Int): VectorSumD =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): VectorSumD =
+    copy(child = newChild)
+}
+
+/** Elementwise sum of a BIGINT-array column as `array<bigint>` — the
+  * EXACT centroid accumulator of the quantized Lloyd trainer
+  * (Similarity.ivfCentroids / pqTrain). Unlike [[VectorSumD]], integer
+  * addition is associative and commutative, so the result is
+  * accumulation-order-INDEPENDENT — which is what lets quantizer
+  * training sit under the DuckDB hash gate: the oracle's per-dimension
+  * `SUM(qe[k])` reproduces it bit-for-bit regardless of partitioning.
+  * Same buffer/merge shape as VectorSumD (one dim-length long vector
+  * per group; groups × dim longs on the shuffle).
+  */
+case class VectorSumL(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val b = if (buf.length == 0) new Array[Long](arr.numElements()) else buf
+      var i = 0
+      val m = math.min(arr.numElements(), b.length)
+      while (i < m) { b(i) += arr.getLong(i); i += 1 }
+      b
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.length == 0) b2
+    else if (b2.length == 0) b1
+    else {
+      var i = 0
+      val m = math.min(b1.length, b2.length)
+      while (i < m) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length == 0) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumL =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumL =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumL =
     copy(child = newChild)
 }
 

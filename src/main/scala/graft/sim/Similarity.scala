@@ -184,6 +184,21 @@ object Similarity {
     * independent (a gated pipeline corpus starting at id 1000 seeds
     * fine; `vec_id < k` would silently seed nothing) — re-coded to
     * dense cids via the constant-size window-after-limit pattern.
+    *
+    * Training is DETERMINISTIC and oracle-replayable end to end: the
+    * centroid mean accumulates micro-unit BIGINT quantizations of the
+    * member vectors (`floor(x·1e6)`, the embed_centroid_stats idiom)
+    * through the exact `vec_sum_long` aggregate — integer addition is
+    * order-independent, so the result no longer depends on partition
+    * fold order the way the former float `vec_sum` mean did — and the
+    * new centroid is `floor(sum/cnt)/1e6` cast back to float, a pure
+    * per-cell IEEE expression both engines compute identically. The
+    * per-row assignment argmax was always deterministic (dot64's fixed
+    * element-order fold); the mean was the one order-dependent stage.
+    * Net effect: `ann_ivf`/`ann_ivf_pq`/`dedup_embedding_ann` sit under
+    * the DuckDB hash gate, whose oracle unrolls these two rounds in SQL
+    * (the bpe_learn precedent). Quantization costs < 1e-6 per
+    * component per round; the recall floors are unchanged.
     */
   private[graft] def ivfCentroids(e: DataFrame, k: Int, eager: Boolean = true): DataFrame = {
     def assign(cents: DataFrame): DataFrame =
@@ -192,21 +207,28 @@ object Similarity {
         // struct max: highest cosine, ties to the highest cid — deterministic
         .agg(max(struct(col("ccos"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
+    // micro-unit quantization of the member vectors, computed once per
+    // corpus row — the exact-integer accumulation feed for both rounds
+    val eq = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+        .as("qe"))
     val seedW = Window.partitionBy(pmod(col("vec_id"), lit(1))).orderBy(col("vec_id"))
     var centroids = e.orderBy("vec_id").limit(k)
       .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
       .select(col("cid"), col("embedding").as("cvec"), col("norm").as("cnorm"))
     for (_ <- 1 to 2) {
-      val memb = assign(centroids).join(e, "vec_id")
-      // centroid mean via the native vec_sum aggregate: ONE partial-agg
-      // shuffle of k × dim double buffers (the posexplode → per-(cid,
-      // pos) avg shape this replaces shuffled |corpus| × dim rows)
+      val memb = assign(centroids).join(eq, "vec_id")
+      // centroid mean via the native vec_sum_long aggregate: ONE
+      // partial-agg shuffle of k × dim long buffers (the posexplode →
+      // per-(cid, pos) shape would shuffle |corpus| × dim rows), exact
+      // by integer arithmetic
       centroids = memb
         .groupBy("cid")
-        .agg(call_function("vec_sum", col("embedding")).as("sv"),
+        .agg(call_function("vec_sum_long", col("qe")).as("sv"),
           count(lit(1)).as("cnt"))
         .select(col("cid"),
-          expr("transform(sv, x -> CAST(x / cnt AS FLOAT))").as("cvec"))
+          expr("transform(sv, x -> CAST(FLOOR(CAST(x AS DOUBLE) / cnt) / 1000000.0D AS FLOAT))")
+            .as("cvec"))
         .withColumn("cnorm", norm64("cvec"))
       // no per-round checkpoint: two Lloyd rounds of lineage stay shallow
     }
@@ -439,11 +461,19 @@ object Similarity {
     var books = subs.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("code"), col("sv").as("cv"))
     for (_ <- 1 to 2) {
+      // cell mean in exact micro-unit integers (the ivfCentroids
+      // contract): order-independent accumulation, so PQ training is
+      // oracle-replayable; unit components are ≤ 1 so the quantized
+      // sums stay far from overflow
       books = assignCodes(books).join(subs, Seq("vec_id", "sub"))
         .groupBy("sub", "code")
-        .agg(call_function("vec_sum", col("sv")).as("s"), count(lit(1)).as("cnt"))
+        .agg(call_function("vec_sum_long",
+          expr("transform(sv, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"))
+          .as("s"),
+          count(lit(1)).as("cnt"))
         .select(col("sub"), col("code"),
-          expr("transform(s, x -> CAST(x / cnt AS FLOAT))").as("cv"))
+          expr("transform(s, x -> CAST(FLOOR(CAST(x AS DOUBLE) / cnt) / 1000000.0D AS FLOAT))")
+            .as("cv"))
     }
     books = books.materializeOnce() // encoding + every query LUT
     val codes = assignCodes(books)

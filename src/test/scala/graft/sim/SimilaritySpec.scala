@@ -856,4 +856,33 @@ class SimilaritySpec extends SparkSpec {
     val gauge = VectorIndexStore.vindexSync(spark, sf).collect()
     assert(gauge.map(_.getAs[Long]("n_members")).sum == 2L * upstream.size)
   }
+
+  test("quantized Lloyd training is partition-order independent (hash-gate prerequisite)") {
+    // the property the training-replay oracles rest on: with the
+    // micro-unit integer mean, centroids/books/codes are pure functions
+    // of the corpus CONTENT — any partitioning folds to the same bits
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    def normed(parts: Int) = emb.repartition(parts)
+      .withColumn("norm", Vectors.norm64("embedding"))
+    def cents(parts: Int) = Similarity.ivfCentroids(normed(parts), k = 16)
+      .collect()
+      .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](1).toVector,
+        r.getAs[Double]("cnorm")))
+      .sortBy(_._1).toVector
+    assert(cents(3) == cents(13))
+    def pq(parts: Int) = {
+      val (books, codes) = Similarity.pqTrain(normed(parts))
+      (books.collect()
+        .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("code")),
+          r.getSeq[Float](2).toVector)).sortBy(_._1).toVector,
+        codes.collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Int](1).toVector))
+          .sortBy(_._1).toVector)
+    }
+    val (b1, c1) = pq(3)
+    val (b2, c2) = pq(13)
+    assert(b1 == b2)
+    assert(c1 == c2)
+  }
 }
