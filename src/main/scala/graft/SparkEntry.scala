@@ -83,6 +83,7 @@ object SparkEntry {
     "token_freq" -> (TextOps.tokenFreq _),
     "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
     "kmv_overlap" -> ((s: SparkSession, d: String) => TextOps.kmvOverlap(s, d)),
+    "crawl_novelty" -> (graft.streaming.Streams.crawlNovelty _),
     // k=32 so the 500-doc test corpora exercise REAL truncation (every
     // lang stratum outnumbers the sample); production default is 256
     "quantile_sketch" -> ((s: SparkSession, d: String) => TextOps.quantileSketch(s, d, k = 32)),
@@ -197,17 +198,21 @@ object SparkEntry {
     "mm_meta"         -> (Multimodal.mmMeta _)
   )
 
-  /** Queries that are rows-only BY DECLARED DESIGN: approximate ANN /
-    * embedding-dedup whose exact contents depend on probe order, with
-    * recall floors pinned in ScalaTest instead of a DuckDB oracle.
-    * Every other `queries` key MUST have an `oracleSql` entry —
-    * OracleCoverageSpec enforces `queries.keySet == oracleSql.keySet ++
-    * rowsOnly`, so an unregistered oracle can never pass locally by
-    * omission again (the round-12 epoch_plan_bpe miss).
+  /** Queries that are rows-only BY DECLARED DESIGN. EMPTY since the
+    * quantizer trainers moved to exact integer micro-unit Lloyd means
+    * (Similarity.ivfCentroids / pqTrain): the last five approximate-ANN
+    * entries became hash-gated through training-replay oracles
+    * (unrolled Lloyd rounds in SQL — the bpe_learn precedent), so every
+    * `queries` key now has an `oracleSql` entry. The recall floors
+    * those entries were previously pinned by remain in SimilaritySpec /
+    * ScaleRecallSpec — approximate RECALL is still a spec property; the
+    * hash gate verifies the OUTPUT is the deterministic function of the
+    * corpus the implementation claims. OracleCoverageSpec enforces
+    * `queries.keySet == oracleSql.keySet ++ rowsOnly`, so an
+    * unregistered oracle can never pass locally by omission again (the
+    * round-12 epoch_plan_bpe miss).
     */
-  val rowsOnly: Set[String] = Set(
-    "ann_lsh", "ann_ivf", "ann_ivf_pq", "ann_ivf_pq_indexed",
-    "dedup_embedding_ann")
+  val rowsOnly: Set[String] = Set.empty
 
   /** The BPE-learning oracle unrolls the Spark operator's rounds in SQL
     * (like pagerank_ppm's iterations): round i counts adjacent symbol
@@ -323,6 +328,233 @@ object SparkEntry {
        |  CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
        |  round(CAST(n_bpe AS DOUBLE) / n_words, 6) AS fertility6
        |FROM f ORDER BY lang""".stripMargin
+
+  /** The crawl-novelty oracle: re-derives the gauge's whole series from
+    * the documents table — per deterministic crawl batch (`doc_id % n`),
+    * the bottom-k shingle state, the prefix fold of its predecessors
+    * (bottom-k of the union — `TextOps.sketchMerge`), and the
+    * KMV overlap row (`sketchOverlapFrom`'s estimates, the kmv_overlap
+    * SQL shapes). The Spark entry reads PERSISTED per-batch states with
+    * the first two batches compacted (persisted series + merged `-1`
+    * prefix), so a missed batch write, a corrupted compaction, or a
+    * drifted estimate all flip the hash. The `k - 1` / `k` literals in
+    * the estimate CTEs interpolate from the SAME `k` the entry passes —
+    * the parameter coupling is structural, not copy-pasted.
+    */
+  private def noveltyOracle(n: Int, k: Int): String = {
+    def est(alias: String) =
+      s"""COALESCE(CAST(FLOOR(${k - 1} * CAST(4294967296 AS DOUBLE)
+         |      / (CASE WHEN COUNT(*) = $k THEN MAX(h) END)) AS BIGINT), COUNT(*)) AS $alias""".stripMargin
+    val states = (0 until n).map { b =>
+      s"""bs$b AS MATERIALIZED (SELECT lang, h FROM (
+         |    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+         |    FROM (SELECT DISTINCT lang, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+         |      FROM occ WHERE bid = $b)) WHERE rk <= $k)""".stripMargin
+    }
+    val prefixes = (0 until n).map {
+      case 0 => "pf0 AS (SELECT lang, h FROM bs0 WHERE FALSE)"
+      case 1 => "pf1 AS (SELECT lang, h FROM bs0)"
+      case b =>
+        s"""pf$b AS MATERIALIZED (SELECT lang, h FROM (
+           |    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+           |    FROM (SELECT DISTINCT lang, h FROM
+           |      (SELECT * FROM pf${b - 1} UNION ALL SELECT * FROM bs${b - 1})))
+           |  WHERE rk <= $k)""".stripMargin
+    }
+    val outs = (0 until n).map { b =>
+      s"""mg$b AS (SELECT lang, h FROM (
+         |    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+         |    FROM (SELECT DISTINCT lang, h FROM
+         |      (SELECT * FROM pf$b UNION ALL SELECT * FROM bs$b))) WHERE rk <= $k),
+         |eo$b AS (SELECT lang, ${est("est_old")} FROM pf$b GROUP BY lang),
+         |en$b AS (SELECT lang, ${est("est_new")} FROM bs$b GROUP BY lang),
+         |eu$b AS (SELECT lang, ${est("est_union")} FROM mg$b GROUP BY lang),
+         |kb$b AS (SELECT mg$b.lang, COUNT(*) AS n_kept,
+         |    SUM(CASE WHEN o.in_old = 1 AND nw.in_new = 1 THEN 1 ELSE 0 END) AS k_both
+         |  FROM mg$b
+         |  LEFT JOIN (SELECT lang, h, 1 AS in_old FROM pf$b) o
+         |    ON mg$b.lang = o.lang AND mg$b.h = o.h
+         |  LEFT JOIN (SELECT lang, h, 1 AS in_new FROM bs$b) nw
+         |    ON mg$b.lang = nw.lang AND mg$b.h = nw.h
+         |  GROUP BY 1),
+         |out$b AS (SELECT eu$b.lang,
+         |  CAST(COALESCE(est_old, 0) AS BIGINT) AS est_old,
+         |  CAST(COALESCE(est_new, 0) AS BIGINT) AS est_new, est_union,
+         |  CAST(k_both * est_union // n_kept AS BIGINT) AS est_inter,
+         |  CASE WHEN COALESCE(est_new, 0) > 0
+         |    THEN LEAST(CAST(1000000 AS BIGINT),
+         |      CAST(GREATEST(0, 1000000 * (est_union - COALESCE(est_old, 0)))
+         |        // est_new AS BIGINT))
+         |    ELSE CAST(0 AS BIGINT) END AS novelty_ppm,
+         |  CAST($b AS BIGINT) AS batch_id
+         |FROM eu$b LEFT JOIN eo$b USING (lang) LEFT JOIN en$b USING (lang)
+         |  JOIN kb$b ON kb$b.lang = eu$b.lang)""".stripMargin
+    }
+    val union = (0 until n).map(b => s"SELECT * FROM out$b").mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT doc_id % $n AS bid, lang, string_split(text, ' ') AS l
+       |    FROM documents),
+       |occ AS (SELECT bid, lang, unnest(CASE WHEN len(l) >= 3
+       |    THEN list_transform(range(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+       |    ELSE []::VARCHAR[] END) AS g
+       |  FROM d),
+       |${states.mkString(",\n")},
+       |${prefixes.mkString(",\n")},
+       |${outs.mkString(",\n")}
+       |SELECT * FROM ($union) ORDER BY batch_id, lang""".stripMargin
+  }
+
+  /** The normed-embeddings CTE every vector oracle starts from. */
+  private val EmbNormCte: String =
+    """e AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  /** Unrolled SQL replay of `Similarity.ivfCentroids` — the quantized
+    * two-round Lloyd trainer (the bpe_learn unrolled-training
+    * precedent, now for the vector side): seeds are the k lowest
+    * vec_ids; each round assigns every vector to its max-cosine
+    * centroid (raw-double dot fold, ties to the HIGHEST cid — the
+    * max(struct) contract) and recomputes centroids as the exact
+    * integer micro-unit mean `floor(sum(floor(x·1e6))/cnt)/1e6` cast
+    * to REAL. Because the Spark side accumulates through the exact
+    * `vec_sum_long` aggregate, both engines produce bit-identical
+    * centroid floats. Expects `e` (EmbNormCte); ends in
+    * `cents(cid, cvec, cnorm)`.
+    */
+  private def ivfTrainCte(k: Int): String = {
+    val rounds = (1 to 2).map { i =>
+      s"""aa$i AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS rk
+         |    FROM (SELECT e.vec_id, c.cid,
+         |        list_reduce(list_transform(range(1, 65),
+         |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+         |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+         |      FROM e, cc${i - 1} c)) WHERE rk = 1),
+         |uu$i AS MATERIALIZED (
+         |  SELECT a.cid, CAST(t.k AS INTEGER) AS pos,
+         |    SUM(q.qe[CAST(t.k AS INTEGER)]) AS s, COUNT(*) AS cnt
+         |  FROM aa$i a JOIN qv q USING (vec_id), range(1, 65) t(k)
+         |  GROUP BY 1, 2),
+         |cc$i AS MATERIALIZED (
+         |  SELECT cid, cvec,
+         |    sqrt(list_reduce(list_transform(cvec,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS cnorm
+         |  FROM (SELECT cid,
+         |      list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) / 1000000.0 AS REAL) ORDER BY pos) AS cvec
+         |    FROM uu$i GROUP BY cid))""".stripMargin
+    }.mkString(",\n")
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+       |  FROM e),
+       |seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+       |cc0 AS MATERIALIZED (
+       |  SELECT s.cid, e.embedding AS cvec, e.norm AS cnorm FROM seeds s JOIN e USING (vec_id)),
+       |$rounds,
+       |cents AS (SELECT cid, cvec, cnorm FROM cc2)""".stripMargin
+  }
+
+  /** Unrolled SQL replay of `Similarity.pqTrain` — the 8-subspace PQ
+    * codebook trainer: unit-normalize, slice into 8-dim subvectors,
+    * seed from the `PqCodes` lowest vec_ids, two
+    * Lloyd rounds of argmin-by-L2 assignment (raw-double folds, ties to
+    * the LOWEST code — the min(struct) contract) + exact micro-unit
+    * integer cell means, then the final encoding pass. Expects `e`;
+    * ends in `bk(sub, code, cv)` and `cd(vec_id, codes)`.
+    */
+  private def pqTrainCte(): String = {
+    val subs = graft.sim.Similarity.PqSubs
+    val dim = graft.sim.Similarity.PqSubDim
+    val codes = graft.sim.Similarity.PqCodes
+    def assignCte(name: String, book: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+         |    FROM (SELECT s.vec_id, s.sub, b.code,
+         |        list_reduce(list_transform(range(1, ${dim + 1}),
+         |          k -> CAST(b.cv[k] AS DOUBLE) * CAST(b.cv[k] AS DOUBLE)), (x, y) -> x + y)
+         |        - 2.0 * list_reduce(list_transform(range(1, ${dim + 1}),
+         |          k -> CAST(s.sv[k] AS DOUBLE) * CAST(b.cv[k] AS DOUBLE)), (x, y) -> x + y) AS d2
+         |      FROM sb s JOIN $book b ON b.sub = s.sub)) WHERE rk = 1)""".stripMargin
+    val rounds = (1 to 2).map { i =>
+      s"""${assignCte(s"pa$i", s"bb${i - 1}")},
+         |pu$i AS MATERIALIZED (
+         |  SELECT a.sub, a.code, CAST(t.k AS INTEGER) AS pos,
+         |    SUM(q.qsv[CAST(t.k AS INTEGER)]) AS s, COUNT(*) AS cnt
+         |  FROM pa$i a JOIN qsb q ON q.vec_id = a.vec_id AND q.sub = a.sub,
+         |    range(1, ${dim + 1}) t(k)
+         |  GROUP BY 1, 2, 3),
+         |bb$i AS MATERIALIZED (
+         |  SELECT sub, code,
+         |    list(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) / 1000000.0 AS REAL) ORDER BY pos) AS cv
+         |  FROM pu$i GROUP BY sub, code)""".stripMargin
+    }.mkString(",\n")
+    s"""un AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS REAL)) AS unit
+       |  FROM e),
+       |sb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.k AS INTEGER) AS sub,
+       |    list_slice(unit, CAST(t.k AS INTEGER) * $dim + 1, CAST(t.k AS INTEGER) * $dim + $dim) AS sv
+       |  FROM un, range(0, $subs) t(k)),
+       |qsb AS MATERIALIZED (
+       |  SELECT vec_id, sub,
+       |    list_transform(sv, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qsv
+       |  FROM sb),
+       |pseeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $codes)),
+       |bb0 AS MATERIALIZED (
+       |  SELECT sb.sub, p.code, sb.sv AS cv FROM sb JOIN pseeds p USING (vec_id)),
+       |$rounds,
+       |${assignCte("pa3", "bb2")},
+       |cd AS MATERIALIZED (
+       |  SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY sub) AS codes
+       |  FROM pa3 GROUP BY vec_id),
+       |bk AS (SELECT sub, code, cv FROM bb2)""".stripMargin
+  }
+
+  /** The exact-rerank tail shared by the ANN query oracles: score a
+    * `(q_id, n_id)` candidate CTE with the rounded-cosine contract and
+    * rank top-5 per query (the cosine_topk fold; the exactTop5 twin).
+    */
+  private def exactTop5Sql(candCte: String): String =
+    s"""s AS (
+       |  SELECT $candCte.q_id, $candCte.n_id,
+       |    round(list_reduce(list_transform(range(1, 65),
+       |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+       |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+       |  FROM $candCte
+       |  JOIN e a ON a.vec_id = $candCte.q_id
+       |  JOIN e b ON b.vec_id = $candCte.n_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
+       |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** The `(p, k1, s)` sparse hyperplane-weight literal for the LSH
+    * oracle — `Vectors.planeWeight`'s fixed ±1 matrix with 1-based
+    * dimension indices, one row per NONZERO weight (the Spark
+    * expression folds only nonzero terms, in dimension order). A plane
+    * with no nonzero weight (probability ~1e-8 per plane, but the
+    * oracle must be total) keeps a zero row so its bit still computes.
+    */
+  private def lshWeightValues(bands: Int, rows: Int): String = {
+    val triples = for {
+      p <- 0 until bands * rows
+      k <- 0 until 64
+      w = graft.sim.Vectors.planeWeight(p, k)
+      if w != 0.0
+    } yield s"($p,${k + 1},${if (w > 0) "1.0" else "-1.0"})"
+    val empties = (0 until bands * rows).filter(p =>
+      (0 until 64).forall(k => graft.sim.Vectors.planeWeight(p, k) == 0.0))
+    (triples ++ empties.map(p => s"($p,1,0.0)")).mkString(",")
+  }
 
   /** Shared by `dedup_incremental` and `dedup_incremental_indexed`:
     * the persisted-index gate is value-identical to the per-call gate.
@@ -1230,6 +1462,15 @@ object SparkEntry {
     // merged hashes present in both states), so union / intersection /
     // novelty ESTIMATES all hash-match — the only doubles are the two
     // FLOOR-ed estimate divisions the distinct_sketch contract pinned
+    // the per-batch novelty series replayed from the documents table
+    // (the gauge's persisted states + compaction are the Spark side)
+    "crawl_novelty" -> noveltyOracle(4, 256),
+    // NOTE: this oracle's 256 (rk <= 256 in so/sn/mg) and 255 (the
+    // (k-1) factor in eo/en/eu) literals pin TextOps.kmvOverlap's
+    // DEFAULT k = 256, which the registration above relies on. Change
+    // the Scala default or register with an explicit k and these
+    // literals must move with it — the hash gate fails opaquely
+    // otherwise (same coupling as distinct_sketch's).
     "kmv_overlap" ->
       """WITH d AS (SELECT lang, doc_id % 5 = 0 AS is_new,
         |    string_split(text, ' ') AS l FROM documents),
@@ -2218,6 +2459,196 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc6 DESC, n_id) AS rk FROM adc)
         |SELECT q_id, n_id, adc6, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // FULL training replay (the bpe_learn unrolled-rounds precedent on
+    // the vector side): quantized Lloyd seeds/rounds, top-2 inverted
+    // index, top-4 probe (raw-double cosine, cid-asc ties — the
+    // ivfSearch contract), candidate union, exact top-5
+    "ann_ivf" ->
+      s"""WITH $EmbNormCte,
+         |${ivfTrainCte(graft.sim.VectorIndexStore.IvfK)},
+         |idx AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS ark
+         |    FROM (SELECT e.vec_id, c.cid,
+         |        list_reduce(list_transform(range(1, 65),
+         |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+         |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+         |      FROM e, cents c)) WHERE ark <= 2),
+         |pr AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT q_id, cid, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) AS prk
+         |    FROM (SELECT e.vec_id AS q_id, c.cid,
+         |        list_reduce(list_transform(range(1, 65),
+         |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+         |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+         |      FROM e, cents c WHERE e.vec_id < 20)) WHERE prk <= 4),
+         |cand AS (
+         |  SELECT DISTINCT pr.q_id, idx.vec_id AS n_id
+         |  FROM pr JOIN idx ON idx.cid = pr.cid
+         |  WHERE idx.vec_id <> pr.q_id),
+         |${exactTop5Sql("cand")}""".stripMargin,
+    // coarse + PQ training replay, then the full IVF-PQ query path:
+    // per-query LUT, subspace-ordered ADC fold (raw double — the
+    // ivfPqSearch shortlist contract), corpus-scaled re-rank depth
+    // (GREATEST(100, n // 25) pins Similarity.PqRerank and the /25
+    // divisor), exact top-5 of the shortlist
+    "ann_ivf_pq" ->
+      s"""WITH $EmbNormCte,
+         |${ivfTrainCte(graft.sim.VectorIndexStore.IvfK)},
+         |${pqTrainCte()},
+         |idx AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS ark
+         |    FROM (SELECT e.vec_id, c.cid,
+         |        list_reduce(list_transform(range(1, 65),
+         |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+         |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+         |      FROM e, cents c)) WHERE ark <= 2),
+         |nn AS (SELECT COUNT(*) AS n FROM cd),
+         |pr AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT q_id, cid, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) AS prk
+         |    FROM (SELECT e.vec_id AS q_id, c.cid,
+         |        list_reduce(list_transform(range(1, 65),
+         |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+         |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+         |      FROM e, cents c WHERE e.vec_id < 20)) WHERE prk <= 4),
+         |cand AS (
+         |  SELECT DISTINCT pr.q_id, idx.vec_id AS n_id
+         |  FROM pr JOIN idx ON idx.cid = pr.cid
+         |  WHERE idx.vec_id <> pr.q_id),
+         |lut AS (SELECT qs.q_id, qs.sub, bk.code,
+         |    list_reduce(list_transform(range(1, 9),
+         |      k -> CAST(qs.qsv[k] AS DOUBLE) * CAST(bk.cv[k] AS DOUBLE)),
+         |      (x, y) -> x + y) AS contrib
+         |  FROM (SELECT vec_id AS q_id, sub, sv AS qsv FROM sb WHERE vec_id < 20) qs
+         |  JOIN bk ON bk.sub = qs.sub),
+         |adc AS (SELECT cand.q_id, cand.n_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(lut.contrib ORDER BY lut.sub)), (x, y) -> x + y) AS adcv
+         |  FROM cand
+         |  JOIN cd ON cd.vec_id = cand.n_id
+         |  JOIN lut ON lut.q_id = cand.q_id AND lut.code = cd.codes[lut.sub + 1]
+         |  GROUP BY cand.q_id, cand.n_id),
+         |short AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adcv DESC, n_id) AS ark FROM adc)
+         |  WHERE ark <= (SELECT GREATEST(100, n // 25) FROM nn)),
+         |${exactTop5Sql("short")}""".stripMargin,
+    // the same IVF-PQ query path replayed from the PERSISTED artifacts
+    // (ann_adc_rerank's sources plus meta) — raw-double probe and ADC
+    // ordering (the ivfPqSearch contract, vs probeCandidates' rounded
+    // ccos6), depth from the index metadata like the serving path
+    "ann_ivf_pq_indexed" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT cid, cvec, cnorm FROM '{{scratch:ivfpq}}/centroids/*.parquet'),
+        |l AS (SELECT cid, vec_id FROM '{{scratch:ivfpq}}/lists/*.parquet'),
+        |bk AS (SELECT sub, code, cv FROM '{{scratch:ivfpq}}/books/*.parquet'),
+        |cd AS (SELECT vec_id, codes FROM '{{scratch:ivfpq}}/codes/*.parquet'),
+        |nn AS (SELECT n FROM '{{scratch:ivfpq}}/meta/*.parquet'),
+        |pr AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT q_id, cid, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) AS prk
+        |    FROM (SELECT e.vec_id AS q_id, c.cid,
+        |        list_reduce(list_transform(range(1, 65),
+        |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+        |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+        |      FROM e, c WHERE e.vec_id < 20)) WHERE prk <= 4),
+        |cand AS (
+        |  SELECT DISTINCT pr.q_id, l.vec_id AS n_id
+        |  FROM pr JOIN l ON l.cid = pr.cid
+        |  WHERE l.vec_id <> pr.q_id),
+        |lut AS (SELECT qs.q_id, qs.sub, bk.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      k -> CAST(qs.qsv[k] AS DOUBLE) * CAST(bk.cv[k] AS DOUBLE)),
+        |      (x, y) -> x + y) AS contrib
+        |  FROM (SELECT vec_id AS q_id, CAST(t.k AS INTEGER) AS sub,
+        |      list_slice(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS REAL)),
+        |        CAST(t.k AS INTEGER) * 8 + 1, CAST(t.k AS INTEGER) * 8 + 8) AS qsv
+        |    FROM e, range(0, 8) t(k) WHERE vec_id < 20) qs
+        |  JOIN bk ON bk.sub = qs.sub),
+        |adc AS (SELECT cand.q_id, cand.n_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(lut.contrib ORDER BY lut.sub)), (x, y) -> x + y) AS adcv
+        |  FROM cand
+        |  JOIN cd ON cd.vec_id = cand.n_id
+        |  JOIN lut ON lut.q_id = cand.q_id AND lut.code = cd.codes[lut.sub + 1]
+        |  GROUP BY cand.q_id, cand.n_id),
+        |short AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adcv DESC, n_id) AS ark FROM adc)
+        |  WHERE ark <= (SELECT GREATEST(100, n // 25) FROM nn)),
+        |s AS (
+        |  SELECT short.q_id, short.n_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+        |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+        |  FROM short
+        |  JOIN e a ON a.vec_id = short.q_id
+        |  JOIN e b ON b.vec_id = short.n_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rk FROM s)
+        |SELECT q_id, n_id, cos6, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // hyperplane-LSH replay: the fixed sparse ±1 plane matrix is
+    // inlined as a VALUES literal; per-plane dots fold nonzero terms in
+    // dimension order exactly as the native expression does; bucket
+    // equality is joined on (band, code) — equivalent to the hashed
+    // bucket keys because the 256 (band, code) hash inputs are
+    // collision-free (spec-pinned in SimilaritySpec); the query side
+    // multi-probes its own code plus every 1-bit flip
+    "ann_lsh" ->
+      s"""WITH $EmbNormCte,
+         |w(p, k1, s) AS (VALUES ${lshWeightValues(16, 4)}),
+         |d AS MATERIALIZED (
+         |  SELECT e.vec_id, w.p,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(w.s * CAST(e.embedding[w.k1] AS DOUBLE) ORDER BY w.k1)),
+         |      (x, y) -> x + y) AS dot
+         |  FROM e, w GROUP BY e.vec_id, w.p),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+         |    CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (3 - CAST(p % 4 AS INTEGER)) ELSE 0 END) AS INTEGER) AS code
+         |  FROM d GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT vec_id AS q_id, band, xor(code, f.x) AS pcode
+         |  FROM codes, (VALUES (0),(1),(2),(4),(8)) f(x)
+         |  WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, c.vec_id AS n_id
+         |  FROM probes p JOIN codes c ON c.band = p.band AND c.code = p.pcode
+         |  WHERE c.vec_id <> p.q_id),
+         |${exactTop5Sql("cand")}""".stripMargin,
+    // SemDeDup candidate generation replayed from the SAME quantized
+    // Lloyd training CTE (k=16, top-3 multi-assignment — the
+    // dedupEmbeddingAnnFrom defaults), within-list pairs verified with
+    // the exact rounded cosine at the 0.35 threshold
+    "dedup_embedding_ann" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+         |  FROM embeddings
+         |  WHERE len(list_filter(embedding,
+         |    x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0),
+         |${ivfTrainCte(graft.sim.VectorIndexStore.IvfK)},
+         |m AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS ark
+         |    FROM (SELECT e.vec_id, c.cid,
+         |        list_reduce(list_transform(range(1, 65),
+         |          k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cvec[k] AS DOUBLE)),
+         |          (x, y) -> x + y) / (e.norm * c.cnorm) AS ccos
+         |      FROM e, cents c)) WHERE ark <= 3),
+         |mm AS (SELECT m.vec_id, m.cid, e.embedding, e.norm FROM m JOIN e USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_reduce(list_transform(range(1, 65),
+         |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)),
+         |      (x, y) -> x + y) / (a.norm * b.norm), 6) AS cos6
+         |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT DISTINCT vec_a, vec_b, cos6 FROM p WHERE cos6 >= 0.35""".stripMargin,
     // crawl-sync convergence gauge: re-derive top-2 assignment and
     // nearest-cell PQ encoding of the FULL corpus from the synced
     // artifact's frozen quantizers, then the same per-list rollup —

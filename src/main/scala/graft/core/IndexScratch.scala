@@ -33,6 +33,26 @@ object IndexScratch {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True when `path` holds at least one actual DATA file (recursive,
+    * skipping `_SUCCESS`/dot markers). `pathExists` is NOT enough for
+    * a partitioned parquet sink: a committed write whose transform
+    * produced zero rows leaves the directory with `_SUCCESS` and no
+    * part files, and `spark.read.parquet` on that THROWS ("unable to
+    * infer schema") instead of returning zero rows — so empty-state
+    * guards must probe for data files, not the directory.
+    */
+  def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
   /** Cheap content fingerprint of a source table directory: relative
     * paths, sizes, and mtimes of its data files, recursively
     * (hive-partitioned sources keep data in subdirectories — a

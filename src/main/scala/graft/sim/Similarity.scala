@@ -336,10 +336,10 @@ object Similarity {
     * full-vector `annIvf`), floor-pinned at 0.85 in SimilaritySpec and
     * ScaleRecallSpec.
     */
-  private[sim] val PqSubs = 8
-  private[sim] val PqSubDim = 8
-  private[sim] val PqCodes = 32
-  private val PqRerank = 100
+  private[graft] val PqSubs = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqCodes = 32
+  private[graft] val PqRerank = 100
 
   /** IVF-PQ ANN — the memory-bounded production configuration (the
     * third scale path beside hyperplane LSH and plain IVF): the IVF

@@ -326,37 +326,60 @@ object Streams {
     batchPartitionedSink(newDocs, statePath)(
       b => graft.text.TextOps.bottomK(graft.text.TextOps.shingleHashes(b), k))
 
+  /** Location of the PERSISTED novelty-series rows the compaction
+    * writes next to a gauge state — one convention so the compactor
+    * and the reader can never disagree on where history lives.
+    */
+  private[graft] def noveltySeriesPath(statePath: String): String =
+    statePath.stripSuffix("/") + "_series"
+
   /** The read side of [[crawlNoveltyGauge]]: fold the per-batch states
     * in batch order and emit each batch's per-language overlap row
     * against the fold of its predecessors (`TextOps.sketchOverlapFrom`
     * — est_old is the corpus-so-far, est_new the batch, novelty_ppm
-    * the planner's signal). Deterministic replay of the whole series
-    * from the partitioned states alone, so a redelivered batch can
-    * never corrupt history. The driver-side loop is over BATCH IDS
-    * (crawl cadence, not corpus size — the `cmsLoad` shape) and each
-    * fold is langs·k rows.
+    * the planner's signal). Deterministic replay of the series from
+    * the partitioned states, so a redelivered batch can never corrupt
+    * history. After [[crawlNoveltyCompact]] the compacted prefix's
+    * rows come from the persisted series and the fold resumes from the
+    * RESERVED batch `-1` merged state — the driver-side loop is
+    * O(batches since compaction), not O(all batches), and each fold is
+    * langs·k rows.
     */
   def crawlNoveltyRead(spark: org.apache.spark.sql.SparkSession,
       statePath: String, k: Int = 256): DataFrame = {
     // before the first non-empty micro-batch lands there is nothing to
-    // read — return the empty overlap frame instead of letting the
-    // parquet read throw (the distinctSketchGauge pathExists guard;
-    // also covers a state dir whose batches were all too short to
-    // shingle, which reads back zero rows)
+    // read — return the empty overlap frame. The guard probes for DATA
+    // files, not the directory: a committed batch whose docs were all
+    // too short to shingle leaves `_SUCCESS` with no part files, and
+    // spark.read.parquet on that THROWS ("unable to infer schema")
+    // rather than reading zero rows.
     def emptySeries: DataFrame = {
       import spark.implicits._
       val empty = Seq.empty[(String, Long)].toDF("lang", "h")
       graft.text.TextOps.sketchOverlapFrom(empty, empty, k)
         .withColumn("batch_id", lit(0L))
     }
-    if (!graft.core.IndexScratch.pathExists(spark, statePath)) return emptySeries
+    if (!graft.core.IndexScratch.hasDataFiles(spark, statePath)) return emptySeries
     val all = spark.read.parquet(statePath)
       .select(col("lang"), col("h"), col("batch_id").cast("long").as("batch_id"))
     val ids = all.select("batch_id").distinct()
       .orderBy("batch_id").collect().map(_.getLong(0))
     if (ids.isEmpty) return emptySeries
-    var acc: DataFrame = null
-    val outs = ids.map { id =>
+    // compacted prefix: its per-batch rows were persisted at compaction
+    // time; its merged sketch (batch -1) seeds the live fold
+    val seriesPath = noveltySeriesPath(statePath)
+    val persisted =
+      if (graft.core.IndexScratch.hasDataFiles(spark, seriesPath))
+        Some(spark.read.parquet(seriesPath)
+          .select(col("lang"), col("est_old"), col("est_new"),
+            col("est_union"), col("est_inter"), col("novelty_ppm"),
+            col("batch_id").cast("long").as("batch_id")))
+      else None
+    var acc: DataFrame =
+      if (ids.contains(-1L))
+        all.filter(col("batch_id") === -1L).select("lang", "h").materializeOnce()
+      else null
+    val outs = ids.filter(_ >= 0L).map { id =>
       val st = all.filter(col("batch_id") === id).select("lang", "h")
       val base = if (acc == null) st.limit(0) else acc
       val out = graft.text.TextOps.sketchOverlapFrom(base, st, k)
@@ -366,8 +389,120 @@ object Streams {
         else graft.text.TextOps.sketchMerge(acc, st, k).materializeOnce()
       out
     }
-    outs.reduce(_ unionByName _)
+    (persisted.toSeq ++ outs).reduceOption(_ unionByName _).getOrElse(emptySeries)
   }
+
+  /** COMPACTION for the crawl-novelty state — the documented
+    * "cmsCompact move" made real, shaped for a gauge whose read is a
+    * SERIES, not a single fold: batches strictly below `beforeBatch`
+    * fold into (a) their computed novelty rows, persisted under
+    * [[noveltySeriesPath]] (each in its own batch_id partition,
+    * dynamic overwrite — recompaction is idempotent), and (b) ONE
+    * merged prefix sketch under the RESERVED batch `-1` (micro-batch
+    * ids are nonnegative, so a future batch can never collide),
+    * swapped into the state via the staged rename so a concurrent
+    * reader never sees a mix. Set-union merge is associative and the
+    * persisted rows are exactly what the fold would have produced, so
+    * compacted-then-read equals read — exactly (spec-pinned).
+    *
+    * `beforeBatch` is the replay fence against a live stream (the
+    * cmsCompact contract): pass the committed-batch floor so a
+    * sink-written but uncommitted batch is never folded; the default
+    * compacts everything and is for quiesced states.
+    */
+  def crawlNoveltyCompact(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, k: Int = 256,
+      beforeBatch: Long = Long.MaxValue): Unit = {
+    if (!graft.core.IndexScratch.hasDataFiles(spark, statePath)) return
+    val all = spark.read.parquet(statePath)
+      .select(col("lang"), col("h"), col("batch_id").cast("long").as("batch_id"))
+      .materializeOnce() // pinned: the swap below rewrites what it read
+    val ids = all.select("batch_id").distinct()
+      .orderBy("batch_id").collect().map(_.getLong(0))
+    val fold = ids.filter(id => id >= 0L && id < beforeBatch)
+    if (fold.isEmpty) return
+    var acc: DataFrame =
+      if (ids.contains(-1L))
+        all.filter(col("batch_id") === -1L).select("lang", "h").materializeOnce()
+      else null
+    val rows = fold.map { id =>
+      val st = all.filter(col("batch_id") === id).select("lang", "h")
+      val base = if (acc == null) st.limit(0) else acc
+      val out = graft.text.TextOps.sketchOverlapFrom(base, st, k)
+        .withColumn("batch_id", lit(id))
+      acc =
+        if (acc == null) st.materializeOnce()
+        else graft.text.TextOps.sketchMerge(acc, st, k).materializeOnce()
+      out
+    }
+    // series rows first, state swap second: a crash between the two
+    // leaves the state untouched (rows are rewritten identically on
+    // retry — pure functions of the immutable batch partitions)
+    rows.reduce(_ unionByName _)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(noveltySeriesPath(statePath))
+    // an existing -1 prefix was folded into acc above; keep only the
+    // unfolded tail batches beside the refreshed merged prefix
+    val tail = all.filter(col("batch_id") >= 0L &&
+      col("batch_id") >= lit(beforeBatch))
+    graft.sinks.Sinks.swapRewrite(spark,
+      acc.withColumn("batch_id", lit(-1L)).unionByName(tail),
+      statePath, partitionCols = Seq("batch_id"))
+  }
+
+  /** Build-if-missing of the crawl-novelty verification artifact: the
+    * documents table split into four deterministic crawl batches
+    * (`doc_id % 4` plays the micro-batch cadence), each batch's
+    * bottom-k shingle state landed in its own `batch_id` partition
+    * (the [[crawlNoveltyGauge]] transform and sink options), then the
+    * first TWO batches compacted — so the persisted artifact holds the
+    * full lifecycle the production gauge reaches: persisted series
+    * rows + merged `-1` prefix + live tail batches, all read through
+    * one [[crawlNoveltyRead]] call and all under the hash gate (the
+    * oracle re-derives every batch's row from the documents table).
+    */
+  def ensureNoveltyStates(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 256): String = {
+    val base = graft.core.IndexScratch.scratchBase(dir, "novelty")
+    val statePath = s"$base/states"
+    graft.core.IndexScratch.ensureBuilt(base,
+      graft.core.IndexScratch.sourceFingerprint(spark, s"$dir/documents.parquet")) {
+      // a crashed previous attempt may have left partial state/series
+      // dirs; the build below only dynamic-overwrites matching
+      // partitions, so clear both for a clean rebuild
+      Seq(statePath, noveltySeriesPath(statePath)).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      val docs = graft.core.Tables.documents(spark, dir)
+      (0 until 4).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(4)) === b)
+        graft.text.TextOps.bottomK(
+            graft.text.TextOps.shingleHashes(batch), k)
+          .withColumn("batch_id", lit(b.toLong))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+      }
+      crawlNoveltyCompact(spark, statePath, k, beforeBatch = 2L)
+    }
+    statePath
+  }
+
+  /** Query-entry form of the crawl-novelty series over the persisted
+    * artifact of [[ensureNoveltyStates]] — per (batch, language), the
+    * corpus-so-far / batch / union / intersection estimates and the
+    * novelty share a crawl planner watches batch over batch. Sorted
+    * for readable diffs (batches × langs rows — bounded).
+    */
+  def crawlNovelty(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    crawlNoveltyRead(spark, ensureNoveltyStates(spark, dir))
+      .orderBy("batch_id", "lang")
 
   /** Streaming HEAVY-HITTER (Count-Min) gauge — the frequency member
     * of the sketch-gauge family. Counters merge by ADDITION, which is

@@ -857,6 +857,17 @@ class SimilaritySpec extends SparkSpec {
     assert(gauge.map(_.getAs[Long]("n_members")).sum == 2L * upstream.size)
   }
 
+  test("lsh bucket keys are collision-free over all 256 (band, code) inputs") {
+    // the ann_lsh oracle joins candidates on (band, code) instead of the
+    // hashed bucket key; that is equivalent iff no two of the 16 bands ×
+    // 16 codes hash to the same bucket — a FIXED, enumerable property of
+    // the engine's xxhash64 chain, pinned here
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val buckets = for (b <- 0 until 16; code <- 0 until 16)
+      yield XXH64.hashInt(code, XXH64.hashInt(b, 42L))
+    assert(buckets.distinct.size == 256)
+  }
+
   test("quantized Lloyd training is partition-order independent (hash-gate prerequisite)") {
     // the property the training-replay oracles rest on: with the
     // micro-unit integer mean, centroids/books/codes are pure functions

@@ -310,6 +310,50 @@ class StreamsSpec extends SparkSpec {
     // the replayed batch 2 == batch 1's data against a fold that already
     // contains it: est_union == est_old, so novelty reads 0
     assert(byBatch(2L).forall(_.getAs[Long]("novelty_ppm") == 0L))
+
+    // COMPACTION: folding a prefix must not change the series one bit —
+    // persisted rows replace the fold for batches < 2, the merged -1
+    // state seeds the tail, and read cost drops to O(tail)
+    def series(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("est_old"), r.getAs[Long]("est_new"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_inter"),
+        r.getAs[Long]("novelty_ppm"))).sorted.toSeq
+    val before = series(Streams.crawlNoveltyRead(spark, statePath, k = 64))
+    Streams.crawlNoveltyCompact(spark, statePath, k = 64, beforeBatch = 2L)
+    val partsAfter = spark.read.parquet(statePath)
+      .select("batch_id").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    assert(partsAfter == Set(-1L, 2L),
+      s"compaction should leave the merged prefix + tail, got $partsAfter")
+    assert(series(Streams.crawlNoveltyRead(spark, statePath, k = 64)) == before)
+    // recompaction folds the remaining tail into the prefix; the series
+    // is then served entirely from persisted rows — still identical
+    Streams.crawlNoveltyCompact(spark, statePath, k = 64)
+    assert(series(Streams.crawlNoveltyRead(spark, statePath, k = 64)) == before)
+    // and a no-op compact (nothing below the fence) leaves it alone
+    Streams.crawlNoveltyCompact(spark, statePath, k = 64, beforeBatch = 0L)
+    assert(series(Streams.crawlNoveltyRead(spark, statePath, k = 64)) == before)
+  }
+
+  test("crawlNoveltyRead survives a committed batch with zero shingle rows") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("noveltyempty")
+      .resolve("state").toString
+    val stream = MemoryStream[(String, String)](spark)
+    val query = Streams.crawlNoveltyGauge(
+      stream.toDS().toDF("lang", "text"), statePath, k = 64)
+    try {
+      // every doc under 3 tokens: the batch is non-empty, so the sink
+      // fires, but the transform emits zero rows — the partitioned
+      // write leaves _SUCCESS with no part files, and a bare
+      // spark.read.parquet on that path THROWS; the read guard must
+      // report the empty series instead
+      stream.addData(Seq(("de", "zu kurz"), ("en", "hi")))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(Streams.crawlNoveltyRead(spark, statePath, k = 64).collect().isEmpty)
   }
 
   test("decisionAppendGate streams crawl batches into the decision store, replay-safe") {
