@@ -195,6 +195,9 @@ object Bench {
         ("spaninc",
           anyWanted("span_trim_incremental"),
           () => graft.dedup.SpanIndexStore.ensureSpanIndex(spark, sfDir)),
+        ("chunkstore",
+          anyWanted("mm_chunk_cdc_incremental"),
+          () => graft.multimodal.ChunkStore.ensureChunkStore(spark, sfDir)),
         ("bpedrift",
           anyWanted("model_drift_stats"),
           () => graft.text.Drift.ensureDriftModel(spark, sfDir)),

@@ -194,6 +194,8 @@ object SparkEntry {
     "mm_chunk_dedup"  -> (Multimodal.mmChunkDedup _),
     "mm_chunk_cdc"    -> (Multimodal.mmChunkCdc _),
     "mm_chunk_cdc_dedup" -> (Multimodal.mmChunkCdcDedup _),
+    "mm_chunk_cdc_incremental" ->
+      (graft.multimodal.ChunkStore.mmChunkCdcIncremental _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_meta"         -> (Multimodal.mmMeta _)
   )
@@ -403,6 +405,49 @@ object SparkEntry {
        |${outs.mkString(",\n")}
        |SELECT * FROM ($union) ORDER BY batch_id, lang""".stripMargin
   }
+
+  /** The CDC storage-dedup full-scan recompute, shared VERBATIM by
+    * `mm_chunk_cdc_dedup` (the per-call entry) and
+    * `mm_chunk_cdc_incremental` (the batch-built persisted store): the
+    * CDC boundary replay (mm_chunk_cdc's CTE) feeding the
+    * content-addressed rollup (mm_chunk_dedup's tail). One string so
+    * neither rule can drift from its twin — and so "incremental equals
+    * recompute" is checked against literally the same oracle.
+    */
+  private val CdcDedupOracle: String =
+    """WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents
+      |  WHERE length(text) > 0),
+      |c AS (SELECT doc_id, source, text, n,
+      |  list_filter(range(16, n + 1), i ->
+      |    list_reduce(list_transform(range(i - 15, i + 1),
+      |      j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+      |      (a, x) -> (a * 257 + x) % 1000000007) % 64 = 0) AS cuts
+      |  FROM d),
+      |seg AS (SELECT doc_id, source, text,
+      |  list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+      |  list_append(cuts, CAST(n AS BIGINT)) AS ends
+      |  FROM c),
+      |ex AS (SELECT doc_id, source, text,
+      |  unnest(list_transform(range(1, len(starts) + 1),
+      |    q -> struct_pack(s := starts[q], e := ends[q]))) AS seg
+      |  FROM seg),
+      |cc AS (SELECT source,
+      |    CAST(seg.e - seg.s AS BIGINT) AS chunk_bytes,
+      |    md5(substr(text, CAST(seg.s + 1 AS INT), CAST(seg.e - seg.s AS INT))) AS chunk_md5
+      |  FROM ex WHERE seg.e > seg.s),
+      |tot AS (SELECT source, COUNT(*) AS n_chunks,
+      |          SUM(chunk_bytes) AS total_bytes
+      |        FROM cc GROUP BY 1),
+      |un AS (SELECT source, COUNT(*) AS n_unique_chunks,
+      |         SUM(chunk_bytes) AS unique_bytes
+      |       FROM (SELECT DISTINCT source, chunk_md5, chunk_bytes FROM cc)
+      |       GROUP BY 1)
+      |SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(n_unique_chunks AS BIGINT) AS n_unique_chunks,
+      |  CAST(total_bytes AS BIGINT) AS total_bytes,
+      |  CAST(unique_bytes AS BIGINT) AS unique_bytes,
+      |  CAST((1000000 * unique_bytes) // total_bytes AS BIGINT) AS unique_ppm
+      |FROM tot JOIN un USING (source) ORDER BY source""".stripMargin
 
   /** The normed-embeddings CTE every vector oracle starts from. */
   private val EmbNormCte: String =
@@ -2929,40 +2974,12 @@ object SparkEntry {
     // the CDC boundary replay (mm_chunk_cdc's CTE) feeding the
     // content-addressed rollup (mm_chunk_dedup's tail) — one oracle per
     // half, composed, so neither rule can drift from its twin
-    "mm_chunk_cdc_dedup" ->
-      """WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents
-        |  WHERE length(text) > 0),
-        |c AS (SELECT doc_id, source, text, n,
-        |  list_filter(range(16, n + 1), i ->
-        |    list_reduce(list_transform(range(i - 15, i + 1),
-        |      j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
-        |      (a, x) -> (a * 257 + x) % 1000000007) % 64 = 0) AS cuts
-        |  FROM d),
-        |seg AS (SELECT doc_id, source, text,
-        |  list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
-        |  list_append(cuts, CAST(n AS BIGINT)) AS ends
-        |  FROM c),
-        |ex AS (SELECT doc_id, source, text,
-        |  unnest(list_transform(range(1, len(starts) + 1),
-        |    q -> struct_pack(s := starts[q], e := ends[q]))) AS seg
-        |  FROM seg),
-        |cc AS (SELECT source,
-        |    CAST(seg.e - seg.s AS BIGINT) AS chunk_bytes,
-        |    md5(substr(text, CAST(seg.s + 1 AS INT), CAST(seg.e - seg.s AS INT))) AS chunk_md5
-        |  FROM ex WHERE seg.e > seg.s),
-        |tot AS (SELECT source, COUNT(*) AS n_chunks,
-        |          SUM(chunk_bytes) AS total_bytes
-        |        FROM cc GROUP BY 1),
-        |un AS (SELECT source, COUNT(*) AS n_unique_chunks,
-        |         SUM(chunk_bytes) AS unique_bytes
-        |       FROM (SELECT DISTINCT source, chunk_md5, chunk_bytes FROM cc)
-        |       GROUP BY 1)
-        |SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks,
-        |  CAST(n_unique_chunks AS BIGINT) AS n_unique_chunks,
-        |  CAST(total_bytes AS BIGINT) AS total_bytes,
-        |  CAST(unique_bytes AS BIGINT) AS unique_bytes,
-        |  CAST((1000000 * unique_bytes) // total_bytes AS BIGINT) AS unique_ppm
-        |FROM tot JOIN un USING (source) ORDER BY source""".stripMargin,
+    "mm_chunk_cdc_dedup" -> CdcDedupOracle,
+    // the SAME full-scan recompute verifies the batch-built store: the
+    // incremental construction (build + append + content-addressed
+    // digest dedup) must be indistinguishable from chunking the whole
+    // corpus at once
+    "mm_chunk_cdc_incremental" -> CdcDedupOracle,
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n_bytes FROM documents),
         |ch AS (SELECT doc_id, text, n_bytes,
