@@ -67,6 +67,25 @@ object Components {
     *         lbl = smallest node id in the component
     */
   def minLabels(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val symFull = e.select(col("src").as("doc_id"), col("dst").as("root"))
+      .union(e.select(col("dst").as("doc_id"), col("src").as("root")))
+      .filter(col("doc_id") =!= col("root"))
+    minLabelsSym(symFull, e, cleanup = () => { e.unpersist(); () })
+  }
+
+  /** [[minLabels]] over a PRE-SYMMETRIZED neighbour frame `(doc_id,
+    * root)` plus the one-direction edge view `once (src, dst)` — the
+    * entry the persisted pair graph feeds directly: when `symFull`
+    * reads a table BUCKETED by `doc_id` (`Dedup.verifiedPairsSymCached`),
+    * round 0's |E|-sized min-neighbour aggregation — the one
+    * edge-count-proportional exchange in the cluster family — needs NO
+    * shuffle at all; everything after it is forest/label-sized.
+    * `cleanup` runs once the round-0 frames are pinned (the wrapper's
+    * unpersist hook).
+    */
+  private[graft] def minLabelsSym(symFull: DataFrame, once: DataFrame,
+      cleanup: () => Unit = () => ()): DataFrame = {
     // Round 0 splits the work by what each side is good at:
     // - l0 = min(v, min neighbour) streams the FULL edge set through one
     //   aggregation without materializing it — on dense graphs (8.9M
@@ -79,14 +98,10 @@ object Components {
     //   (localForest — node-bounded, connectivity-exact), so the
     //   relabel+distinct and every later round touch at most
     //   nodes-per-partition edges, not |E|.
-    val e = edges.select(col("src"), col("dst")).persist()
-    val symFull = e.select(col("src").as("doc_id"), col("dst").as("root"))
-      .union(e.select(col("dst").as("doc_id"), col("src").as("root")))
-      .filter(col("doc_id") =!= col("root"))
     val l0 = symFull.groupBy("doc_id").agg(min("root").as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
       .materializeOnce(eager = true)
-    val forest = localForest(e).materializeOnce(eager = true)
+    val forest = localForest(once).materializeOnce(eager = true)
     val sym0 = forest.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(forest.select(col("dst").as("doc_id"), col("src").as("root")))
       .filter(col("doc_id") =!= col("root"))
@@ -114,7 +129,7 @@ object Components {
       .filter(col("doc_id") =!= col("root"))
       .distinct()
       .materializeOnce(eager = true)
-    e.unpersist()
+    cleanup()
     var labels = l0
     var converged = sym.limit(1).count() == 0
     var iter = 0
