@@ -198,6 +198,12 @@ object Bench {
         ("chunkstore",
           anyWanted("mm_chunk_cdc_incremental"),
           () => graft.multimodal.ChunkStore.ensureChunkStore(spark, sfDir)),
+        ("kmvstates",
+          anyWanted("kmv_overlap_indexed"),
+          () => graft.text.TextOps.ensureKmvStates(spark, sfDir)),
+        ("novelty",
+          anyWanted("crawl_novelty"),
+          () => graft.streaming.Streams.ensureNoveltyStates(spark, sfDir)),
         ("bpedrift",
           anyWanted("model_drift_stats"),
           () => graft.text.Drift.ensureDriftModel(spark, sfDir)),

@@ -83,6 +83,8 @@ object SparkEntry {
     "token_freq" -> (TextOps.tokenFreq _),
     "distinct_sketch" -> ((s: SparkSession, d: String) => TextOps.distinctSketch(s, d)),
     "kmv_overlap" -> ((s: SparkSession, d: String) => TextOps.kmvOverlap(s, d)),
+    "kmv_overlap_indexed" ->
+      ((s: SparkSession, d: String) => TextOps.kmvOverlapIndexed(s, d)),
     "crawl_novelty" -> (graft.streaming.Streams.crawlNovelty _),
     // k=32 so the 500-doc test corpora exercise REAL truncation (every
     // lang stratum outnumbers the sample); production default is 256
@@ -448,6 +450,62 @@ object SparkEntry {
       |  CAST(unique_bytes AS BIGINT) AS unique_bytes,
       |  CAST((1000000 * unique_bytes) // total_bytes AS BIGINT) AS unique_ppm
       |FROM tot JOIN un USING (source) ORDER BY source""".stripMargin
+
+  /** The rail-free crawl-overlap oracle: re-derives BOTH persisted
+    * sketch states from the documents table (old corpus vs the
+    * `doc_id % 5 == 0` crawl — the kmv_overlap split), replays the
+    * bottom-k merge, and recomputes every estimate — so the entry's
+    * two-scan plan is verified against an independent recompute of the
+    * states it reads. `k`/`k-1` literals interpolate from the SAME `k`
+    * the entry passes (the noveltyOracle coupling pattern).
+    */
+  private def kmvIndexedOracle(k: Int): String = {
+    def est(alias: String) =
+      s"""COALESCE(CAST(FLOOR(${k - 1} * CAST(4294967296 AS DOUBLE)
+         |      / (CASE WHEN COUNT(*) = $k THEN MAX(h) END)) AS BIGINT), COUNT(*)) AS $alias""".stripMargin
+    s"""WITH d AS (SELECT lang, doc_id % 5 = 0 AS is_new,
+       |    string_split(text, ' ') AS l FROM documents),
+       |occ AS (SELECT lang, is_new, unnest(CASE WHEN len(l) >= 3
+       |    THEN list_transform(range(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+       |    ELSE []::VARCHAR[] END) AS g
+       |  FROM d),
+       |hs AS (SELECT DISTINCT lang, is_new,
+       |    ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM occ),
+       |so AS (SELECT lang, h FROM (SELECT lang, h,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+       |    FROM hs WHERE NOT is_new) WHERE rk <= $k),
+       |sn AS (SELECT lang, h FROM (SELECT lang, h,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+       |    FROM hs WHERE is_new) WHERE rk <= $k),
+       |mg AS (SELECT lang, h FROM (SELECT lang, h,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+       |    FROM (SELECT DISTINCT lang, h FROM
+       |      (SELECT * FROM so UNION ALL SELECT * FROM sn))) WHERE rk <= $k),
+       |eo AS (SELECT lang, ${est("est_old")} FROM so GROUP BY lang),
+       |en AS (SELECT lang, ${est("est_new")} FROM sn GROUP BY lang),
+       |eu AS (SELECT lang, ${est("est_union")} FROM mg GROUP BY lang),
+       |kb AS (SELECT mg.lang, COUNT(*) AS n_kept,
+       |    SUM(CASE WHEN o.in_old = 1 AND n.in_new = 1 THEN 1 ELSE 0 END) AS k_both
+       |  FROM mg
+       |  LEFT JOIN (SELECT lang, h, 1 AS in_old FROM so) o
+       |    ON mg.lang = o.lang AND mg.h = o.h
+       |  LEFT JOIN (SELECT lang, h, 1 AS in_new FROM sn) n
+       |    ON mg.lang = n.lang AND mg.h = n.h
+       |  GROUP BY 1)
+       |SELECT eu.lang,
+       |  CAST(COALESCE(est_old, 0) AS BIGINT) AS est_old,
+       |  CAST(COALESCE(est_new, 0) AS BIGINT) AS est_new, est_union,
+       |  CAST(k_both * est_union // n_kept AS BIGINT) AS est_inter,
+       |  CASE WHEN COALESCE(est_new, 0) > 0
+       |    THEN LEAST(CAST(1000000 AS BIGINT),
+       |      CAST(GREATEST(0, 1000000 * (est_union - COALESCE(est_old, 0)))
+       |        // est_new AS BIGINT))
+       |    ELSE CAST(0 AS BIGINT) END AS novelty_ppm
+       |FROM eu LEFT JOIN eo USING (lang) LEFT JOIN en USING (lang)
+       |  JOIN kb ON kb.lang = eu.lang
+       |ORDER BY eu.lang""".stripMargin
+  }
 
   /** The normed-embeddings CTE every vector oracle starts from. */
   private val EmbNormCte: String =
@@ -1510,6 +1568,9 @@ object SparkEntry {
     // the per-batch novelty series replayed from the documents table
     // (the gauge's persisted states + compaction are the Spark side)
     "crawl_novelty" -> noveltyOracle(4, 256),
+    // the rail-free production overlap: states re-derived, merge and
+    // estimates replayed — k pinned by interpolation
+    "kmv_overlap_indexed" -> kmvIndexedOracle(256),
     // NOTE: this oracle's 256 (rk <= 256 in so/sn/mg) and 255 (the
     // (k-1) factor in eo/en/eu) literals pin TextOps.kmvOverlap's
     // DEFAULT k = 256, which the registration above relies on. Change

@@ -635,6 +635,51 @@ object TextOps {
       .orderBy("lang") // language-table-sized output: bounded sort
   }
 
+  /** Build-if-missing of the persisted crawl sketch STATES — the two
+    * langs·k bottom-k frames ([[kmvOverlap]]'s old-corpus / new-crawl
+    * split) written once per corpus fingerprint, as each crawl would
+    * persist its own. One shingle pass builds both; after that the
+    * production overlap gauge never touches the corpus again.
+    */
+  def ensureKmvStates(spark: SparkSession, dir: String, k: Int = 256): String = {
+    val base = graft.core.IndexScratch.scratchBase(dir, "kmvstates")
+    graft.core.IndexScratch.ensureBuilt(base,
+      graft.core.IndexScratch.sourceFingerprint(spark, s"$dir/documents.parquet")) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("lang"), col("text"), (col("doc_id") % 5 === 0).as("is_new"))
+      val hashes = shingleOccurrences(docs, Seq("lang", "is_new"))
+        .select(col("lang"), col("is_new"),
+          expr("CAST(CONV(SUBSTRING(md5(g), 1, 8), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+        .materializeOnce() // one shingle pass feeds both side states
+      bottomK(hashes.filter(!col("is_new")).select("lang", "h"), k)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/old")
+      bottomK(hashes.filter(col("is_new")).select("lang", "h"), k)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/new")
+    }
+    base
+  }
+
+  /** The RAIL-FREE production form of [[kmvOverlap]]: the overlap /
+    * novelty estimates computed from the two PERSISTED sketch states
+    * alone — the form a crawl planner actually calls (the exact rail
+    * exists to GRADE the estimator and dominates the benched entry's
+    * cost: it pays the vocabulary-grain distinct the sketch avoids).
+    * Plan shape: two langs·k parquet scans, then bounded-frame math —
+    * no corpus access at all (the `curation_report_indexed` pattern).
+    * Hash-gated: the oracle re-derives both states from the documents
+    * table and replays the bottom-k merge and every estimate, so a
+    * stale or corrupted persisted state flips the hash.
+    */
+  def kmvOverlapIndexed(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvOverlapIndexed needs k >= 2, got $k")
+    val base = ensureKmvStates(spark, dir, k)
+    sketchOverlapFrom(
+      spark.read.parquet(s"$base/old"),
+      spark.read.parquet(s"$base/new"), k)
+      .orderBy("lang") // language-table-sized output: bounded sort
+  }
+
   /** Set-operation estimates from two sketch STATES alone — no corpus
     * access, every frame langs·k rows: the form [[kmvOverlap]] joins
     * its exact rail onto, and the streaming crawl-novelty gauge
