@@ -19,8 +19,10 @@ class DecisionStoreSpec extends SparkSpec {
     assert(!plan.contains("ngram_hash_set"), s"$name re-plans decontamination:\n$plan")
     // the scan is the persisted decision table (the readers here
     // aggregate, so the doc_id bucket layout is legitimately unused —
-    // it exists for per-doc audit joins)
-    assert(plan.contains("graft-index-v1-decisions"),
+    // it exists for per-doc audit joins). Match the scratch location
+    // WITHOUT its version segment — the version bumps whenever a store
+    // layout changes, and this assertion is about WHICH table is read
+    assert(plan.contains("-decisions-"),
       s"$name not reading the persisted decision table:\n$plan")
   }
 
