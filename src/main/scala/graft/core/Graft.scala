@@ -29,6 +29,21 @@ object Graft {
       // unbounded aggregations (per-document collect_list at corpus
       // grain).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // let AQE coalesce INSIDE cached plans too: the conservative
+      // default freezes a cached frame's final shuffle at the static
+      // partition count, so every consumer of a small cached frame
+      // (pagerank's edge list, read 5× per query) pays a full-width
+      // task wave per read regardless of its size
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // NOTE: lowering spark.sql.adaptive.coalescePartitions.
+      // minPartitionSize (64k) was measured and REJECTED: it spread
+      // every small exchange across many tiny tasks and the scheduling
+      // overhead showed up as sys/user jumping 0.10 → 0.35 with every
+      // timed entry slower. CPU-dense narrow frames that AQE's byte
+      // model under-parallelizes are fixed at their use sites with
+      // explicit-count repartitions instead (cooccur_pmi, the LSH band
+      // pack, search_doc) — surgical width where the CPU is, default
+      // coalescing everywhere else.
       // InferFiltersFromGenerate clones the generator's input expression
       // into an inferred size()>0 filter; with wide unrolled projections
       // (LSH banding) that triples a multi-thousand-node expression in

@@ -482,9 +482,16 @@ object Curate {
     * absent (consumers left-join and coalesce flagged to 0).
     */
   def repetitionStatsDocs(docs: DataFrame): DataFrame = {
+    // doc_id pre-partition (explicit count): hash(doc_id) satisfies the
+    // (doc_id, gram) clustering, so BOTH aggregations below run in-stage
+    // after one exchange of compact doc rows — the per-occurrence gram
+    // stream never shuffles (fewer bytes at every scale), and the gram
+    // explode+hash CPU leaves the (locally single-task) scan stage
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .filter(size(col("l")) >= 2)
+      .repartition(np, col("doc_id"))
     val g = d.select(col("doc_id"),
       explode(expr(
         """transform(sequence(1, size(l) - 1),

@@ -623,10 +623,11 @@ case class LshPackedBands(child: Expression, bands: Int, rows: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // per-JVM memo, not per-instance: see LshBandBuckets.sparse — the
+  // expression object is deserialized per task, so an instance-level
+  // lazy val rebuilds this 6 MB table on every task
   @transient private lazy val weights: Array[Double] =
-    Array.tabulate(bands * rows * 64) { idx =>
-      graft.sim.Vectors.planeWeight(idx / 64, idx % 64)
-    }
+    LshPackedBands.denseWeights(bands, rows)
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
@@ -680,6 +681,22 @@ case class LshPackedBands(child: Expression, bands: Int, rows: Int)
     copy(child = newChild)
 }
 
+object LshPackedBands {
+  /** JVM-wide memo of the dense plane-weight table per (bands, rows) —
+    * the flat layout the codegen path walks (see LshBandBuckets for the
+    * per-task-rebuild rationale).
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private[functions] def denseWeights(bands: Int, rows: Int): Array[Double] =
+    weightCache.computeIfAbsent((bands, rows), { key =>
+      Array.tabulate(key._1 * key._2 * 64) { idx =>
+        graft.sim.Vectors.planeWeight(idx / 64, idx % 64)
+      }
+    })
+}
+
 /** Hashed hyperplane-LSH band bucket keys in ONE fused pass:
   * bucket_b = xxhash64(b, code_b) where code_b is LshPackedBands' packed
   * sign code — bit-identical to Spark's `xxhash64(b, element_at(packed,
@@ -713,25 +730,16 @@ case class LshBandBuckets(child: Expression, bands: Int, rows: Int,
     * site).
     * Flat arrays with a prefix-offset index keep the walk cache-linear.
     */
-  @transient private lazy val sparse: (Array[Int], Array[Int], Array[Double]) = {
-    val planes = bands * rows
-    val off = new Array[Int](planes + 1)
-    val idx = Array.newBuilder[Int]
-    val sgn = Array.newBuilder[Double]
-    var p = 0
-    var nnz = 0
-    while (p < planes) {
-      var k = 0
-      while (k < 64) {
-        val w = graft.sim.Vectors.planeWeight(p, k)
-        if (w != 0.0) { idx += k; sgn += w; nnz += 1 }
-        k += 1
-      }
-      p += 1
-      off(p) = nnz
-    }
-    (off, idx.result(), sgn.result())
-  }
+  // per-JVM, not per-instance: the expression object rides the task
+  // binary, so a @transient lazy val here is rebuilt by EVERY task —
+  // ~80 ms of plane-table construction that dwarfs the per-partition
+  // banding work once the input is spread over many tasks (measured:
+  // the 32-task banding stage spent 97.8 CPU-s where the 1-task one
+  // spent 1.3 s — all setup). The table is a pure function of
+  // (bands, rows), so all tasks (and all queries in a session) share
+  // one copy through the companion's memo.
+  @transient private lazy val sparse: (Array[Int], Array[Int], Array[Double]) =
+    LshBandBuckets.sparsePlanes(bands, rows)
 
   private def compute(x: ArrayData): GenericArrayData = {
     val (off, idx, sgn) = sparse
@@ -784,6 +792,39 @@ case class LshBandBuckets(child: Expression, bands: Int, rows: Int,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object LshBandBuckets {
+  /** JVM-wide memo of the Achlioptas-sparse plane table per
+    * (bands, rows) geometry — see the `sparse` field note. Determinism:
+    * the table is a pure function of the key, so concurrent builders
+    * race only on who inserts the identical value.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+      (Array[Int], Array[Int], Array[Double])]()
+
+  private[functions] def sparsePlanes(bands: Int,
+      rows: Int): (Array[Int], Array[Int], Array[Double]) =
+    planeCache.computeIfAbsent((bands, rows), { key =>
+      val planes = key._1 * key._2
+      val off = new Array[Int](planes + 1)
+      val idx = Array.newBuilder[Int]
+      val sgn = Array.newBuilder[Double]
+      var p = 0
+      var nnz = 0
+      while (p < planes) {
+        var k = 0
+        while (k < 64) {
+          val w = graft.sim.Vectors.planeWeight(p, k)
+          if (w != 0.0) { idx += k; sgn += w; nnz += 1 }
+          k += 1
+        }
+        p += 1
+        off(p) = nnz
+      }
+      (off, idx.result(), sgn.result())
+    })
 }
 
 /** Word n-gram hashed set: tokens → sorted, distinct 64-bit hashes of

@@ -52,9 +52,14 @@ object Graph {
   def pagerankPpm(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    // pin the trade relation: the two union branches below (and deg and
+    // the edge join after them) would each re-run the fact-table join +
+    // distinct — measured as the edge build's scan and distinct-read
+    // stages both executing twice per run
     val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+      .materializeOnce()
     val e = trade.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
       .union(trade.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))

@@ -31,7 +31,15 @@ object Indexing {
     val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     val revenue = col("l_extendedprice").cast("decimal(12,2)") *
       (lit(1) - col("l_discount").cast("decimal(8,6)"))
-    li.groupBy(col("l_orderkey"))
+    // pre-partition by the group key with an EXPLICIT count: the
+    // collect_list/collect_set partial state IS the data, so map-side
+    // aggregation saves nothing here — the shuffle moves the same bytes
+    // either way — while the explicit exchange lifts the list-building
+    // CPU out of the scan stage (single-row-group inputs cap it at one
+    // task per file) and AQE cannot byte-coalesce it back down
+    val np = spark.sessionState.conf.numShufflePartitions
+    li.repartition(np, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(
         // serialized (comma-joined) so the driver's row hasher can compare
         // it against the oracle — raw array columns are unhashable there
@@ -67,7 +75,15 @@ object Indexing {
     val concepts = Tables.part(spark, dir)
       .groupBy(split(col("p_name"), " ").getItem(0).as("word"))
       .agg(min(col("p_partkey")).as("concept_id"))
+    // pre-partition the compact doc rows by doc_id (explicit count):
+    // posexplode and the broadcast join preserve the partitioning, so
+    // the reassembly aggregation needs no exchange of the exploded
+    // token stream — the shuffle carries each document once instead of
+    // once per token, and the explode CPU leaves the (one-task on
+    // single-row-group inputs) scan stage
+    val np = spark.sessionState.conf.numShufflePartitions
     val toks = Tables.documents(spark, dir)
+      .repartition(np, col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     toks
       .join(broadcast(concepts), col("tok") === col("word"), "left")

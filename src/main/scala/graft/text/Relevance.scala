@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.MatOps
 import graft.core.Tables
 import graft.functions.GraftFunctions
 
@@ -39,10 +40,22 @@ object Relevance {
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
+    // doc_id pre-partition (see rarityModel): the tf aggregation AND the
+    // downstream per-doc ranking window both cluster on doc_id, so after
+    // this one compact-doc exchange (plus the broadcast idf join in
+    // tfidfTail) the whole scoring plan runs in-stage
+    val np = spark.sessionState.conf.numShufflePartitions
+    // pinned: tfidfTail reads tf for BOTH the idf table and the scored
+    // stream — unpinned, the tokenize+aggregate subtree would run once
+    // per consumer (the old plan shared it through ReuseExchange; the
+    // pin keeps that exactly-once property now that the consumers no
+    // longer share an exchange shape)
     val tf = docs
+      .repartition(np, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
+      .materializeOnce(eager = true)
     tfidfTail(tf, docs.agg(count(lit(1)).as("n_docs")))
   }
 
@@ -54,14 +67,22 @@ object Relevance {
     * the same oracle.
     */
   private[graft] def tfidfTail(tf: DataFrame, totals: DataFrame): DataFrame = {
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    import graft.core.Materialize.MatOps
     // corpus size as a 1-row frame; the SingleRowCrossToEquiJoin rule
-    // plans the crossJoin as a BroadcastHashJoin (see graft.plans)
+    // plans the crossJoin as a BroadcastHashJoin (see graft.plans).
+    // The vocabulary-sized idf table is pinned and, under the measured
+    // cap, broadcast — the (doc, token, tf) stream then never shuffles
+    // for the join and keeps its doc_id clustering for the ranking
+    // window (the lmScoreFrom idiom); past the cap the shuffle join
+    // stays as it was
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("df"),
+        expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm"))
+      .materializeOnce(eager = true)
+    val idfSide = if (idf.count() <= 2000000L) broadcast(idf) else idf
     val scored = tf
-      .join(df.crossJoin(broadcast(totals))
-        .select(col("token"), col("df"),
-          expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm")),
-        "token")
+      .join(idfSide, "token")
       .withColumn("score", col("tf") * col("idf_ppm"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
@@ -193,7 +214,16 @@ object Relevance {
     * quantizers, one gate up).
     */
   def rarityModel(docs: DataFrame): DataFrame = {
+    // pre-partition the compact doc rows by doc_id (explicit count):
+    // hash(doc_id) satisfies the (doc_id, token) clustering, so the
+    // first aggregation runs in-stage on the exploded stream and the
+    // only token-grain exchange moves the per-doc DISTINCT tokens —
+    // strictly fewer bytes than shuffling every occurrence, at every
+    // scale (and the explode CPU leaves the scan stage, which
+    // single-row-group local inputs cap at one task)
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val df = docs
+      .repartition(np, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
@@ -214,11 +244,25 @@ object Relevance {
     * changes nothing, so the per-dir output is value-identical.
     */
   def rarityScoreFrom(docs: DataFrame, idf: DataFrame): DataFrame = {
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // doc_id pre-partition: the tf aggregation runs in-stage (see
+    // rarityModel) and, when the vocabulary-sized idf table fits the
+    // measured broadcast cap, the scoring join and the per-doc rollup
+    // run there too — one compact-doc exchange for the whole gate
     val tf = docs
+      .repartition(np, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val scored = tf.join(idf, "token")
+    // pin before measuring: the count and the join must not each
+    // re-run the model subtree (vocabulary-sized — the pin is cheap)
+    val idfPinned = {
+      import graft.core.Materialize.MatOps
+      idf.materializeOnce(eager = true)
+    }
+    val idfRows = idfPinned.count()
+    val idfSide = if (idfRows <= 2000000L) broadcast(idfPinned) else idfPinned
+    val scored = tf.join(idfSide, "token")
       .groupBy("doc_id")
       .agg(
         sum(col("tf")).as("n_tokens"),
@@ -263,7 +307,13 @@ object Relevance {
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    val (pairCounts, ctxCounts) = lmModel(docs)
+    // the MODEL branch aggregates at (w1, w2) grain — doc locality buys
+    // it nothing, so it takes the guarded scan spread (no-op at
+    // production layouts); the SCORING branch gets raw docs because
+    // lmScoreFrom pre-partitions by doc_id itself (a spread here would
+    // just add a second exchange under that one)
+    val (pairCounts, ctxCounts) = lmModel(
+      graft.core.Adaptive.spreadScan(spark, docs, dir, "documents"))
     lmScoreFrom(docs, pairCounts, ctxCounts)
   }
 
@@ -284,9 +334,18 @@ object Relevance {
     * (see [[rarityModel]] for the frozen-model contract).
     */
   def lmModel(docs: DataFrame): (DataFrame, DataFrame) = {
-    val big = bigrams(docs)
-    (big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
-      big.groupBy("w1").agg(count(lit(1)).as("c1")))
+    import graft.core.Materialize.MatOps
+    // ONE bigram explode for both tables: c1 (bigram count by context)
+    // is exactly the row-sum of c12 over w2 — deriving it from the
+    // pinned pair table drops a second full corpus explode+aggregation
+    // at every scale. The pair table is Zipf-bounded (vocabulary²
+    // worst case, far smaller in practice), so the pin is cheap and
+    // both its consumers (the derivation here, the scoring join) read
+    // the materialized copy.
+    val pairCounts = bigrams(docs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .materializeOnce(eager = true)
+    (pairCounts, pairCounts.groupBy("w1").agg(sum(col("c12")).as("c1")))
   }
 
   /** [[lmScore]] over an arbitrary `(doc_id, text)` frame against a
@@ -297,9 +356,24 @@ object Relevance {
     */
   def lmScoreFrom(docs: DataFrame, pairCounts: DataFrame,
       ctxCounts: DataFrame): DataFrame = {
-    val scored = bigrams(docs)
-      .join(pairCounts, Seq("w1", "w2"))
-      .join(ctxCounts, Seq("w1"))
+    val spark = docs.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    // measured-size broadcast choice (the pagerank/Components idiom):
+    // under the cap the model tables ship to every task and the bigram
+    // stream never shuffles for the joins — combined with the explicit
+    // doc_id pre-partition below, the WHOLE scoring path runs in one
+    // stage after one compact-doc exchange (the stream previously
+    // shuffled twice at (w1,w2)/(w1) grain and once more at doc_id).
+    // Past the cap (an open-vocabulary 100 TB corpus can have a pair
+    // table too big to ship) the shuffle joins stay as they were.
+    val modelRows = pairCounts.count()
+    def modelSide(df: DataFrame): DataFrame =
+      if (modelRows <= 2000000L) broadcast(df) else df
+    val scored = docs
+      .repartition(np, col("doc_id"))
+      .transform(bigrams)
+      .join(modelSide(pairCounts), Seq("w1", "w2"))
+      .join(modelSide(ctxCounts), Seq("w1"))
       .withColumn("cond_ppm", expr("CAST((1000000 * c12) DIV c1 AS BIGINT)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("mass"))
@@ -352,7 +426,17 @@ object Relevance {
     // semi-join (the K-bounded side builds) before pair generation
     val kept = df.orderBy(col("n").desc, col("token")).limit(vocabCap)
       .select("token")
-    val d = d0.select(col("doc_id"), explode(col("t")).as("token"))
+    // pre-partition the COMPACT array rows by doc_id with an EXPLICIT
+    // count: explode and the broadcast join preserve the partitioning,
+    // so the collect_list aggregation needs no exchange of the exploded
+    // token stream (fewer shuffled bytes than the agg's own exchange
+    // carried), and the quadratic pair explode below runs at session
+    // width instead of whatever AQE's byte-based coalescing leaves
+    // (measured: 1.4 s of pair generation on ONE task — the byte model
+    // cannot see CPU density)
+    val np = spark.sessionState.conf.numShufflePartitions
+    val d = d0.repartition(np, col("doc_id"))
+      .select(col("doc_id"), explode(col("t")).as("token"))
       .join(broadcast(kept), "token")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("token"))).as("t"))

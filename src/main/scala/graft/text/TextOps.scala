@@ -173,7 +173,12 @@ object TextOps {
     * the keep/drop gate of a corpus-curation pass. One projection.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    qualityScoreDocs(Tables.documents(spark, dir))
+    // the gate is a pure projection (no exchange of its own), so the
+    // higher-order-function token filters — interpreted, not codegen —
+    // run wherever the scan runs; spread when the layout caps the scan
+    // below session width (exact no-op at production input sizes)
+    qualityScoreDocs(graft.core.Adaptive.spreadScan(spark,
+      Tables.documents(spark, dir), dir, "documents"))
 
   /** [[qualityScore]] over an arbitrary `(doc_id, text)` frame — the
     * gate is per-doc and stateless, so batch scoring (the decision
@@ -456,7 +461,12 @@ object TextOps {
     */
   def distinctSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"distinctSketch needs k >= 2, got $k")
-    val hashes = shingleHashes(Tables.documents(spark, dir))
+    // spread the doc scan before the CPU-dense shingle+md5 explode —
+    // single-row-group inputs otherwise serialize it onto one core
+    // (exact no-op once the scan's own splits reach session width)
+    val hashes = shingleHashes(
+      graft.core.Adaptive.spreadScan(spark,
+        Tables.documents(spark, dir), dir, "documents"))
       .materializeOnce() // one shingle pass feeds the sketch AND the rail
     val exact = hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
     exact.join(sketchEstimate(bottomK(hashes, k), k), "lang")
@@ -604,7 +614,9 @@ object TextOps {
     */
   def kmvOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvOverlap needs k >= 2, got $k")
-    val docs = Tables.documents(spark, dir)
+    // spread before the shingle+md5 explode (see distinctSketch)
+    val docs = graft.core.Adaptive.spreadScan(spark,
+        Tables.documents(spark, dir), dir, "documents")
       .select(col("lang"), col("text"), (col("doc_id") % 5 === 0).as("is_new"))
     // one shingle pass; per-(lang, hash) side flags feed the two side
     // states AND the exact rail without a second corpus scan
@@ -947,7 +959,12 @@ object TextOps {
   def heavyHitters(spark: SparkSession, dir: String,
       topN: Int = 8): DataFrame = {
     require(topN >= 1, s"heavyHitters needs topN >= 1, got $topN")
-    val occ = shingleOccurrences(Tables.documents(spark, dir))
+    // spread before the shingle explode AND the downstream CMS build
+    // (both inherit the scan's single-task layout through the pin
+    // otherwise — measured 1.6 s of one-core md5+counter work)
+    val occ = shingleOccurrences(
+      graft.core.Adaptive.spreadScan(spark,
+        Tables.documents(spark, dir), dir, "documents"))
       .materializeOnce() // one shingle pass feeds the sketch AND the rail
     val exact = occ.groupBy("lang", "g").agg(count(lit(1)).as("n_exact"))
     val split = pmod(conv(substring(md5(col("g")), 1, 8), 16, 10)

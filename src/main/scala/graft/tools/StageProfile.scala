@@ -33,12 +33,21 @@ object StageProfile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val name = args.lift(1).getOrElse("q1_agg")
+    // comma-separated list: profile several entries in ONE JVM so a
+    // profiling sweep doesn't pay sbt+session startup per query
+    val names = args.lift(1).getOrElse("q1_agg").split(",").toSeq
     val runs = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = graft.core.Graft.session()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'; keys: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    names.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"unknown query '$n'; keys: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    names.foreach { name => profileOne(spark, sfDir, name, runs) }
+    spark.stop()
+  }
+
+  private def profileOne(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String, runs: Int): Unit = {
+    val fn = graft.SparkEntry.queries(name)
     val stages = mutable.LinkedHashMap.empty[Int, (Double, Agg)]
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -75,7 +84,11 @@ object StageProfile {
           val flag = if (a.tasks == 1 && dur > 1.0) "  <- SINGLE-TASK" else ""
           println(f"$dur%8.2f $sid%6d ${a.tasks}%6d ${a.cpuNs / 1e9}%8.1f ${a.inputRecords}%13d ${a.shuffleRecords}%13d$flag")
       }
+      // release the finished run's pins so back-to-back profiles don't
+      // cross-contaminate through cached blocks (the Bench idiom)
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
-    spark.stop()
   }
 }
