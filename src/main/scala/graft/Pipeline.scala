@@ -95,28 +95,57 @@ object Pipeline {
       graft.dedup.MinhashIndexStore.dedupClusterIndexed(spark, dir))
 
   private def curateGatesWith(spark: SparkSession, dir: String,
-      clusterVerdicts: DataFrame): CurationGates = {
+      clusterVerdicts: => DataFrame): CurationGates = {
     import graft.core.Materialize.MatOps
-    // quality verdict AND raw score off ONE pinned text scan — the
-    // report consumes q_keep, the scorecard (sourceReputation) consumes
-    // score; splitting them post-materialization keeps the report's
-    // output schema unchanged while the corpus text is read once
-    val q = graft.text.TextOps.qualityScore(spark, dir)
-      .select(col("doc_id"), col("keep").as("q_keep"), col("score"))
-      .materializeOnce()
-    CurationGates(
-      quality = q.select("doc_id", "q_keep"),
-      score = q.select("doc_id", "score"),
-      repetition = graft.curate.Curate.repetitionStats(spark, dir)
-        .select(col("doc_id"), col("flagged").as("rep_flagged")).materializeOnce(),
-      rarity = graft.text.Relevance.rarityScore(spark, dir)
-        .select(col("doc_id"), col("flagged").as("rare_flagged")).materializeOnce(),
-      lm = graft.text.Relevance.lmScore(spark, dir)
-        .select(col("doc_id"), col("flagged").as("lm_flagged")).materializeOnce(),
-      cluster = clusterVerdicts
-        .select(col("doc_id"), col("keep").as("dedup_keep")).materializeOnce(),
-      decon = graft.curate.Curate.decontaminate(spark, dir)
-        .select(col("doc_id"), col("contaminated")).materializeOnce())
+    // the gates are independent, and several run DRIVER-SEQUENCED work
+    // at construction time (the dedup chain's statistics actions and CC
+    // rounds, the lm/rarity model pins and their measured-broadcast
+    // counts) — built on one thread those jobs run back-to-back with
+    // the session mostly idle. Constructing them from a small thread
+    // pool overlaps those independent jobs (the guide's §2.6 move:
+    // actions are only sequential because the driver calls them
+    // sequentially); each gate's own plan is unchanged. Function
+    // registration happens up front so the threads never race the
+    // session catalog.
+    graft.functions.GraftFunctions.register(spark)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // quality verdict AND raw score off ONE pinned text scan — the
+      // report consumes q_keep, the scorecard (sourceReputation)
+      // consumes score; splitting them post-materialization keeps the
+      // report's output schema unchanged while the corpus text is read
+      // once
+      val qF = Future(graft.text.TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("keep").as("q_keep"), col("score"))
+        .materializeOnce(eager = true))
+      val repF = Future(graft.curate.Curate.repetitionStats(spark, dir)
+        .select(col("doc_id"), col("flagged").as("rep_flagged"))
+        .materializeOnce(eager = true))
+      val rareF = Future(graft.text.Relevance.rarityScore(spark, dir)
+        .select(col("doc_id"), col("flagged").as("rare_flagged"))
+        .materializeOnce(eager = true))
+      val lmF = Future(graft.text.Relevance.lmScore(spark, dir)
+        .select(col("doc_id"), col("flagged").as("lm_flagged"))
+        .materializeOnce(eager = true))
+      val clusterF = Future(clusterVerdicts
+        .select(col("doc_id"), col("keep").as("dedup_keep"))
+        .materializeOnce(eager = true))
+      val deconF = Future(graft.curate.Curate.decontaminate(spark, dir)
+        .select(col("doc_id"), col("contaminated"))
+        .materializeOnce(eager = true))
+      val q = Await.result(qF, Duration.Inf)
+      CurationGates(
+        quality = q.select("doc_id", "q_keep"),
+        score = q.select("doc_id", "score"),
+        repetition = Await.result(repF, Duration.Inf),
+        rarity = Await.result(rareF, Duration.Inf),
+        lm = Await.result(lmF, Duration.Inf),
+        cluster = Await.result(clusterF, Duration.Inf),
+        decon = Await.result(deconF, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** The full training-corpus curation flow, the published-pipeline

@@ -64,7 +64,11 @@ object Profile {
     * all output columns stay BIGINT.
     */
   def outlierStats(spark: SparkSession, dir: String): DataFrame =
-    outlierStatsOf(Tables.events(spark, dir), "event_type", "value")
+    // spread once; the stats and flag branches reference the SAME frame,
+    // so ReuseExchange keeps it one physical shuffle (no-op at
+    // production scan layouts — see Adaptive)
+    outlierStatsOf(graft.core.Adaptive.spreadScan(spark,
+      Tables.events(spark, dir), dir, "events"), "event_type", "value")
 
   /** `outlierStats` over an arbitrary frame: per `keyCol` stream, flag
     * `valueCol` rows beyond 2σ (2-decimal values assumed; see the query
@@ -102,7 +106,12 @@ object Profile {
 
   /** Query entry: full column profile of the orders table. */
   def profileStats(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    // one spread shared by all six per-column aggregations: the six
+    // subtrees reference the same frame, so ReuseExchange keeps it one
+    // physical shuffle and the partial distincts run at session width
+    // even on a one-row-group local file (no-op at production layouts)
+    val o = graft.core.Adaptive.spreadScan(spark,
+      Tables.orders(spark, dir), dir, "orders")
     Seq(
       profileOne(o, "o_orderkey", str),
       profileOne(o, "o_custkey", str),
