@@ -25,7 +25,11 @@ object Analytics {
     * aggregation on 6 groups — at 100 TB this is scan-bound, zero skew.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    // guarded spread: the chained-decimal partial aggregation otherwise
+    // runs at the scan's split count (one task per row group locally);
+    // an exact no-op once the scan reaches session width on its own
+    val l = graft.core.Adaptive.spreadScan(spark,
+      Tables.lineitem(spark, dir), dir, "lineitem")
     // Tight precisions keep the chained products exact (≤ 38 digits) in
     // both Spark and DuckDB; the intermediate cast to DECIMAL(20,4)
     // forces DuckDB onto int128 arithmetic for the second multiply.

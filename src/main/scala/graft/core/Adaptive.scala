@@ -58,4 +58,20 @@ object Adaptive {
     if (bytes < 0 || bytes >= maxSplit * np.toLong) df
     else df.repartition(np)
   }
+
+  /** Measured-size broadcast choice (the pagerank/Components idiom made
+    * reusable): pin the frame, count it, and mark it for broadcast when
+    * it fits — else return the pin for the planner's usual shuffle
+    * join. For frames that are BOUNDED by construction (vocabulary
+    * tables, duplicated-gram sets, model tables) the count is a cheap
+    * job over the pinned blocks; callers whose frame is corpus-sized
+    * must not use this.
+    */
+  def broadcastIfSmall(df: DataFrame, capRows: Long = 2000000L): DataFrame = {
+    import Materialize.MatOps
+    val pinned = df.materializeOnce(eager = true)
+    if (pinned.count() <= capRows)
+      org.apache.spark.sql.functions.broadcast(pinned)
+    else pinned
+  }
 }

@@ -528,7 +528,10 @@ object Curate {
     */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cells = Tables.documents(spark, dir)
+    // guarded spread: the tokenize-and-sum partial aggregation otherwise
+    // runs at the scan's split count (see Adaptive); no-op at scale
+    val cells = graft.core.Adaptive.spreadScan(spark,
+        Tables.documents(spark, dir), dir, "documents")
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("cell_tokens"))

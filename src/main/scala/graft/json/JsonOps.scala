@@ -23,7 +23,10 @@ object JsonOps {
     * inside WholeStageCodegen, scan-bound at 100 TB.
     */
   def jsonPropsExtract(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("event_type", "props")
+    // guarded spread: the JSON parse + distinct partial agg otherwise
+    // run at the scan's split count (see Adaptive) — no-op at scale
+    val ev = graft.core.Adaptive.spreadScan(spark,
+      Tables.events(spark, dir), dir, "events").select("event_type", "props")
     ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
       .agg(
@@ -43,7 +46,10 @@ object JsonOps {
     * this pattern class.
     */
   def inlineRefs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // guarded spread: regex extraction over full text, scan-bound —
+    // see Adaptive; no-op at production layouts
+    val docs = graft.core.Adaptive.spreadScan(spark,
+      Tables.documents(spark, dir), dir, "documents").select("doc_id", "text")
     docs
       .select(explode(
         expr("""regexp_extract_all(text, '\\b(scan|join|sort) (\\w+)', 0)"""
@@ -114,7 +120,13 @@ object JsonOps {
   def jsonNested(spark: SparkSession, dir: String): DataFrame = {
     val nestedSchema =
       "user_id BIGINT, events ARRAY<STRUCT<event_id: BIGINT, event_type: STRING, k: BIGINT>>"
+    // pre-partition by the group key (explicit count): the collect_list
+    // partial state is the data, so the exchange replaces the
+    // aggregation's own shuffle byte-for-byte while the JSON parse and
+    // list building leave the (locally one-task) scan stage
+    val np = spark.sessionState.conf.numShufflePartitions
     val docs = Tables.events(spark, dir)
+      .repartition(np, col("user_id"))
       .select(col("user_id"), col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("user_id"))

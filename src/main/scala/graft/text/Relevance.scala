@@ -75,12 +75,11 @@ object Relevance {
     // for the join and keeps its doc_id clustering for the ranking
     // window (the lmScoreFrom idiom); past the cap the shuffle join
     // stays as it was
-    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(totals))
-      .select(col("token"), col("df"),
-        expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm"))
-      .materializeOnce(eager = true)
-    val idfSide = if (idf.count() <= 2000000L) broadcast(idf) else idf
+    val idfSide = graft.core.Adaptive.broadcastIfSmall(
+      tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(totals))
+        .select(col("token"), col("df"),
+          expr("CAST((1000000 * n_docs) DIV df AS BIGINT)").as("idf_ppm")))
     val scored = tf
       .join(idfSide, "token")
       .withColumn("score", col("tf") * col("idf_ppm"))
@@ -254,14 +253,8 @@ object Relevance {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    // pin before measuring: the count and the join must not each
-    // re-run the model subtree (vocabulary-sized — the pin is cheap)
-    val idfPinned = {
-      import graft.core.Materialize.MatOps
-      idf.materializeOnce(eager = true)
-    }
-    val idfRows = idfPinned.count()
-    val idfSide = if (idfRows <= 2000000L) broadcast(idfPinned) else idfPinned
+    // pin-then-measure broadcast choice (vocabulary-sized model table)
+    val idfSide = graft.core.Adaptive.broadcastIfSmall(idf)
     val scored = tf.join(idfSide, "token")
       .groupBy("doc_id")
       .agg(
@@ -366,6 +359,10 @@ object Relevance {
     // shuffled twice at (w1,w2)/(w1) grain and once more at doc_id).
     // Past the cap (an open-vocabulary 100 TB corpus can have a pair
     // table too big to ship) the shuffle joins stay as they were.
+    // one measured count steers both model sides: pairCounts arrives
+    // pinned (lmModel) or as a persisted-table scan (the decision
+    // store), so the count is cheap, and ctxCounts is derived from the
+    // same pin — re-pinning either here would only add jobs
     val modelRows = pairCounts.count()
     def modelSide(df: DataFrame): DataFrame =
       if (modelRows <= 2000000L) broadcast(df) else df

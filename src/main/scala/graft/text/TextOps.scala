@@ -64,7 +64,11 @@ object TextOps {
       size(expr(s"filter(split(text, ' '), t -> array_contains($arrSql, t))"))
         .cast("long")
     }
-    val scored = Tables.documents(spark, dir)
+    // guarded spread: five interpreted higher-order-function filters per
+    // document — the scoring runs wherever the scan runs (see
+    // qualityScore); no-op at production layouts
+    val scored = graft.core.Adaptive.spreadScan(spark,
+        Tables.documents(spark, dir), dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
       .select(
         (col("doc_id") +: col("lang") +:
