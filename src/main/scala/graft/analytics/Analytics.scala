@@ -121,8 +121,14 @@ object Analytics {
     * is addition-order-independent.
     */
   def saltedEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
-    val dim = Tables.orders(spark, dir)
+    // guarded spreads: the salt projection (fact) and the dim partial
+    // aggregation otherwise run at the scans' split counts (one task
+    // per row group locally) — no-op at production layouts
+    val ev = graft.core.Adaptive.spreadScan(spark,
+      Tables.events(spark, dir), dir, "events")
+      .select("event_id", "user_id", "value")
+    val dim = graft.core.Adaptive.spreadScan(spark,
+      Tables.orders(spark, dir), dir, "orders")
       .groupBy(col("o_custkey").as("user_id"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
         .as("cust_spend"))
@@ -211,7 +217,10 @@ object Analytics {
     * integer division, so it matches DuckDB's date_trunc exactly.
     */
   def windowHourly(spark: SparkSession, dir: String): DataFrame =
-    windowHourlyOf(Tables.events(spark, dir))
+    // guarded spread: the pane partial aggregation otherwise runs at
+    // the scan's split count (see Adaptive); no-op at scale
+    windowHourlyOf(graft.core.Adaptive.spreadScan(spark,
+      Tables.events(spark, dir), dir, "events"))
 
   /** `windowHourly` over an arbitrary events frame (the `*Of` variant
     * the sliding/cohort rollups already have).
@@ -279,7 +288,10 @@ object Analytics {
     * float divide would corrupt bucket boundaries; see windowHourly).
     */
   def windowSliding(spark: SparkSession, dir: String): DataFrame =
-    windowSlidingOf(Tables.events(spark, dir))
+    // guarded spread: the membership explode + pane partial aggregation
+    // otherwise run at the scan's split count; no-op at scale
+    windowSlidingOf(graft.core.Adaptive.spreadScan(spark,
+      Tables.events(spark, dir), dir, "events"))
 
   /** `windowSliding` over an arbitrary events frame with configurable
     * geometry. `windowNs` must be a multiple of `slideNs` (that multiple
