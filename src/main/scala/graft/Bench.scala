@@ -65,9 +65,6 @@ object Bench {
       // unbounded aggregations (per-document collect_list at corpus
       // grain).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      // see graft.core.Graft: AQE may repartition cached plans (small
-      // cached frames stop paying full-width task waves per read)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // see graft.core.Graft: avoids Janino OOM on wide LSH projections
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")

@@ -29,12 +29,12 @@ object Graft {
       // unbounded aggregations (per-document collect_list at corpus
       // grain).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      // let AQE coalesce INSIDE cached plans too: the conservative
-      // default freezes a cached frame's final shuffle at the static
-      // partition count, so every consumer of a small cached frame
-      // (pagerank's edge list, read 5× per query) pays a full-width
-      // task wave per read regardless of its size
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+      // (true) was measured and REJECTED: it let AQE byte-coalesce the
+      // one cached frame in the engine — pagerank's CPU-dense edge
+      // list — down to ~1 partition at sf1 sizes, serializing every
+      // iteration's join (sf1 pagerank +1.7 s); the full-width cached
+      // layout it replaces is the behavior the iterated join wants.
       // NOTE: lowering spark.sql.adaptive.coalescePartitions.
       // minPartitionSize (64k) was measured and REJECTED: it spread
       // every small exchange across many tiny tasks and the scheduling

@@ -62,11 +62,21 @@ object Graph {
       .materializeOnce()
     val e = trade.select(col("c").as("src"), (col("s") + SuppOffset).as("dst"))
       .union(trade.select((col("s") + SuppOffset).as("src"), col("c").as("dst")))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edges = e.join(deg, "src").cache()
-    val nodes = edges.select(col("src")).distinct()
+    // node count BEFORE the edge build: it sizes the degree join too —
+    // the pin above truncates statistics, so without an explicit
+    // broadcast the node-sized degree frame would shuffle-join the edge
+    // list (measured at sf1: the edge cache rebuild went SMJ and each
+    // iteration re-paid it). Same measured gate as the rank side below.
+    val nodes = e.select(col("src")).distinct()
       .select(col("src").as("node"))
     val n = nodes.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val degSide = if (n <= 1000000L) broadcast(deg) else deg.hint("shuffle_hash")
+    // materializeOnce, not .cache(): the iteration reads this frame 5×
+    // and a CacheManager lookup that misses (plan canonicalization over
+    // the pinned trade relation) silently re-runs the whole edge build
+    // per round — the pin makes exactly-once materialization structural
+    val edges = e.join(degSide, "src").materializeOnce(eager = true)
     val init = Mass / n
     val base = (15L * init) / 100L
     // node count fixes the per-round join strategy (same adaptive move
