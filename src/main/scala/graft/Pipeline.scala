@@ -136,15 +136,23 @@ object Pipeline {
       val deconF = Future(graft.curate.Curate.decontaminate(spark, dir)
         .select(col("doc_id"), col("contaminated"))
         .materializeOnce(eager = true))
-      val q = Await.result(qF, Duration.Inf)
+      // one combined await: a failing gate rethrows immediately instead
+      // of after every earlier-ordered sibling; the catch interrupts the
+      // pool so the surviving gate threads stop submitting Spark jobs
+      // into whatever query runs next (pool.shutdown() alone would let
+      // them run to completion in the background)
+      val all = Future.sequence(Seq(qF, repF, rareF, lmF, clusterF, deconF))
+      val Seq(q, rep, rare, lm, cluster, decon) =
+        try Await.result(all, Duration.Inf)
+        catch { case e: Throwable => pool.shutdownNow(); throw e }
       CurationGates(
         quality = q.select("doc_id", "q_keep"),
         score = q.select("doc_id", "score"),
-        repetition = Await.result(repF, Duration.Inf),
-        rarity = Await.result(rareF, Duration.Inf),
-        lm = Await.result(lmF, Duration.Inf),
-        cluster = Await.result(clusterF, Duration.Inf),
-        decon = Await.result(deconF, Duration.Inf))
+        repetition = rep,
+        rarity = rare,
+        lm = lm,
+        cluster = cluster,
+        decon = decon)
     } finally pool.shutdown()
   }
 

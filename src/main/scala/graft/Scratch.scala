@@ -48,6 +48,59 @@ object Scratch {
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
       val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       time("final join")(clustered.join(sizes, "cluster").count())
+    } else if (args.lift(1).contains("pairmass")) {
+      // decomposition of the dedup verify floor: how many pairs the
+      // within-component grid walks, and how many a cheap exact
+      // prefilter (size compatibility / shared band bucket) admits
+      import graft.core.Materialize.MatOps
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(spark)
+      val docs = graft.core.Tables.documents(spark, dir)
+      val groups = docs.select(col("doc_id"),
+          array_sort(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("s"))
+        .groupBy("s").agg(min(col("doc_id")).as("rep"))
+        .materializeOnce(eager = true)
+      val sorted = groups.select(col("rep").as("doc_id"), col("s"))
+      println("[pairmass] n reps = " + sorted.count())
+      val banded = sorted.select(col("doc_id"),
+          explode(call_function("minhash_band_buckets", col("s"), lit(64))).as("bucket"))
+        .materializeOnce(eager = true)
+      val edges = banded
+        .withColumn("root", min(col("doc_id")).over(Window.partitionBy("bucket")))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("src"), col("root").as("dst"))
+      val labels = graft.dedup.Components.minLabels(edges).materializeOnce(eager = true)
+      val hist = labels.groupBy("lbl").agg(count(lit(1)).as("m")).materializeOnce(eager = true)
+      println("[pairmass] top components:")
+      hist.orderBy(desc("m")).limit(10).collect().foreach(r => println("  m=" + r))
+      println("[pairmass] sum C(m,2) = " +
+        hist.agg(sum(expr("m * (m - 1) / 2"))).first())
+      // size-compatible pair mass within components, via per-(comp, size)
+      // histograms (distinct sizes are few hundred, so the self-join is tiny)
+      val szh = sorted.select(col("doc_id"), size(col("s")).as("sz"))
+        .join(labels, "doc_id")
+        .groupBy("lbl", "sz").agg(count(lit(1)).as("c"))
+        .materializeOnce(eager = true)
+      val compat = szh.as("x").join(szh.as("y"),
+          col("x.lbl") === col("y.lbl") && col("x.sz") <= col("y.sz") &&
+            col("y.sz") <= lit(2) * col("x.sz"))
+        .select(when(col("x.sz") === col("y.sz"),
+            expr("x.c * (x.c - 1) / 2")).otherwise(expr("x.c * y.c")).as("p"))
+        .agg(sum(col("p"))).first()
+      println("[pairmass] size-compatible pairs = " + compat)
+      // distinct bucket-sharing (direct-candidate) pairs at rep grain:
+      // per-bucket pairs deduped — the exact set the walk must see
+      val direct = banded.as("a").join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("pa"), col("b.doc_id").as("pb"))
+        .distinct().count()
+      println("[pairmass] distinct bucket-sharing pairs = " + direct)
+      // verified true rep pairs (the merge-walk survivors)
+      val truePairs = graft.dedup.Dedup.minhashVerifiedPairs(
+          docs.select(col("doc_id"),
+            expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("s")))
+        .count()
+      println("[pairmass] verified doc pairs = " + truePairs)
     } else {
       time("warm q1")(graft.core.Tables.lineitem(spark, dir).count())
       time("dedup_minhash")(graft.dedup.Dedup.dedupMinhash(spark, dir).count())

@@ -43,12 +43,21 @@ object Adaptive {
       val p = new Path(s"$dir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.getContentSummary(p).getLength
-    } catch { case _: Throwable => -1L }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** Spread a just-scanned `table` frame to session width iff its
     * physical layout cannot reach that width (see object doc). `df`
     * must be the frame as read from `dir` — the stat and the scan must
-    * describe the same bytes.
+    * describe the same bytes (a caller-side name/path mismatch silently
+    * stats the wrong file: the spread then either stays off or fires
+    * bounded by the guard — never incorrect, only mistuned).
+    *
+    * Width proxy note: `numShufflePartitions` stands in for "session
+    * width". On a cluster with the default 200 partitions and a small
+    * table the spread fires at 200-way — bounded by the guard
+    * (≤ maxPartitionBytes × 200 shuffled bytes, each partition under
+    * one split) and still the right call: the table was too small to
+    * occupy the cluster any other way.
     */
   def spreadScan(spark: SparkSession, df: DataFrame, dir: String,
       table: String): DataFrame = {
@@ -59,6 +68,16 @@ object Adaptive {
     else df.repartition(np)
   }
 
+  /** The one measured-broadcast row cap, shared by [[broadcastIfSmall]]
+    * and the model-side gates that run their own count
+    * (Relevance.lmScoreFrom) — tuning one site must move the other.
+    * 2M narrow key→count rows is tens of MB framed: comfortably inside
+    * executor broadcast budgets, far under the 8 GB/512M-row hard cap.
+    * Callers must pass NARROW key-value frames (the row cap is a byte
+    * cap only under that contract).
+    */
+  val BroadcastCapRows: Long = 2000000L
+
   /** Measured-size broadcast choice (the pagerank/Components idiom made
     * reusable): pin the frame, count it, and mark it for broadcast when
     * it fits — else return the pin for the planner's usual shuffle
@@ -67,7 +86,7 @@ object Adaptive {
     * job over the pinned blocks; callers whose frame is corpus-sized
     * must not use this.
     */
-  def broadcastIfSmall(df: DataFrame, capRows: Long = 2000000L): DataFrame = {
+  def broadcastIfSmall(df: DataFrame, capRows: Long = BroadcastCapRows): DataFrame = {
     import Materialize.MatOps
     val pinned = df.materializeOnce(eager = true)
     if (pinned.count() <= capRows)

@@ -66,12 +66,13 @@ object Components {
     * @return (doc_id, lbl) for every node that appears in an edge;
     *         lbl = smallest node id in the component
     */
-  def minLabels(edges: DataFrame): DataFrame = {
+  def minLabels(edges: DataFrame, nodesHint: Long = -1L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     val symFull = e.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(e.select(col("dst").as("doc_id"), col("src").as("root")))
       .filter(col("doc_id") =!= col("root"))
-    minLabelsSym(symFull, e, cleanup = () => { e.unpersist(); () })
+    minLabelsSym(symFull, e, cleanup = () => { e.unpersist(); () },
+      nodesHint = nodesHint)
   }
 
   /** [[minLabels]] over a PRE-SYMMETRIZED neighbour frame `(doc_id,
@@ -82,10 +83,15 @@ object Components {
     * edge-count-proportional exchange in the cluster family — needs NO
     * shuffle at all; everything after it is forest/label-sized.
     * `cleanup` runs once the round-0 frames are pinned (the wrapper's
-    * unpersist hook).
+    * unpersist hook). `nodesHint` is an optional UPPER bound on the node
+    * count (any count the caller already paid for — e.g. the item count
+    * adaptivePairs takes for its grid sizing): the hint only steers the
+    * label-join strategy, and an upper bound errs toward shuffle-hash —
+    * never toward an oversized broadcast — so reusing it drops one
+    * driver-sequenced count job per CC call without risking the join.
     */
   private[graft] def minLabelsSym(symFull: DataFrame, once: DataFrame,
-      cleanup: () => Unit = () => ()): DataFrame = {
+      cleanup: () => Unit = () => (), nodesHint: Long = -1L): DataFrame = {
     // Round 0 splits the work by what each side is good at:
     // - l0 = min(v, min neighbour) streams the FULL edge set through one
     //   aggregation without materializing it — on dense graphs (8.9M
@@ -98,10 +104,19 @@ object Components {
     //   (localForest — node-bounded, connectivity-exact), so the
     //   relabel+distinct and every later round touch at most
     //   nodes-per-partition edges, not |E|.
+    // Round-0 frames pin LAZILY and the convergence probe is a full
+    // count(): one job materializes l0 (its own count below, when no
+    // hint), and one more materializes forest + the contracted sym —
+    // the eager-pin + limit-probe shape ran four driver-sequenced jobs
+    // for the same result (measured: the serial construction chain, not
+    // the verify stage, dominates the dedup family's wall at sf0.1).
+    // Full counts also guarantee every lazily-checkpointed partition is
+    // computed in one job — a limit(1) probe could leave a partial
+    // checkpoint for the next round to finish.
     val l0 = symFull.groupBy("doc_id").agg(min("root").as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("lbl"))
-      .materializeOnce(eager = true)
-    val forest = localForest(once).materializeOnce(eager = true)
+      .materializeOnce()
+    val forest = localForest(once).materializeOnce()
     val sym0 = forest.select(col("src").as("doc_id"), col("dst").as("root"))
       .union(forest.select(col("dst").as("doc_id"), col("src").as("root")))
       .filter(col("doc_id") =!= col("root"))
@@ -114,7 +129,7 @@ object Components {
     // 100 TB) the joins fall back to shuffle-hash — still sort-free,
     // which matters because the checkpointed frames have no stats and
     // the planner would otherwise sort-merge the full edge stream.
-    val nNodes = l0.count()
+    val nNodes = if (nodesHint >= 0L) nodesHint else l0.count()
     Decisions.record("cc.labelJoin",
       if (nNodes <= 1000000L) "broadcast" else "shuffle_hash",
       nNodes.toDouble, 1000000.0)
@@ -128,10 +143,12 @@ object Components {
       .select(col("la").as("doc_id"), col("lb").as("root"))
       .filter(col("doc_id") =!= col("root"))
       .distinct()
-      .materializeOnce(eager = true)
-    cleanup()
+      .materializeOnce()
     var labels = l0
-    var converged = sym.limit(1).count() == 0
+    // the probe materializes l0 + forest + sym in ONE job; cleanup only
+    // after it — the persisted edge view is read inside that job
+    var converged = sym.count() == 0
+    cleanup()
     var iter = 0
     while (!converged && iter < 64) {
       val viaEdges = sym
@@ -156,7 +173,7 @@ object Components {
         .filter(col("doc_id") =!= col("root"))
         .distinct()
         .materializeOnce()
-      converged = sym.limit(1).count() == 0
+      converged = sym.count() == 0
       labels = next
       iter += 1
     }
@@ -175,7 +192,7 @@ object Components {
         .select(col("doc_id"), col("lbl").as("old"),
           coalesce(col("mlbl"), col("lbl")).as("lbl"))
         .materializeOnce()
-      stable = j.filter(col("lbl") =!= col("old")).limit(1).count() == 0
+      stable = j.filter(col("lbl") =!= col("old")).count() == 0
       labels = j.drop("old")
       jumps += 1
     }

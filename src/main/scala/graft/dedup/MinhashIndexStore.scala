@@ -65,11 +65,18 @@ object MinhashIndexStore {
   /** Canonical distinct-set groups of a doc batch:
     * `(rep, s, members)` with `rep` the batch-min member id.
     */
-  private def groupsOf(docs: DataFrame): DataFrame =
+  private def groupsOf(docs: DataFrame): DataFrame = {
+    // width-pinned canonicalize (see Dedup.minhashVerifiedPairs): the
+    // explicit-count repartition replaces the agg's own exchange and
+    // keeps the pinned groups frame at session width instead of the
+    // single partition AQE byte-coalesces it to
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     signatures(docs)
+      .repartition(np, col("s"))
       .groupBy("s")
       .agg(min(col("doc_id")).as("rep"),
         collect_list(col("doc_id")).as("members"))
+  }
 
   private def banded(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"),

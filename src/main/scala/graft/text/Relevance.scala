@@ -365,7 +365,7 @@ object Relevance {
     // same pin — re-pinning either here would only add jobs
     val modelRows = pairCounts.count()
     def modelSide(df: DataFrame): DataFrame =
-      if (modelRows <= 2000000L) broadcast(df) else df
+      if (modelRows <= graft.core.Adaptive.BroadcastCapRows) broadcast(df) else df
     val scored = docs
       .repartition(np, col("doc_id"))
       .transform(bigrams)

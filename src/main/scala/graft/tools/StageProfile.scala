@@ -29,6 +29,7 @@ object StageProfile {
     var cpuNs = 0L
     var inputRecords = 0L
     var shuffleRecords = 0L
+    var name = ""
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,6 +56,7 @@ object StageProfile {
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
         stages.synchronized {
           val a = stages.getOrElseUpdate(si.stageId, (dur, new Agg))._2
+          a.name = si.name.takeWhile(_ != '\n').take(60)
           stages(si.stageId) = (dur, a)
         }
       }
@@ -82,7 +84,7 @@ object StageProfile {
       stages.synchronized(stages.toSeq).sortBy(-_._2._1).take(15).foreach {
         case (sid, (dur, a)) =>
           val flag = if (a.tasks == 1 && dur > 1.0) "  <- SINGLE-TASK" else ""
-          println(f"$dur%8.2f $sid%6d ${a.tasks}%6d ${a.cpuNs / 1e9}%8.1f ${a.inputRecords}%13d ${a.shuffleRecords}%13d$flag")
+          println(f"$dur%8.2f $sid%6d ${a.tasks}%6d ${a.cpuNs / 1e9}%8.1f ${a.inputRecords}%13d ${a.shuffleRecords}%13d  ${a.name}$flag")
       }
       // release the finished run's pins so back-to-back profiles don't
       // cross-contaminate through cached blocks (the Bench idiom)
