@@ -111,9 +111,20 @@ object Pii {
       "c_custkey", "card")
     // no global ORDER BY — corpus-sized output; the driver compare is order-insensitive
 
-  /** Query entry: redacted contact card + redaction count. */
+  /** Query entry: redacted contact card + redaction count.
+    *
+    * Guarded spread on the scan: the three `regexp_replace` + three
+    * `regexp_count` evaluations are the most regex-dense projection in
+    * the suite (profiled 2.1 CPU-s on ONE task at sf0.1 — the scan's
+    * single row group caps the stage at one core), so this is the M1
+    * input-skew shape; exact no-op at production scan layouts.
+    * `piiStats` (half the regex work, sub-0.3 s) deliberately keeps the
+    * plain zero-exchange scan.
+    */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedactOver(
-      Tables.customer(spark, dir).select(col("c_custkey"), contactCard.as("card")),
+      graft.core.Adaptive.spreadScan(spark, Tables.customer(spark, dir),
+          dir, "customer")
+        .select(col("c_custkey"), contactCard.as("card")),
       "c_custkey", "card")
 }

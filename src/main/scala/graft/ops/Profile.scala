@@ -67,8 +67,7 @@ object Profile {
     // spread once; the stats and flag branches reference the SAME frame,
     // so ReuseExchange keeps it one physical shuffle (no-op at
     // production scan layouts — see Adaptive)
-    outlierStatsOf(graft.core.Adaptive.spreadScan(spark,
-      Tables.events(spark, dir), dir, "events"), "event_type", "value")
+    outlierStatsOf(Tables.events(spark, dir), "event_type", "value")
 
   /** `outlierStats` over an arbitrary frame: per `keyCol` stream, flag
     * `valueCol` rows beyond 2σ (2-decimal values assumed; see the query
@@ -110,8 +109,7 @@ object Profile {
     // subtrees reference the same frame, so ReuseExchange keeps it one
     // physical shuffle and the partial distincts run at session width
     // even on a one-row-group local file (no-op at production layouts)
-    val o = graft.core.Adaptive.spreadScan(spark,
-      Tables.orders(spark, dir), dir, "orders")
+    val o = Tables.orders(spark, dir)
     Seq(
       profileOne(o, "o_orderkey", str),
       profileOne(o, "o_custkey", str),
