@@ -375,21 +375,46 @@ object Streams {
             col("est_union"), col("est_inter"), col("novelty_ppm"),
             col("batch_id").cast("long").as("batch_id")))
       else None
-    var acc: DataFrame =
-      if (ids.contains(-1L))
-        all.filter(col("batch_id") === -1L).select("lang", "h").materializeOnce()
-      else null
-    val outs = ids.filter(_ >= 0L).map { id =>
-      val st = all.filter(col("batch_id") === id).select("lang", "h")
-      val base = if (acc == null) st.limit(0) else acc
-      val out = graft.text.TextOps.sketchOverlapFrom(base, st, k)
-        .withColumn("batch_id", lit(id))
-      acc =
-        if (acc == null) st.materializeOnce()
-        else graft.text.TextOps.sketchMerge(acc, st, k).materializeOnce()
-      out
-    }
-    (persisted.toSeq ++ outs).reduceOption(_ unionByName _).getOrElse(emptySeries)
+    // FUSED live-tail fold: the prefix state a batch compares against is
+    // the bottom-k of the UNION of all earlier states (bottomK(bottomK(X)
+    // ∪ Y) = bottomK(X ∪ Y) — the KMV merge identity, applied once
+    // instead of per fold step), so EVERY live batch's prefix sketch and
+    // overlap row computes in ONE grouped plan keyed by (batch_id, lang).
+    // The sequential acc-merge fold this replaces built a stage chain
+    // whose depth grew with the live tail (measured ~40 sub-0.15 s serial
+    // stages at sf0.1 — pure scheduling floor); values are identical
+    // (same rows, same estimates — the series stays under the hash gate).
+    // Cost note: baseRows is O(B²·langs·k) for B live batches (each
+    // target replicates its prefix states) — fine under the compaction
+    // protocol that keeps B small, and each row is two longs; a gauge
+    // run with compaction disabled and thousands of live batches should
+    // prefer the linear fold this replaced.
+    val live = ids.filter(_ >= 0L)
+    val outs =
+      if (live.isEmpty) None
+      else {
+        import spark.implicits._
+        val tgt = live.toSeq.toDF("batch_id_t")
+        // prefix rows: every state strictly earlier than the target
+        // batch (the reserved -1 merged prefix precedes every target);
+        // distinct per target before ranking — a hash present in two
+        // earlier batches must count once (union semantics)
+        val baseRows = all.join(broadcast(tgt),
+            col("batch_id") < col("batch_id_t"))
+          .select(col("batch_id_t").as("batch_id"), col("lang"), col("h"))
+          .distinct()
+        val base = graft.text.TextOps.bottomKBy(baseRows, k,
+          Seq("batch_id", "lang"))
+        val newRows = all.filter(col("batch_id") >= 0L)
+          .select(col("batch_id"), col("lang"), col("h"))
+        Some(graft.text.TextOps
+          .sketchOverlapBy(base, newRows, k, Seq("batch_id", "lang"))
+          .select(col("lang"), col("est_old"), col("est_new"),
+            col("est_union"), col("est_inter"), col("novelty_ppm"),
+            col("batch_id")))
+      }
+    (persisted.toSeq ++ outs.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(emptySeries)
   }
 
   /** COMPACTION for the crawl-novelty state — the documented

@@ -542,14 +542,23 @@ object TextOps {
     * the ≤ 256·k survivors per lang. Both levels deterministic (hashes
     * are distinct within a group).
     */
-  def bottomK(hashes: DataFrame, k: Int): DataFrame = {
-    val lvl1 = Window.partitionBy(col("lang"), pmod(col("h"), lit(256)))
+  def bottomK(hashes: DataFrame, k: Int): DataFrame =
+    bottomKBy(hashes, k, Seq("lang"))
+
+  /** [[bottomK]] with an arbitrary key-column set — the grouped form
+    * the fused crawl-novelty series computes many prefix sketches in
+    * ONE plan with (exactness per key group is the single-key
+    * argument verbatim; `hashes` must be distinct per key group).
+    */
+  private[graft] def bottomKBy(hashes: DataFrame, k: Int,
+      keys: Seq[String]): DataFrame = {
+    val lvl1 = Window.partitionBy(keys.map(col) :+ pmod(col("h"), lit(256)): _*)
       .orderBy(col("h"))
-    val lvl2 = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val lvl2 = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
     hashes
       .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
       .withColumn("rk", row_number().over(lvl2)).filter(col("rk") <= k)
-      .select("lang", "h")
+      .select(keys.map(col) :+ col("h"): _*)
   }
 
   /** MERGE two sketch states — the property that makes KMV the 100 TB
@@ -567,7 +576,12 @@ object TextOps {
     * member count when the universe was smaller than k.
     */
   def sketchEstimate(state: DataFrame, k: Int): DataFrame =
-    state.groupBy("lang")
+    sketchEstimateBy(state, k, Seq("lang"))
+
+  /** [[sketchEstimate]] over arbitrary key columns (see [[bottomKBy]]). */
+  private[graft] def sketchEstimateBy(state: DataFrame, k: Int,
+      keys: Seq[String]): DataFrame =
+    state.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("max_h"))
       .withColumn("kth_hash", when(col("n_kept") === k, col("max_h")))
       .withColumn("est_distinct",
@@ -575,7 +589,7 @@ object TextOps {
         coalesce(
           expr(s"CAST(FLOOR((${k - 1}) * CAST(4294967296 AS DOUBLE) / kth_hash) AS BIGINT)"),
           col("n_kept")))
-      .select("lang", "kth_hash", "est_distinct")
+      .select(keys.map(col) :+ col("kth_hash") :+ col("est_distinct"): _*)
 
   /** KMV SET-OPERATION gauge between the existing corpus and a fresh
     * crawl batch (`doc_id % 5 == 0` plays the new crawl — the
@@ -706,37 +720,48 @@ object TextOps {
     * not drop — an empty side's sketch estimates 0. The union/K∩
     * frames cover every language either state mentions.
     */
-  def sketchOverlapFrom(stOld: DataFrame, stNew: DataFrame, k: Int): DataFrame = {
-    val merged = sketchMerge(stOld, stNew, k).materializeOnce()
-    val estOld = sketchEstimate(stOld, k)
-      .select(col("lang"), col("est_distinct").as("est_old"))
-    val estNew = sketchEstimate(stNew, k)
-      .select(col("lang"), col("est_distinct").as("est_new"))
-    val estU = sketchEstimate(merged, k)
-      .select(col("lang"), col("est_distinct").as("est_union"))
+  def sketchOverlapFrom(stOld: DataFrame, stNew: DataFrame, k: Int): DataFrame =
+    sketchOverlapBy(stOld, stNew, k, Seq("lang"))
+
+  /** [[sketchOverlapFrom]] over arbitrary key columns — the grouped
+    * form lets the crawl-novelty series compute EVERY live batch's
+    * overlap row in one plan (keys = (batch_id, lang)) instead of one
+    * driver-sequenced fold step per batch.
+    */
+  private[graft] def sketchOverlapBy(stOld: DataFrame, stNew: DataFrame,
+      k: Int, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val merged = bottomKBy(stOld.union(stNew).distinct(), k, keys)
+      .materializeOnce()
+    val estOld = sketchEstimateBy(stOld, k, keys)
+      .select(kc :+ col("est_distinct").as("est_old"): _*)
+    val estNew = sketchEstimateBy(stNew, k, keys)
+      .select(kc :+ col("est_distinct").as("est_new"): _*)
+    val estU = sketchEstimateBy(merged, k, keys)
+      .select(kc :+ col("est_distinct").as("est_union"): _*)
     // Beyer K∩: merged-state hashes present in BOTH side states (valid
     // because every merged hash ≤ τ ≤ each side's kth — see kmvOverlap)
     val kBoth = merged
-      .join(stOld.withColumn("in_old", lit(1)), Seq("lang", "h"), "left")
-      .join(stNew.withColumn("in_new", lit(1)), Seq("lang", "h"), "left")
-      .groupBy("lang")
+      .join(stOld.withColumn("in_old", lit(1)), keys :+ "h", "left")
+      .join(stNew.withColumn("in_new", lit(1)), keys :+ "h", "left")
+      .groupBy(kc: _*)
       .agg(count(lit(1)).as("n_kept"),
         sum(when(col("in_old") === 1 && col("in_new") === 1, 1L).otherwise(0L))
           .as("k_both"))
     estU
-      .join(estOld, Seq("lang"), "left")
-      .join(estNew, Seq("lang"), "left")
-      .join(kBoth, "lang")
+      .join(estOld, keys, "left")
+      .join(estNew, keys, "left")
+      .join(kBoth, keys)
       .withColumn("est_old", coalesce(col("est_old"), lit(0L)))
       .withColumn("est_new", coalesce(col("est_new"), lit(0L)))
-      .select(col("lang"), col("est_old"), col("est_new"), col("est_union"),
+      .select(kc ++ Seq(col("est_old"), col("est_new"), col("est_union"),
         expr("CAST(k_both * est_union DIV n_kept AS BIGINT)").as("est_inter"),
         // clamped to [0, 1e6]: inclusion-exclusion on ESTIMATES can
         // stray past either end of the true share's range
         expr("""CASE WHEN est_new > 0
                 |  THEN LEAST(1000000L,
                 |    CAST(GREATEST(0L, 1000000 * (est_union - est_old)) DIV est_new AS BIGINT))
-                |  ELSE 0L END""".stripMargin).as("novelty_ppm"))
+                |  ELSE 0L END""".stripMargin).as("novelty_ppm")): _*)
   }
 
   /** Per-doc quality scores keyed by the portable md5-prefix 32-bit
