@@ -48,6 +48,44 @@ object Scratch {
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
       val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       time("final join")(clustered.join(sizes, "cluster").count())
+    } else if (args.lift(1).contains("floor")) {
+      // decomposition of the sub-second tail's per-entry fixed cost:
+      // frame construction (scala + any construction-time jobs),
+      // catalyst planning (executedPlan force), and execution (noop).
+      val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+        "dim_enrich", "orphan_requeue", "topk_per_group", "q5_join",
+        "sync_status_rollup", "token_freq", "mm_meta", "length_histogram"))
+      (1 to 3).foreach { round =>
+        names.foreach { n =>
+          val fn = graft.SparkEntry.queries(n)
+          val t0 = System.nanoTime()
+          val df = fn(spark, dir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"[floor] r$round $n%-22s construct ${(t1 - t0) / 1e3}%8.0f us  plan ${(t2 - t1) / 1e3}%8.0f us  exec ${(t3 - t2) / 1e3}%8.0f us")
+        }
+      }
+    } else if (args.lift(1).contains("readcost")) {
+      // what one Tables.read costs warm: listing + footer schema
+      // inference + normalize analysis, driver-side
+      (1 to 3).foreach { r =>
+        Seq("lineitem", "documents", "events", "customer").foreach { t =>
+          val t0 = System.nanoTime()
+          (1 to 10).foreach { _ =>
+            val df = t match {
+              case "lineitem" => graft.core.Tables.lineitem(spark, dir)
+              case "documents" => graft.core.Tables.documents(spark, dir)
+              case "events" => graft.core.Tables.events(spark, dir)
+              case _ => graft.core.Tables.customer(spark, dir)
+            }
+            df.schema // force analysis
+          }
+          println(f"[readcost] r$r $t%-10s ${(System.nanoTime() - t0) / 1e7}%8.1f ms/read")
+        }
+      }
     } else if (args.lift(1).contains("pairmass")) {
       // decomposition of the dedup verify floor: how many pairs the
       // within-component grid walks, and how many a cheap exact

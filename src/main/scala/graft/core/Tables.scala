@@ -92,6 +92,25 @@ object Tables {
     case _ => a == b
   }
 
+  /** Per-JVM memo of the normalized table PLANS, guarded by the same
+    * file fingerprint the index stores use for freshness. One
+    * `spark.read.parquet` costs ~50 ms warm on the driver (file
+    * listing + parquet footer schema inference + normalize analysis),
+    * and a 145-entry bench pays it 2-3× per entry — ~15 s of pure
+    * driver-side metadata work re-deriving identical plans. The memo
+    * holds plan METADATA only: every action on the returned frame
+    * re-reads the parquet (this is the same class of caching as
+    * Spark's own file-status cache, never a result cache). The
+    * fingerprint stat (~1 ms recursive listing) preserves the in-place
+    * regeneration contract: any file length/mtime change rebuilds the
+    * plan, so a session that overwrites a table sees the new files
+    * (spec-pinned by the regeneration tests). Values also carry their
+    * session: a frame from a stopped session is never served.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (String, SparkSession, DataFrame)]()
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Timestamp adaptation (NTZ reinterpretation, date→timestamp,
     // date_format downstream) is exact only under a UTC session —
@@ -103,7 +122,15 @@ object Tables {
     // parquet timestamp[ns] arrives as raw Long instead of failing the
     // read; the normalizer then converts it like any epoch-ns column
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.read.parquet(s"$dir/$name.parquet"), name)
+    val key = (dir, name)
+    val fp = IndexScratch.sourceFingerprint(spark, s"$dir/$name.parquet")
+    val hit = planCache.get(key)
+    if (hit != null && hit._1 == fp && (hit._2 eq spark)) hit._3
+    else {
+      val df = normalize(spark.read.parquet(s"$dir/$name.parquet"), name)
+      planCache.put(key, (fp, spark, df))
+      df
+    }
   }
 
   /** Coerce one column from its observed physical-read type to the

@@ -394,13 +394,16 @@ object Streams {
       if (live.isEmpty) None
       else {
         import spark.implicits._
-        val tgt = live.toSeq.toDF("batch_id_t")
-        // prefix rows: every state strictly earlier than the target
-        // batch (the reserved -1 merged prefix precedes every target);
+        // prefix relation: every state strictly earlier than the target
+        // batch (the reserved -1 merged prefix precedes every target),
+        // expanded driver-side from the already-collected id list so the
+        // join is an EQUI-join on batch_id (an inequality condition
+        // would plan the BroadcastNestedLoopJoin the plan audit bans);
         // distinct per target before ranking — a hash present in two
         // earlier batches must count once (union semantics)
-        val baseRows = all.join(broadcast(tgt),
-            col("batch_id") < col("batch_id_t"))
+        val predecessors = (for { t <- live; s <- ids if s < t } yield (s, t))
+          .toSeq.toDF("batch_id", "batch_id_t")
+        val baseRows = all.join(broadcast(predecessors), Seq("batch_id"))
           .select(col("batch_id_t").as("batch_id"), col("lang"), col("h"))
           .distinct()
         val base = graft.text.TextOps.bottomKBy(baseRows, k,
