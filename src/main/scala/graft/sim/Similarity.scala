@@ -208,10 +208,18 @@ object Similarity {
         .agg(max(struct(col("ccos"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"))
     // micro-unit quantization of the member vectors, computed once per
-    // corpus row — the exact-integer accumulation feed for both rounds
+    // corpus row — the exact-integer accumulation feed for both rounds.
+    // The explicit-count repartition REPLACES the membership join's own
+    // exchange on this side (same key, same count — no added shuffle)
+    // and, being user-specified, keeps AQE from byte-coalescing the
+    // co-partitioned join down to ONE task: the per-round centroid
+    // accumulation (vec_sum_long over 64-long buffers) was measured
+    // 2.3-2.9 CPU-s single-task at sf1 inside ann_ivf_pq/ann_ivf.
+    val np = e.sparkSession.sessionState.conf.numShufflePartitions
     val eq = e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
         .as("qe"))
+      .repartition(np, col("vec_id"))
     val seedW = Window.partitionBy(pmod(col("vec_id"), lit(1))).orderBy(col("vec_id"))
     var centroids = e.orderBy("vec_id").limit(k)
       .withColumn("cid", (row_number().over(seedW) - 1).cast("int"))
@@ -255,8 +263,19 @@ object Similarity {
     */
   private[graft] def ivfMultiIndex(e: DataFrame, centroids: DataFrame,
       assign: Int): DataFrame = {
+    // explicit-count pre-partition replacing the assignment window's
+    // own exchange (same key, same count — no added shuffle). Without
+    // it AQE byte-coalesces that exchange to ONE partition, and since
+    // hash(vec_id) satisfies every downstream clustering requirement
+    // (the candidate distinct, the codes sort-merge join, the ADC
+    // projection — the index vec_id IS the candidate n_id), the WHOLE
+    // query chain up to the per-query ranking inherits the single
+    // partition: measured 2.3-2.9 CPU-s on one task at sf1 inside
+    // ann_ivf_pq, with the ADC fold serialized in it.
+    val np = e.sparkSession.sessionState.conf.numShufflePartitions
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     crossCentroids(e, centroids)
+      .repartition(np, col("vec_id"))
       .withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") <= assign)
       .select(col("vec_id"), col("cid"))
@@ -267,9 +286,18 @@ object Similarity {
     * site owns the rounding digits, tie-break order, and k.
     */
   private def exactTop5(cands: DataFrame, q: DataFrame, e: DataFrame): DataFrame = {
+    // explicit-count pre-partition on the re-rank join key: the
+    // candidate and corpus frames are narrow enough that AQE
+    // byte-coalesces the join's exchanges to ONE partition, which
+    // serializes the exact-cosine scoring (measured 4.1 CPU-s on one
+    // task at sf1 inside ann_ivf_pq). The repartition REPLACES the
+    // join's own exchange (same key, explicit count) — no extra
+    // shuffle, and the cosine work runs at session width.
+    val np = e.sparkSession.sessionState.conf.numShufflePartitions
     val scored = cands
       .join(broadcast(q.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("norm").as("qn"))), "q_id")
+      .repartition(np, col("n_id"))
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
         col("norm").as("nn")), "n_id")
       .select(col("q_id"), col("n_id"),
@@ -528,6 +556,14 @@ object Similarity {
       .select(col("q_id"),
         (col("sub") * PqCodes + col("code")).as("i"),
         call_function("vec_dot", col("qsv"), col("cv")).as("contrib"))
+      // explicit-count pre-partition replacing the aggregation's own
+      // exchange: the collect_list partials are byte-small, so AQE
+      // coalesced the LUT build onto ONE partition — and building
+      // queries × (subs·codes)-entry maps is the CPU-dense part
+      // (measured 4.5 CPU-s single-task at sf1). Same bytes moved,
+      // map construction at session width.
+      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions,
+        col("q_id"))
       .groupBy("q_id")
       .agg(map_from_entries(collect_list(struct(col("i"), col("contrib")))).as("lut"))
 
@@ -542,9 +578,15 @@ object Similarity {
       .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    // ADC scoring: 8 map lookups per candidate, never the raw vector
+    // ADC scoring: 8 map lookups per candidate, never the raw vector.
+    // Explicit-count pre-partition on the codes join key — the same
+    // serialization AQE's byte-coalescing causes in exactTop5 (the ADC
+    // aggregate is an interpreted higher-order fold, CPU-dense per
+    // row); the repartition replaces the join's own exchange.
     val adcW = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val np = e.sparkSession.sessionState.conf.numShufflePartitions
     val shortlist = cands
+      .repartition(np, col("n_id"))
       .join(codes.select(col("vec_id").as("n_id"), col("codes")), "n_id")
       .join(broadcast(lut), "q_id")
       .withColumn("adc", expr(

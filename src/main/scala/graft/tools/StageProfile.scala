@@ -56,7 +56,17 @@ object StageProfile {
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
         stages.synchronized {
           val a = stages.getOrElseUpdate(si.stageId, (dur, new Agg))._2
-          a.name = si.name.takeWhile(_ != '\n').take(60)
+          // the first graft frame in the submission stack names the
+          // operator that built this stage far better than si.name
+          // (broadcast/subquery stages all submit from CompletableFuture)
+          a.name = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools."))
+            .map(_.trim.take(80))
+            .getOrElse(si.name.takeWhile(_ != '\n').take(60))
+          // the stage's RDD callsites name the operators it executes —
+          // the only attribution that survives broadcast-thread stages
+          if (sys.env.contains("SPARK_GRAFT_PROFILE_RDDS"))
+            a.name += " | " + si.rddInfos.map(_.callSite).distinct.mkString("; ").take(300)
           stages(si.stageId) = (dur, a)
         }
       }
